@@ -1,0 +1,120 @@
+"""Dtype registry and packed-int4 utilities.
+
+TPU-native analog of CK's data-type layer (reference:
+``include/ck/utility/data_type.hpp:10-14`` — half_t/bhalf_t/int4_t/f8_t and
+``type_convert`` with RTN rounding). On TPU we use native jnp dtypes for
+everything except int4, which is stored *packed two-per-byte in an int8
+array* so it can be DMA'd and unpacked inside Pallas kernels with vector
+shifts (the analog of CK's ``FastNumericArrayConverter``,
+``element/unary_element_wise_operation.hpp:1061-1094``).
+
+Packing layout ("split-K halves"): for a weight matrix W[K, N] quantized to
+int4, byte ``P[k, n]`` of the packed array ``P[K//2, N] : int8`` holds
+
+  - low  nibble = W[k, n]
+  - high nibble = W[k + K//2, n]
+
+i.e. we pack element ``k`` with element ``k + K/2`` rather than with ``k+1``.
+Unpacking is then a concatenate along K — *no interleave* — which lowers to
+cheap sublane ops on the VPU, whereas an even/odd interleave would require an
+expensive shuffle across sublanes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# --------------------------------------------------------------------------
+# dtype registry
+# --------------------------------------------------------------------------
+
+#: canonical activation dtypes
+F32 = jnp.float32
+F16 = jnp.float16
+BF16 = jnp.bfloat16
+#: quantized storage dtypes
+I8 = jnp.int8
+U8 = jnp.uint8
+I32 = jnp.int32
+#: fp8 (e4m3 / e5m2) — CK's f8_t / bf8_t
+F8E4M3 = jnp.float8_e4m3fn
+F8E5M2 = jnp.float8_e5m2
+
+_SHORT_NAMES = {
+    "float32": "f32",
+    "float16": "f16",
+    "bfloat16": "bf16",
+    "int8": "i8",
+    "uint8": "u8",
+    "int32": "i32",
+    "int4": "i4",
+    "float8_e4m3fn": "f8",
+    "float8_e5m2": "bf8",
+}
+
+
+def short_name(dtype) -> str:
+    """Short dtype tag used in instance names (cf. CK instance .cpp naming)."""
+    name = jnp.dtype(dtype).name
+    return _SHORT_NAMES.get(name, name)
+
+
+# --------------------------------------------------------------------------
+# int4 pack / unpack (host side; kernel-side unpack lives in ops/quant)
+# --------------------------------------------------------------------------
+
+
+def pack_int4(w: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Pack an int4-valued int8 array two-per-byte along ``axis``.
+
+    ``w`` must contain values in [-8, 7]. Element ``k`` of the axis is packed
+    with element ``k + K/2`` (split-halves layout, see module docstring).
+    Returns an int8 array whose ``axis`` length is halved.
+    """
+    w = jnp.asarray(w, jnp.int8)
+    k = w.shape[axis]
+    if k % 2 != 0:
+        raise ValueError(f"pack axis length must be even, got {k}")
+    lo = jnp.take(w, jnp.arange(k // 2), axis=axis)
+    hi = jnp.take(w, jnp.arange(k // 2, k), axis=axis)
+    return ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4(packed: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Inverse of :func:`pack_int4`: int8 packed → int8 values in [-8, 7].
+
+    This is the *reference* unpack; Pallas kernels inline the same two-shift
+    sequence on VMEM tiles.
+    """
+    packed = jnp.asarray(packed, jnp.int8)
+    # low nibble: shift left then arithmetic-shift right to sign-extend.
+    lo = ((packed << 4).astype(jnp.int8) >> 4).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)  # arithmetic shift on int8
+    return jnp.concatenate([lo, hi], axis=axis)
+
+
+def unpack_int4_np(packed: np.ndarray, axis: int = 0) -> np.ndarray:
+    """NumPy twin of :func:`unpack_int4` for host-side checks."""
+    packed = packed.astype(np.int8)
+    lo = ((packed << 4).astype(np.int8) >> 4).astype(np.int8)
+    hi = (packed >> 4).astype(np.int8)
+    return np.concatenate([lo, hi], axis=axis)
+
+
+# --------------------------------------------------------------------------
+# rounding-mode conversions (CK type_convert parity:
+# element/unary_element_wise_operation.hpp:236-287 — RTN + stochastic)
+# --------------------------------------------------------------------------
+
+
+def round_nearest_int(x: jnp.ndarray, dtype=jnp.int8) -> jnp.ndarray:
+    """Round-to-nearest-even float→int conversion with saturation."""
+    info = jnp.iinfo(dtype)
+    return jnp.clip(jnp.round(x), info.min, info.max).astype(dtype)
+
+
+def min_tile(dtype) -> tuple[int, int]:
+    """Minimum TPU (sublane, lane) tile for ``dtype`` (pallas_guide tiling table)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return {4: (8, 128), 2: (16, 128), 1: (32, 128)}[itemsize]

@@ -1,0 +1,96 @@
+"""Reference attention (batched_gemm_scale_softmax_gemm).
+
+Mirrors CK's fused-attention math (documented at
+``docs/reference/Supported_Primitives_Guide.rst:14-82`` and implemented in
+``gridwise_batched_gemm_softmax_gemm_xdl_cshuffle_v1.hpp:699-925``):
+O = softmax(scale * Q K^T + bias [+ mask]) V, with CK's
+``MaskingSpecialization`` modes (masking_specialization.hpp:10-54) extended
+with sliding-window (ck_tile block_masking.hpp) and GQA/MQA head mapping
+(device_multi_query_attention_forward_wmma.hpp).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _mask_bias(s_len_q, s_len_k, causal: bool, window: int | None, q_offset: int):
+    """Additive -inf mask [Sq, Sk]. ``q_offset`` aligns causal diag for decode.
+
+    causal=True reproduces CK MaskOutUpperTriangle; window w keeps keys in
+    (q_pos - w, q_pos] (sliding-window attention, ck_tile block_masking.hpp).
+    """
+    q_pos = np.arange(s_len_q)[:, None] + q_offset
+    k_pos = np.arange(s_len_k)[None, :]
+    allowed = np.ones((s_len_q, s_len_k), bool)
+    if causal:
+        allowed &= k_pos <= q_pos
+    if window is not None:
+        allowed &= k_pos > q_pos - window
+    return jnp.where(jnp.asarray(allowed), 0.0, -jnp.inf).astype(jnp.float32)
+
+
+def ref_gemm_softmax_gemm(q, k, v, scale=None, causal=False, bias=None):
+    """Single-head reference: O = softmax(scale·QKᵀ [+bias]) V.
+
+    q: [Sq, D], k: [Sk, D], v: [Sk, Dv].
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    s = scale * jnp.matmul(
+        q.astype(jnp.float32), k.astype(jnp.float32).T, preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    s = s + _mask_bias(q.shape[0], k.shape[0], causal, None, k.shape[0] - q.shape[0])
+    p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    return jnp.matmul(p, v.astype(jnp.float32), preferred_element_type=jnp.float32)
+
+
+def ref_attention(
+    q,
+    k,
+    v,
+    scale=None,
+    causal: bool = False,
+    window: int | None = None,
+    bias=None,
+    kv_seq_len=None,
+    out_dtype=None,
+):
+    """Multi-head reference attention with GQA.
+
+    q: [B, Hq, Sq, D]; k, v: [B, Hkv, Sk, D] with Hq % Hkv == 0.
+    ``kv_seq_len``: optional [B] int array — keys at positions >= kv_seq_len[b]
+    are masked out (ragged/varlen batches, ck_tile "group mode" analog).
+    ``bias``: optional [B, Hq, Sq, Sk] additive bias (CK's C0 bias / alibi).
+    The causal diagonal is aligned bottom-right (decode convention,
+    ck_tile mask "bottom-right" mode): query i attends keys <= Sk - Sq + i.
+    """
+    b_sz, hq, sq, d = q.shape
+    _, hkv, sk, _ = k.shape
+    assert hq % hkv == 0
+    rep = hq // hkv
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+
+    kf = jnp.repeat(k.astype(jnp.float32), rep, axis=1)
+    vf = jnp.repeat(v.astype(jnp.float32), rep, axis=1)
+    s = scale * jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), kf)
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    s = s + _mask_bias(sq, sk, causal, window, sk - sq)[None, None]
+    if kv_seq_len is not None:
+        kpos = jnp.arange(sk)[None, None, None, :]
+        s = jnp.where(kpos < kv_seq_len[:, None, None, None], s, -jnp.inf)
+    s_max = jnp.max(s, axis=-1, keepdims=True)
+    # rows that are fully masked (can happen with tiny windows) -> zeros
+    s_max = jnp.where(jnp.isfinite(s_max), s_max, 0.0)
+    p = jnp.exp(s - s_max)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.maximum(denom, 1e-30)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, vf)
+    return out.astype(out_dtype or q.dtype)

@@ -1,0 +1,100 @@
+"""Reference quantized GEMMs and quantizers.
+
+Mirrors CK's ``reference_fpAintB_gemm.hpp:25-90`` — the weight-only dequant
+GEMM ``c = a @ (convert(b) * scale)`` — extended with group-wise scales
+(CK expresses g-wise via B-scale stride tricks in the multi-ABD client,
+client_example/30_gemm_bf16Aint8B/gemm_xdl_bf16_i8.cpp:28-56), and the int8
+activation-quant GEMM with requant epilogue
+(example/14_gemm_quantization, quantization_operation.hpp:25-251).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from composable_kernel_tpu import dtypes
+from composable_kernel_tpu.ops import epilogues as ep
+
+
+def ref_dequant_gemm(
+    a,
+    b_q,
+    scales,
+    ds=(),
+    c_op=ep.passthrough,
+    group_size: int | None = None,
+    packed_int4: bool = False,
+    out_dtype=None,
+):
+    """C = c_op(A @ dequant(B), *Ds).
+
+    a:      [M, K] float (fp16/bf16/f32)
+    b_q:    [K, N] int8  — or [K//2, N] packed int4 if ``packed_int4``
+    scales: [N] per-channel, or [K//group_size, N] group-wise
+    """
+    if packed_int4:
+        b_q = dtypes.unpack_int4(b_q, axis=0)
+    k = b_q.shape[0]
+    b = b_q.astype(jnp.float32)
+    scales = jnp.asarray(scales, jnp.float32)
+    if group_size is None:
+        b = b * scales[None, :]
+    else:
+        n_groups = k // group_size
+        b = b.reshape(n_groups, group_size, -1) * scales[:, None, :]
+        b = b.reshape(k, -1)
+    acc = jnp.matmul(a.astype(jnp.float32), b, preferred_element_type=jnp.float32)
+    out = c_op(acc, *[jnp.asarray(d, jnp.float32) for d in ds])
+    return out.astype(out_dtype or a.dtype)
+
+
+def ref_int8_gemm_requant(a_q, b_q, requant_op, ds=()):
+    """int8 x int8 -> int32 acc -> requant epilogue -> int8.
+
+    ``requant_op`` is one of the ``*_mul_clamp`` factories from
+    ``ops.epilogues`` (CK quantization_operation.hpp parity).
+    """
+    acc = jnp.matmul(
+        a_q.astype(jnp.int32), b_q.astype(jnp.int32), preferred_element_type=jnp.int32
+    )
+    out = requant_op(acc, *[jnp.asarray(d) for d in ds])
+    return out.astype(jnp.int8)
+
+
+# ------------------------------------------------------------ quantizers ---
+
+
+def ref_quantize_per_channel(w, bits: int = 8):
+    """Symmetric per-output-channel (per-N-column) quantization of W[K, N].
+
+    Returns (w_q int8 in [-2^(b-1), 2^(b-1)-1], scales[N] f32).
+    """
+    qmax = 2 ** (bits - 1) - 1
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    s = jnp.maximum(absmax / qmax, 1e-8)
+    w_q = jnp.clip(jnp.round(w.astype(jnp.float32) / s[None, :]), -qmax - 1, qmax)
+    return w_q.astype(jnp.int8), s
+
+
+def ref_quantize_group(w, group_size: int = 128, bits: int = 4):
+    """Symmetric group-wise quantization of W[K, N] along K.
+
+    Returns (w_q int8 values in int4/int8 range, scales[K//g, N] f32).
+    """
+    k, n = w.shape
+    assert k % group_size == 0
+    qmax = 2 ** (bits - 1) - 1
+    wg = w.astype(jnp.float32).reshape(k // group_size, group_size, n)
+    absmax = jnp.max(jnp.abs(wg), axis=1)
+    s = jnp.maximum(absmax / qmax, 1e-8)
+    w_q = jnp.clip(jnp.round(wg / s[:, None, :]), -qmax - 1, qmax)
+    return w_q.reshape(k, n).astype(jnp.int8), s
+
+
+def ref_quantize_activation_per_tensor(x, bits: int = 8):
+    """Symmetric per-tensor activation quant: returns (x_q int8, scale f32)."""
+    qmax = 2 ** (bits - 1) - 1
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    s = jnp.maximum(absmax / qmax, 1e-8)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -qmax - 1, qmax)
+    return x_q.astype(jnp.int8), s
