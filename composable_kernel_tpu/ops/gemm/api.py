@@ -1,0 +1,121 @@
+"""GEMM public API — the "Client API" layer.
+
+TPU analog of CK's type-erased client path (SURVEY.md §3.2): pick the op
+family, get instances from the registry, filter by supported-predicate,
+autotune, run. ``gemm()`` is the everything-GEMM entry point covering CK's
+device_gemm / device_gemm_multiple_d / device_gemm_splitk surfaces; batched
+and grouped variants cover device_batched_gemm / device_grouped_gemm.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from composable_kernel_tpu.ops.gemm.config import GemmConfig, is_supported
+from composable_kernel_tpu.ops.gemm.kernel import pallas_gemm
+from composable_kernel_tpu.tuning import autotune, registry
+
+
+def _heuristic_config(m: int, n: int, k: int) -> GemmConfig:
+    """Shape-keyed default (CK's 'default instance' role). The autotuner
+    refines; this picks sane block shapes per regime."""
+    if m <= 32:  # decode: skinny M, stream B
+        return GemmConfig(block_m=32, block_n=512, block_k=512)
+    if m <= 128:
+        return GemmConfig(block_m=128, block_n=256, block_k=512)
+    if min(m, n, k) >= 1024:
+        return GemmConfig(block_m=512, block_n=1024, block_k=1024)
+    return GemmConfig(block_m=256, block_n=256, block_k=256)
+
+
+def gemm(
+    a,
+    b,
+    ds=(),
+    *,
+    a_op=None,
+    b_op=None,
+    c_op=None,
+    out_dtype=None,
+    config: GemmConfig | None = None,
+    tune: bool = False,
+    interpret: bool | None = None,
+):
+    """C = c_op(a_op(A) @ b_op(B), *Ds) via the Pallas GEMM kernel.
+
+    With ``tune=True``, runs the registry's supported instances through the
+    autotuner (persistent cache) and uses the winner — the programmatic
+    equivalent of running ``ckprof gemm`` then using the best instance.
+    """
+    m, k = a.shape
+    n = b.shape[1]
+    if config is None:
+        if tune:
+            cfgs = registry.get_instances("gemm", m, n, k)
+            config, _ = autotune(
+                "gemm",
+                f"{m}x{n}x{k}_{a.dtype}_{b.dtype}",
+                cfgs,
+                lambda cfg: pallas_gemm(
+                    a, b, ds, config=cfg, a_op=a_op, b_op=b_op, c_op=c_op,
+                    out_dtype=out_dtype, interpret=interpret,
+                ),
+                flops=2.0 * m * n * k,
+            )
+        else:
+            config = _heuristic_config(m, n, k)
+    return pallas_gemm(
+        a, b, ds,
+        config=config, a_op=a_op, b_op=b_op, c_op=c_op,
+        out_dtype=out_dtype, interpret=interpret,
+    )
+
+
+def batched_gemm(a, b, ds=(), *, c_op=None, out_dtype=None, config=None, interpret=None):
+    """C[G,M,N] = c_op(A[G,M,K] @ B[G,K,N], *Ds) — vmapped Pallas GEMM.
+
+    CK: device_batched_gemm.hpp family. On TPU, vmap lifts the batch dim
+    into the kernel grid; XLA fuses the batch loop.
+    """
+    if config is None:
+        config = _heuristic_config(a.shape[1], b.shape[2], a.shape[2])
+
+    def one(a2, b2, *ds2):
+        return pallas_gemm(
+            a2, b2, ds2, config=config, c_op=c_op, out_dtype=out_dtype,
+            interpret=interpret,
+        )
+
+    return jax.vmap(one)(a, b, *ds)
+
+
+def grouped_gemm(
+    group_sizes,
+    a,
+    b,
+    *,
+    c_op=None,
+    out_dtype=None,
+    config: GemmConfig | None = None,
+    interpret: bool | None = None,
+):
+    """Ragged grouped GEMM: rows of A are partitioned into G groups, each
+    multiplied by its own B matrix.
+
+    a: [sum_M, K] — concatenated per-group activations (M_i rows each)
+    b: [G, K, N]  — per-group weights
+    group_sizes: [G] int32 — rows per group (static total, dynamic splits)
+
+    TPU analog of CK's grouped GEMM with device-side args
+    (device_grouped_gemm_fixed_nk.hpp SetDeviceKernelArgs:56, tile-loop
+    variant device_grouped_gemm_tile_loop.hpp:26-95): group boundaries are
+    read on-device from ``group_sizes`` via scalar prefetch; the host never
+    needs per-group sizes — the continuous-batching / MoE building block.
+    """
+    from composable_kernel_tpu.ops.gemm.ragged import ragged_gemm
+
+    return ragged_gemm(
+        group_sizes, a, b, c_op=c_op, out_dtype=out_dtype, config=config,
+        interpret=interpret,
+    )

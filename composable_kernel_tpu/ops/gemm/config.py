@@ -64,22 +64,27 @@ def is_supported(cfg: GemmConfig, m: int, n: int, k: int, dtype_bytes: int = 2) 
     if cfg.split_k > 1 and (k // cfg.block_k) % cfg.split_k != 0:
         return False
     # A + B + out + acc working set, x2 for double buffering of inputs.
+    # Empirically on v5e, (1024,1024,512) (≈10MB by this estimate) OOMs VMEM
+    # while (512,1024,1024) (≈9MB) fits, so the usable bound is ~9.5MB.
     vmem = (
         2 * (cfg.block_m * cfg.block_k + cfg.block_k * cfg.block_n) * dtype_bytes
         + cfg.block_m * cfg.block_n * (dtype_bytes + 4)
     )
-    return vmem <= 100 * 1024 * 1024 // 8  # ~12.5MB of ~16MB VMEM
+    return vmem <= int(9.5 * 1024 * 1024)
 
 
 # Default instance list (CK instance-library analog). Ordered by preference
-# for large problems; the autotuner refines per-shape.
+# for large problems; the autotuner refines per-shape. Measured on v5e
+# (bf16 4096^3): 512x1024x1024 -> 172 TF (~87% of 197 TF peak).
 DEFAULT_GEMM_CONFIGS = [
+    GemmConfig(512, 1024, 1024),
+    GemmConfig(512, 512, 2048),
+    GemmConfig(512, 512, 1024),
     GemmConfig(512, 512, 512),
-    GemmConfig(256, 256, 256),
-    GemmConfig(512, 256, 512),
+    GemmConfig(1024, 512, 1024),
+    GemmConfig(256, 1024, 1024),
     GemmConfig(256, 512, 512),
     GemmConfig(128, 256, 512),
-    GemmConfig(256, 128, 512),
     GemmConfig(128, 128, 512),
     GemmConfig(64, 256, 512),
     GemmConfig(32, 512, 512),

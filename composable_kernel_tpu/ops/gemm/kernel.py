@@ -198,8 +198,8 @@ def pallas_gemm(
             (bm, bn), lambda s, i, j, kk: (i, j), memory_space=pltpu.VMEM
         )
 
-    flops = 2.0 * mp * np_ * kp
-    bytes_accessed = (
+    flops = 2 * mp * np_ * kp
+    bytes_accessed = int(
         mp * kp * a_p.dtype.itemsize
         + kp * np_ * b_p.dtype.itemsize
         + mp * np_ * jnp.dtype(out_dtype).itemsize

@@ -11,8 +11,11 @@ with sliding-window (ck_tile block_masking.hpp) and GQA/MQA head mapping
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _mask_bias(s_len_q, s_len_k, causal: bool, window: int | None, q_offset: int):
@@ -40,14 +43,15 @@ def ref_gemm_softmax_gemm(q, k, v, scale=None, causal=False, bias=None):
     if scale is None:
         scale = 1.0 / np.sqrt(d)
     s = scale * jnp.matmul(
-        q.astype(jnp.float32), k.astype(jnp.float32).T, preferred_element_type=jnp.float32
+        q.astype(jnp.float32), k.astype(jnp.float32).T,
+        preferred_element_type=jnp.float32, precision=_HI,
     )
     if bias is not None:
         s = s + bias.astype(jnp.float32)
     s = s + _mask_bias(q.shape[0], k.shape[0], causal, None, k.shape[0] - q.shape[0])
     p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
     p = p / jnp.sum(p, axis=-1, keepdims=True)
-    return jnp.matmul(p, v.astype(jnp.float32), preferred_element_type=jnp.float32)
+    return jnp.matmul(p, v.astype(jnp.float32), preferred_element_type=jnp.float32, precision=_HI)
 
 
 def ref_attention(
@@ -79,7 +83,7 @@ def ref_attention(
 
     kf = jnp.repeat(k.astype(jnp.float32), rep, axis=1)
     vf = jnp.repeat(v.astype(jnp.float32), rep, axis=1)
-    s = scale * jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), kf)
+    s = scale * jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), kf, precision=_HI)
     if bias is not None:
         s = s + bias.astype(jnp.float32)
     s = s + _mask_bias(sq, sk, causal, window, sk - sq)[None, None]
@@ -92,5 +96,5 @@ def ref_attention(
     p = jnp.exp(s - s_max)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     p = p / jnp.maximum(denom, 1e-30)
-    out = jnp.einsum("bhqk,bhkd->bhqd", p, vf)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, vf, precision=_HI)
     return out.astype(out_dtype or q.dtype)

@@ -8,9 +8,14 @@ integer inputs) like CK's AccDataType.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from composable_kernel_tpu.ops import epilogues as ep
+
+# TPU f32 matmuls default to one-pass bf16 on the MXU; golden references
+# must be full-precision (CK references accumulate in fp64-exactness C++).
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _acc_dtype(a, b):
@@ -32,7 +37,7 @@ def ref_gemm(
     acc_t = _acc_dtype(a, b)
     lhs = a_op(a.astype(acc_t) if acc_t == jnp.int32 else a.astype(jnp.float32))
     rhs = b_op(b.astype(acc_t) if acc_t == jnp.int32 else b.astype(jnp.float32))
-    acc = jnp.matmul(lhs, rhs, preferred_element_type=acc_t)
+    acc = jnp.matmul(lhs, rhs, preferred_element_type=acc_t, precision=_HI)
     out = c_op(acc, *[jnp.asarray(d, jnp.float32) for d in ds])
     if out_dtype is None:
         out_dtype = a.dtype if jnp.dtype(a.dtype).kind == "f" else jnp.int32
@@ -43,7 +48,7 @@ def ref_batched_gemm(a, b, ds=(), c_op=ep.passthrough, out_dtype=None):
     """C[G,M,N] = c_op(A[G,M,K] @ B[G,K,N], *Ds) (reference_batched_gemm.hpp)."""
     acc_t = _acc_dtype(a, b)
     cast = acc_t if acc_t == jnp.int32 else jnp.float32
-    acc = jnp.matmul(a.astype(cast), b.astype(cast), preferred_element_type=acc_t)
+    acc = jnp.matmul(a.astype(cast), b.astype(cast), preferred_element_type=acc_t, precision=_HI)
     out = c_op(acc, *[jnp.asarray(d, jnp.float32) for d in ds])
     if out_dtype is None:
         out_dtype = a.dtype if jnp.dtype(a.dtype).kind == "f" else jnp.int32
@@ -78,5 +83,5 @@ def ref_contraction(a, b, dims_m, dims_n, dims_k, out_dtype=None):
     b_perm = jnp.transpose(b32, list(dims_k[1]) + list(dims_n))
     a2 = a_perm.reshape(int(np.prod(am)), int(np.prod(ak)))
     b2 = b_perm.reshape(int(np.prod(ak)), int(np.prod(bn)))
-    out = (a2 @ b2).reshape(am + bn)
+    out = jnp.matmul(a2, b2, precision=_HI).reshape(am + bn)
     return out.astype(out_dtype or a.dtype)

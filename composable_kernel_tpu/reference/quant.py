@@ -10,7 +10,10 @@ activation-quant GEMM with requant epilogue
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
 
 from composable_kernel_tpu import dtypes
 from composable_kernel_tpu.ops import epilogues as ep
@@ -43,7 +46,7 @@ def ref_dequant_gemm(
         n_groups = k // group_size
         b = b.reshape(n_groups, group_size, -1) * scales[:, None, :]
         b = b.reshape(k, -1)
-    acc = jnp.matmul(a.astype(jnp.float32), b, preferred_element_type=jnp.float32)
+    acc = jnp.matmul(a.astype(jnp.float32), b, preferred_element_type=jnp.float32, precision=_HI)
     out = c_op(acc, *[jnp.asarray(d, jnp.float32) for d in ds])
     return out.astype(out_dtype or a.dtype)
 
@@ -55,7 +58,8 @@ def ref_int8_gemm_requant(a_q, b_q, requant_op, ds=()):
     ``ops.epilogues`` (CK quantization_operation.hpp parity).
     """
     acc = jnp.matmul(
-        a_q.astype(jnp.int32), b_q.astype(jnp.int32), preferred_element_type=jnp.int32
+        a_q.astype(jnp.int32), b_q.astype(jnp.int32), preferred_element_type=jnp.int32,
+        precision=_HI,
     )
     out = requant_op(acc, *[jnp.asarray(d) for d in ds])
     return out.astype(jnp.int8)

@@ -1,0 +1,58 @@
+"""Instance registry — CK's instance-library + factory layer, in Python.
+
+Reference: ``add_device_operation_instances``
+(``library/include/ck/library/tensor_operation_instance/add_device_operation_instance.hpp:16-30``)
+and ``DeviceOperationInstanceFactory<DeviceOp>::GetInstances()``
+(``gemm_multi_abd.hpp:248-313``). CK compiles 966 .cpp instance files into a
+library and selects at runtime; here instances are config dataclasses
+registered per op family, and "GetInstances" is a dict lookup filtered by a
+supported-predicate — JAX tracing does the instantiation.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Callable, Sequence
+
+
+class InstanceRegistry:
+    def __init__(self):
+        self._instances: dict[str, list] = defaultdict(list)
+        self._predicates: dict[str, Callable] = {}
+
+    def add_instances(self, op_family: str, configs: Sequence) -> None:
+        """cf. add_device_operation_instances."""
+        self._instances[op_family].extend(configs)
+
+    def set_predicate(self, op_family: str, pred: Callable) -> None:
+        """pred(config, *problem) -> bool, cf. IsSupportedArgument."""
+        self._predicates[op_family] = pred
+
+    def get_instances(self, op_family: str, *problem) -> list:
+        """cf. DeviceOperationInstanceFactory::GetInstances, filtered by the
+        supported-predicate when problem dims are given."""
+        configs = list(self._instances[op_family])
+        pred = self._predicates.get(op_family)
+        if pred is not None and problem:
+            configs = [c for c in configs if pred(c, *problem)]
+        return configs
+
+    def families(self) -> list[str]:
+        return sorted(self._instances)
+
+
+#: global registry (CK's per-op add_device_* externs analog)
+registry = InstanceRegistry()
+
+
+def _register_defaults():
+    from composable_kernel_tpu.ops.gemm.config import (
+        DEFAULT_GEMM_CONFIGS,
+        is_supported,
+    )
+
+    registry.add_instances("gemm", DEFAULT_GEMM_CONFIGS)
+    registry.set_predicate("gemm", is_supported)
+
+
+_register_defaults()

@@ -1,0 +1,121 @@
+"""S1 Pallas GEMM tests vs jnp references.
+
+Modeled on CK's typed/parameterized gemm tests
+(test/gemm_universal/test_gemm_universal_xdl.cpp — dtype x layout sweeps with
+SmallM {1..6} decode shapes and odd MidLargeM sizes {127, 255, 312, 799}).
+Kernels run in Pallas interpret mode on CPU (conftest).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composable_kernel_tpu.ops import epilogues as ep
+from composable_kernel_tpu.ops.gemm import GemmConfig, batched_gemm, gemm, grouped_gemm
+from composable_kernel_tpu.reference import ref_gemm
+from composable_kernel_tpu.utils import check_err, make_tensor
+
+SMALL_CFG = GemmConfig(block_m=16, block_n=128, block_k=128)
+
+
+def _mk(m, n, k, dtype=jnp.float32, seed=0):
+    k0, k1 = jax.random.split(jax.random.PRNGKey(seed))
+    return make_tensor(k0, (m, k), dtype), make_tensor(k1, (k, n), dtype)
+
+
+@pytest.mark.parametrize("m,n,k", [
+    (8, 128, 128),           # single tile
+    (128, 256, 256),         # multi-tile
+    (127, 255, 129),         # odd sizes -> padding path (CK MNKPadding)
+    (1, 128, 256),           # decode M=1
+    (3, 384, 128),           # decode small-M odd
+    (312, 136, 72),          # CK MidLargeM-style odd shape
+])
+def test_gemm_shapes_f32(m, n, k):
+    a, b = _mk(m, n, k)
+    out = gemm(a, b, config=SMALL_CFG)
+    # atol loosened vs CK's 3e-6: the K-blocked accumulation order differs
+    # from the reference's single fused matmul by a few f32 ulps.
+    check_err(out, ref_gemm(a, b), atol=5e-5, msg=f"{m}x{n}x{k}")
+
+
+def test_gemm_bf16():
+    a, b = _mk(64, 128, 128, jnp.bfloat16, seed=1)
+    out = gemm(a, b, config=SMALL_CFG)
+    check_err(out, ref_gemm(a, b), dtype=jnp.bfloat16)
+
+
+def test_gemm_int8_acc_int32_exact():
+    k0, k1 = jax.random.split(jax.random.PRNGKey(2))
+    a = make_tensor(k0, (32, 64), jnp.int8)
+    b = make_tensor(k1, (64, 128), jnp.int8)
+    out = gemm(a, b, config=SMALL_CFG)
+    assert out.dtype == jnp.int32
+    expect = np.asarray(a, np.int32) @ np.asarray(b, np.int32)
+    np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+def test_gemm_split_k():
+    a, b = _mk(16, 128, 1024, seed=3)
+    cfg = GemmConfig(block_m=16, block_n=128, block_k=128, split_k=4)
+    out = gemm(a, b, config=cfg)
+    check_err(out, ref_gemm(a, b), atol=5e-5)
+
+
+def test_gemm_epilogue_bias_add_add_fastgelu():
+    a, b = _mk(32, 128, 64, seed=4)
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+    d0 = make_tensor(keys[0], (32, 128), jnp.float32)
+    bias = make_tensor(keys[1], (128,), jnp.float32)
+    out = gemm(a, b, ds=(d0, bias), c_op=ep.add_add_fast_gelu, config=SMALL_CFG)
+    refout = ref_gemm(a, b, ds=(d0, bias.reshape(1, -1)), c_op=ep.add_add_fast_gelu)
+    check_err(out, refout, rtol=1e-4, atol=1e-5)
+
+
+def test_gemm_epilogue_bilinear_with_splitk():
+    a, b = _mk(8, 128, 512, seed=6)
+    d0 = make_tensor(jax.random.PRNGKey(7), (8, 128), jnp.float32)
+    cfg = GemmConfig(block_m=8, block_n=128, block_k=128, split_k=2)
+    out = gemm(a, b, ds=(d0,), c_op=ep.bilinear(0.5, 2.0), config=cfg)
+    refout = ref_gemm(a, b, ds=(d0,), c_op=ep.bilinear(0.5, 2.0))
+    check_err(out, refout, atol=5e-5)
+
+
+def test_gemm_ab_elementwise_ops():
+    a, b = _mk(16, 128, 64, seed=8)
+    out = gemm(a, b, a_op=ep.abs_, b_op=ep.relu, config=SMALL_CFG)
+    refout = ref_gemm(a, b, a_op=ep.abs_, b_op=ep.relu)
+    check_err(out, refout, atol=5e-5)
+
+
+def test_batched_gemm():
+    k0, k1 = jax.random.split(jax.random.PRNGKey(9))
+    a = make_tensor(k0, (4, 32, 64), jnp.float32)
+    b = make_tensor(k1, (4, 64, 128), jnp.float32)
+    out = batched_gemm(a, b, config=SMALL_CFG)
+    expect = np.einsum("gmk,gkn->gmn", np.asarray(a), np.asarray(b))
+    check_err(out, expect, atol=5e-5)
+
+
+def test_grouped_gemm_ragged():
+    bm = 16
+    cfg = GemmConfig(block_m=bm, block_n=128, block_k=128)
+    g, k, n = 3, 64, 128
+    sizes = [32, 16, 48]  # multiples of block_m
+    m = sum(sizes)
+    keys = jax.random.split(jax.random.PRNGKey(10), 2)
+    a = make_tensor(keys[0], (m, k), jnp.float32)
+    b = make_tensor(keys[1], (g, k, n), jnp.float32)
+    out = grouped_gemm(jnp.asarray(sizes, jnp.int32), a, b, config=cfg)
+    offs = np.cumsum([0] + sizes)
+    for gi in range(g):
+        seg = np.asarray(a)[offs[gi]:offs[gi + 1]] @ np.asarray(b)[gi]
+        check_err(np.asarray(out)[offs[gi]:offs[gi + 1]], seg, atol=5e-5, msg=f"group {gi}")
+
+
+def test_gemm_out_dtype_override():
+    a, b = _mk(16, 128, 64, seed=11)
+    out = gemm(a, b, out_dtype=jnp.bfloat16, config=SMALL_CFG)
+    assert out.dtype == jnp.bfloat16
+    check_err(out, ref_gemm(a, b), dtype=jnp.bfloat16)
