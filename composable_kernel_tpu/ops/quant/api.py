@@ -1,0 +1,100 @@
+"""Quantized-GEMM client API.
+
+Covers CK's quantized operator surface:
+
+  - weight-only dequant GEMM (``device_gemm_dequantB.hpp:24``,
+    ``device_fpAintB_gemm_wmma.hpp:70``; bf16xint8 multi-ABD client
+    ``client_example/30_gemm_bf16Aint8B``) -> :func:`wo_quant_gemm`
+  - int8 activation-quant GEMM with requant epilogues
+    (``example/14_gemm_quantization``; op zoo
+    ``quantization_operation.hpp:25-251``) -> :func:`int8_gemm`
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from composable_kernel_tpu.ops.gemm.config import GemmConfig
+from composable_kernel_tpu.ops.gemm.kernel import pallas_gemm
+from composable_kernel_tpu.ops.quant.kernel import dequant_gemm
+from composable_kernel_tpu.tuning import autotune, registry
+
+__all__ = ["wo_quant_gemm", "int8_gemm", "dequant_gemm"]
+
+
+def _heuristic_config(m: int, n: int, k: int) -> GemmConfig:
+    if m <= 32:
+        return GemmConfig(block_m=32, block_n=512, block_k=1024)
+    if m <= 128:
+        return GemmConfig(block_m=128, block_n=512, block_k=512)
+    return GemmConfig(block_m=256, block_n=512, block_k=512)
+
+
+def wo_quant_gemm(
+    a,
+    b_q,
+    scales,
+    ds=(),
+    *,
+    group_size: int | None = None,
+    packed_int4: bool = False,
+    c_op=None,
+    out_dtype=None,
+    config: GemmConfig | None = None,
+    tune: bool = False,
+    interpret: bool | None = None,
+):
+    """Weight-only-quantized GEMM: C = c_op(A @ dequant(B_q, scales), *Ds).
+
+    The B dequant (int8, or packed int4 two-per-byte) happens inside the
+    Pallas kernel, upstream of the MXU — never materialized in HBM.
+    """
+    m, k = a.shape
+    n = b_q.shape[1]
+    if config is None:
+        if tune:
+            cfgs = registry.get_instances("gemm", m, n, k)
+            config, _ = autotune(
+                "wo_quant_gemm",
+                f"{m}x{n}x{k}_{a.dtype}_i{'4' if packed_int4 else '8'}"
+                f"_g{group_size or 'chan'}",
+                cfgs,
+                lambda cfg: dequant_gemm(
+                    a, b_q, scales, ds, group_size=group_size,
+                    packed_int4=packed_int4, config=cfg, c_op=c_op,
+                    out_dtype=out_dtype, interpret=interpret,
+                ),
+                flops=2.0 * m * n * k,
+            )
+        else:
+            config = _heuristic_config(m, n, k)
+    return dequant_gemm(
+        a, b_q, scales, ds,
+        group_size=group_size, packed_int4=packed_int4, config=config,
+        c_op=c_op, out_dtype=out_dtype, interpret=interpret,
+    )
+
+
+def int8_gemm(
+    a_q,
+    b_q,
+    requant_op,
+    ds=(),
+    *,
+    config: GemmConfig | None = None,
+    interpret: bool | None = None,
+):
+    """int8 x int8 -> int32 MXU accumulate -> requant epilogue -> int8.
+
+    ``requant_op`` is an ``ops.epilogues`` ``*_mul_clamp`` factory result
+    (CK Activation_Mul_Clamp family). The int32 accumulation runs on the
+    MXU's native int8 path; the requant runs fused on the accumulator tile.
+    """
+    m, k = a_q.shape
+    n = b_q.shape[1]
+    if config is None:
+        config = _heuristic_config(m, n, k)
+    return pallas_gemm(
+        a_q, b_q, ds,
+        config=config, c_op=requant_op, out_dtype=jnp.int8, interpret=interpret,
+    )

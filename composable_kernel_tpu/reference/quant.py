@@ -40,12 +40,20 @@ def ref_dequant_gemm(
     k = b_q.shape[0]
     b = b_q.astype(jnp.float32)
     scales = jnp.asarray(scales, jnp.float32)
+    # CK's reference converts B to ADataType before the multiply
+    # (reference_fpAintB_gemm.hpp:25-90: c = a * (convert(b) * scale) with
+    # the dequant computed in ADataType). We model the same matrix-unit
+    # semantics: for 16-bit activations the dequantized weight is rounded to
+    # the compute dtype before the dot, exactly as the kernel feeds the MXU.
+    compute_dtype = a.dtype if jnp.dtype(a.dtype).itemsize == 2 else jnp.float32
     if group_size is None:
-        b = b * scales[None, :]
+        # kernel applies per-channel scale post-accumulation in f32; the
+        # integer B is exactly representable in the compute dtype.
+        b = b.astype(compute_dtype).astype(jnp.float32) * scales[None, :]
     else:
         n_groups = k // group_size
         b = b.reshape(n_groups, group_size, -1) * scales[:, None, :]
-        b = b.reshape(k, -1)
+        b = b.reshape(k, -1).astype(compute_dtype).astype(jnp.float32)
     acc = jnp.matmul(a.astype(jnp.float32), b, preferred_element_type=jnp.float32, precision=_HI)
     out = c_op(acc, *[jnp.asarray(d, jnp.float32) for d in ds])
     return out.astype(out_dtype or a.dtype)
