@@ -1,0 +1,12 @@
+from composable_kernel_tpu.ops.attention.config import (
+    DEFAULT_ATTENTION_CONFIGS,
+    AttentionConfig,
+)
+from composable_kernel_tpu.ops.attention.kernel import flash_attention, flash_decode
+
+__all__ = [
+    "AttentionConfig",
+    "DEFAULT_ATTENTION_CONFIGS",
+    "flash_attention",
+    "flash_decode",
+]

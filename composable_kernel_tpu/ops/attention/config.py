@@ -1,0 +1,37 @@
+"""Attention kernel instance configuration.
+
+Analog of ck_tile's fmha tile-shape policy space
+(``ops/fmha/pipeline/block_fmha_pipeline_problem.hpp`` tile sizes and the
+generated instance grid of ``example/ck_tile/01_fmha/generate.py``): the
+tunable surface on TPU reduces to the Q and KV block lengths plus the
+decode split count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class AttentionConfig:
+    block_q: int = 512
+    block_k: int = 512
+    # split-KV count for flash-decoding (fmha_fwd_splitkv_kernel num_splits);
+    # 1 = no split. Used by flash_decode only.
+    num_splits: int = 1
+
+    def name(self) -> str:
+        return f"fmha_{self.block_q}x{self.block_k}_s{self.num_splits}"
+
+    def replace(self, **kw) -> "AttentionConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_ATTENTION_CONFIGS = [
+    AttentionConfig(512, 512),
+    AttentionConfig(512, 1024),
+    AttentionConfig(256, 512),
+    AttentionConfig(128, 512),
+    AttentionConfig(1024, 512),
+]

@@ -1,0 +1,367 @@
+"""Flash-attention forward Pallas kernel.
+
+TPU re-design of CK's fused attention stack:
+
+  - blockwise QK^T -> online softmax -> PV with running (max, sum) rescale:
+    ``gridwise_batched_gemm_softmax_gemm_xdl_cshuffle_v1.hpp:699-925``
+    ("Formula by Dao et al." :911) and the ck_tile FlashAttention-2 product
+    ``ops/fmha/pipeline/block_fmha_pipeline_qr_ks_vs.hpp:126`` (gemm_0
+    :303-331, rowmax :401-406, p=exp(s-m) :443-447, rescale + gemm_1).
+  - masking: CK ``MaskingSpecialization`` (masking_specialization.hpp:10-54,
+    MaskOutUpperTriangle) + ck_tile causal bottom-right / sliding window
+    (``ops/fmha/block/block_masking.hpp``).
+  - GQA/MQA head mapping (device_grouped_query_attention_forward_wmma.hpp):
+    done in the K/V BlockSpec index maps — h_kv = h_q // group.
+  - varlen: per-batch ``kv_seq_len`` masking (ck_tile group-mode seqstart
+    analog, fmha_fwd_kernel.hpp:505-555) as scalar-prefetch data.
+  - LSE output for split-KV flash-decoding combine
+    (fmha_fwd_splitkv_kernel.hpp / fmha_fwd_splitkv_combine_kernel.hpp).
+  - int8 KV cache: K/V stored int8 with per-head f32 scales, dequantized in
+    VMEM at load (composition of the S2 dequant technique with attention).
+
+Grid = (batch*heads, q blocks, kv blocks); the kv dim is sequential
+("arbitrary") so the online-softmax state lives in VMEM scratch across
+steps. Mosaic pipelines the K/V tile streams into VMEM (the analog of CK's
+LDS double-buffering).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from composable_kernel_tpu.ops.attention.config import AttentionConfig
+from composable_kernel_tpu.ops.gemm.kernel import _ceil_mult, _interpret_default, pad_to
+
+__all__ = ["flash_attention", "flash_decode"]
+
+_NEG_INF = -1e30  # large-negative instead of -inf: keeps exp() NaN-free
+_LANES = 128
+
+
+def _fa_kernel(
+    lens_ref,  # scalar prefetch: [B] int32 kv lengths
+    *refs,
+    has_bias: bool,
+    has_kv_scale: bool,
+    return_lse: bool,
+    scale: float,
+    causal: bool,
+    window: int | None,
+    n_k_steps: int,
+    bq: int,
+    bk: int,
+    q_offset: int,
+    heads_q: int,
+):
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    if has_bias:
+        bias_ref = refs[idx]; idx += 1
+    if has_kv_scale:
+        k_scale_ref = refs[idx]; idx += 1
+        v_scale_ref = refs[idx]; idx += 1
+    o_ref = refs[idx]; idx += 1
+    if return_lse:
+        lse_ref = refs[idx]; idx += 1
+    m_scr, l_scr, acc_scr = refs[idx], refs[idx + 1], refs[idx + 2]
+
+    kv_idx = pl.program_id(2)
+    q_blk = pl.program_id(1)
+    bh = pl.program_id(0)
+    batch = bh // heads_q
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [bq, D]
+    k = k_ref[0]  # [bk, D]
+    v = v_ref[0]  # [bk, Dv]
+    if has_kv_scale:
+        k = (k.astype(jnp.float32) * k_scale_ref[0, 0, 0]).astype(q.dtype)
+        v = (v.astype(jnp.float32) * v_scale_ref[0, 0, 0]).astype(q.dtype)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+    s = s * scale
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+
+    # ---- masking ----
+    q_pos = q_blk * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
+    k_pos = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    mask = k_pos < lens_ref[batch]  # varlen + Sk padding
+    if causal:
+        mask &= k_pos <= q_pos
+    if window is not None:
+        mask &= k_pos > q_pos - window
+    s = jnp.where(mask, s, _NEG_INF)
+
+    # ---- online softmax (Dao et al.) ----
+    m_prev = m_scr[...]  # [bq, LANES] broadcast storage
+    row_max = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
+    m_new = jnp.maximum(m_prev, row_max)  # broadcast -> [bq, LANES]
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new[:, :1])  # [bq, bk]
+    l_new = l_scr[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    m_scr[...] = m_new
+    l_scr[...] = l_new
+    acc_scr[...] = acc_scr[...] * corr[:, :1] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kv_idx == n_k_steps - 1)
+    def _finish():
+        l = l_scr[...][:, :1]
+        # fully-masked rows (tiny windows / zero-length KV): emit zeros
+        l_safe = jnp.where(l > 0.0, l, 1.0)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        if return_lse:
+            m = m_scr[...]
+            lse = jnp.where(
+                l > 0.0, m + jnp.log(jnp.maximum(l_scr[...], 1e-30)), _NEG_INF
+            )
+            lse_ref[0] = lse.astype(lse_ref.dtype)
+
+
+def flash_attention(
+    q,
+    k,
+    v,
+    *,
+    scale: float | None = None,
+    causal: bool = False,
+    window: int | None = None,
+    bias=None,
+    kv_seq_len=None,
+    k_scale=None,
+    v_scale=None,
+    config: AttentionConfig | None = None,
+    return_lse: bool = False,
+    out_dtype=None,
+    interpret: bool | None = None,
+):
+    """O = softmax(scale * Q K^T + bias + mask) V, never materializing S.
+
+    q:          [B, Hq, Sq, D]
+    k, v:       [B, Hkv, Sk, D] with Hq % Hkv == 0 (GQA/MQA); int8 allowed
+                when ``k_scale``/``v_scale`` ([B, Hkv] f32) are given.
+    bias:       optional [B, Hq, Sq, Sk] additive (alibi / attention bias).
+    kv_seq_len: optional [B] int32 — keys at positions >= len are masked
+                (ragged batches; also how Sk padding is neutralized).
+    causal masking is bottom-right aligned: query i attends keys
+    <= Sk - Sq + i (decode convention, matching ``ref_attention``).
+    Returns O [B, Hq, Sq, D] (and LSE [B, Hq, Sq] if ``return_lse``).
+    """
+    b, hq, sq, d = q.shape
+    _, hkv, sk, dv = v.shape
+    assert k.shape == (b, hkv, sk, d), (k.shape, (b, hkv, sk, d))
+    assert hq % hkv == 0
+    group = hq // hkv
+    if scale is None:
+        scale = float(1.0 / jnp.sqrt(jnp.float32(d)))
+    if interpret is None:
+        interpret = _interpret_default()
+    if out_dtype is None:
+        out_dtype = q.dtype
+    has_kv_scale = k_scale is not None
+    if has_kv_scale:
+        assert v_scale is not None and k_scale.shape == (b, hkv)
+    compute_dtype = q.dtype
+
+    cfg = config or AttentionConfig()
+    bq = min(_ceil_mult(sq, 16), max(16, _ceil_mult(min(cfg.block_q, sq), 16)))
+    bk = min(_ceil_mult(sk, 128), max(128, _ceil_mult(min(cfg.block_k, sk), 128)))
+    dp = _ceil_mult(d, _LANES)
+    dvp = _ceil_mult(dv, _LANES)
+
+    # flatten batch x heads; pad seq dims to block multiples, D to lanes
+    q_p = pad_to(q.reshape(b * hq, sq, d), (None, bq, dp))
+    k_p = pad_to(k.reshape(b * hkv, sk, d), (None, bk, dp))
+    v_p = pad_to(v.reshape(b * hkv, sk, dv), (None, bk, dvp))
+    sqp, skp = q_p.shape[1], k_p.shape[1]
+    n_k_steps = skp // bk
+
+    if kv_seq_len is None:
+        lens = jnp.full((b,), sk, jnp.int32)
+    else:
+        lens = jnp.asarray(kv_seq_len, jnp.int32)
+
+    q_offset = sk - sq  # bottom-right causal alignment
+
+    # index maps receive the scalar-prefetch ref as a trailing argument
+    def q_index(bh, i, kk, *_):
+        return (bh, i, 0)
+
+    def kv_index(bh, i, kk, *_):
+        return ((bh // hq) * hkv + (bh % hq) // group, kk, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, bq, dp), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, dp), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, dvp), kv_index, memory_space=pltpu.VMEM),
+    ]
+    inputs = [q_p, k_p, v_p]
+    has_bias = bias is not None
+    if has_bias:
+        bias_p = pad_to(
+            jnp.asarray(bias).reshape(b * hq, sq, sk), (None, bq, bk)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, bq, bk), lambda bh, i, kk, *_: (bh, i, kk), memory_space=pltpu.VMEM)
+        )
+        inputs.append(bias_p)
+    if has_kv_scale:
+        ks = jnp.asarray(k_scale, jnp.float32).reshape(b * hkv, 1, 1)
+        vs = jnp.asarray(v_scale, jnp.float32).reshape(b * hkv, 1, 1)
+        sc_spec = pl.BlockSpec(
+            (1, 1, 1),
+            lambda bh, i, kk, *_: ((bh // hq) * hkv + (bh % hq) // group, 0, 0),
+            memory_space=pltpu.SMEM,
+        )
+        in_specs += [sc_spec, sc_spec]
+        inputs += [ks, vs]
+
+    out_shapes = [jax.ShapeDtypeStruct((b * hq, sqp, dvp), out_dtype)]
+    out_specs = [pl.BlockSpec((1, bq, dvp), q_index, memory_space=pltpu.VMEM)]
+    if return_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((b * hq, sqp, _LANES), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, bq, _LANES), q_index, memory_space=pltpu.VMEM)
+        )
+
+    kernel = functools.partial(
+        _fa_kernel,
+        has_bias=has_bias,
+        has_kv_scale=has_kv_scale,
+        return_lse=return_lse,
+        scale=scale,
+        causal=causal,
+        window=window,
+        n_k_steps=n_k_steps,
+        bq=bq,
+        bk=bk,
+        q_offset=q_offset,
+        heads_q=hq,
+    )
+
+    flops = 4 * b * hq * sq * sk * (d + dv) // 2
+    bytes_accessed = int(
+        q_p.size * q_p.dtype.itemsize
+        + k_p.size * k_p.dtype.itemsize
+        + v_p.size * v_p.dtype.itemsize
+        + b * hq * sqp * dvp * jnp.dtype(out_dtype).itemsize
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * hq, sqp // bq, n_k_steps),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((bq, _LANES), jnp.float32),  # running max
+                pltpu.VMEM((bq, _LANES), jnp.float32),  # running sum
+                pltpu.VMEM((bq, dvp), jnp.float32),  # O accumulator
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed,
+            transcendentals=b * hq * sq * sk,
+        ),
+        interpret=interpret,
+    )(lens, *inputs)
+
+    o = outs[0][:, :sq, :dv].reshape(b, hq, sq, dv)
+    if return_lse:
+        lse = outs[1][:, :sq, 0].reshape(b, hq, sq)
+        return o, lse
+    return o
+
+
+def flash_decode(
+    q,
+    k,
+    v,
+    *,
+    kv_seq_len=None,
+    num_splits: int = 8,
+    scale: float | None = None,
+    k_scale=None,
+    v_scale=None,
+    config: AttentionConfig | None = None,
+    out_dtype=None,
+    interpret: bool | None = None,
+):
+    """Split-KV flash-decoding for short-Q / long-KV (decode) shapes.
+
+    CK analog: fmha_fwd_splitkv_kernel.hpp + fmha_fwd_splitkv_combine_kernel
+    (:76-141 — partial O and LSE per split, then a log-sum-exp combine).
+    The KV sequence is partitioned into ``num_splits`` chunks processed as
+    independent attention problems (extra parallelism when B*H is small);
+    the combine is a tiny jnp log-sum-exp reduction that XLA fuses.
+
+    q: [B, Hq, Sq, D] (Sq small); k, v: [B, Hkv, Sk, D].
+    """
+    b, hq, sq, d = q.shape
+    _, hkv, sk, dv = v.shape
+    if scale is None:
+        scale = float(1.0 / jnp.sqrt(jnp.float32(d)))
+    if kv_seq_len is None:
+        kv_seq_len = jnp.full((b,), sk, jnp.int32)
+    cfg = config or AttentionConfig()
+    num_splits = max(1, min(num_splits, -(-sk // max(cfg.block_k, 128))))
+    if num_splits == 1 or sk % num_splits != 0:
+        return flash_attention(
+            q, k, v, scale=scale, causal=False, kv_seq_len=kv_seq_len,
+            k_scale=k_scale, v_scale=v_scale, config=cfg,
+            out_dtype=out_dtype, interpret=interpret,
+        )
+
+    chunk = sk // num_splits
+    # [B, Hkv, S, D] -> [B*splits, Hkv, chunk, D]: fold splits into batch
+    ks = k.reshape(b, hkv, num_splits, chunk, d).transpose(0, 2, 1, 3, 4)
+    ks = ks.reshape(b * num_splits, hkv, chunk, d)
+    vs = v.reshape(b, hkv, num_splits, chunk, dv).transpose(0, 2, 1, 3, 4)
+    vs = vs.reshape(b * num_splits, hkv, chunk, dv)
+    qs = jnp.broadcast_to(q[:, None], (b, num_splits, hq, sq, d))
+    qs = qs.reshape(b * num_splits, hq, sq, d)
+    # per-split kv lengths: split i covers [i*chunk, (i+1)*chunk)
+    starts = jnp.arange(num_splits, dtype=jnp.int32)[None, :] * chunk
+    lens = jnp.clip(kv_seq_len[:, None] - starts, 0, chunk).reshape(-1)
+    sc = lambda s: (
+        None if s is None
+        else jnp.broadcast_to(s[:, None], (b, num_splits, hkv)).reshape(-1, hkv)
+    )
+
+    o, lse = flash_attention(
+        qs, ks, vs, scale=scale, causal=False, kv_seq_len=lens,
+        k_scale=sc(k_scale), v_scale=sc(v_scale), config=cfg,
+        return_lse=True, out_dtype=jnp.float32, interpret=interpret,
+    )
+    o = o.reshape(b, num_splits, hq, sq, dv)
+    lse = lse.reshape(b, num_splits, hq, sq)
+
+    # log-sum-exp combine over splits (the "combine kernel")
+    m = jnp.max(lse, axis=1, keepdims=True)
+    m = jnp.where(m > _NEG_INF / 2, m, 0.0)
+    w = jnp.exp(lse - m)
+    denom = jnp.sum(w, axis=1, keepdims=True)
+    o = jnp.sum(o * w[..., None], axis=1) / jnp.maximum(denom[..., None], 1e-30)[:, 0]
+    return o.astype(out_dtype or q.dtype)

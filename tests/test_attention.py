@@ -1,0 +1,163 @@
+"""S3 tests: flash attention fwd, masks, GQA, varlen, split-KV, int8 KV.
+
+Reference-comparison strategy per SURVEY.md §4; masking parity with CK
+MaskingSpecialization + ck_tile block_masking; split-KV combine parity with
+fmha_fwd_splitkv_combine_kernel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composable_kernel_tpu.ops.attention import (
+    AttentionConfig,
+    flash_attention,
+    flash_decode,
+)
+from composable_kernel_tpu.reference.attention import ref_attention
+from composable_kernel_tpu.utils.check_err import check_err
+
+KEYS = jax.random.split(jax.random.PRNGKey(7), 8)
+
+
+def _qkv(b, hq, hkv, sq, sk, d, dtype=jnp.bfloat16):
+    q = jax.random.normal(KEYS[0], (b, hq, sq, d), jnp.float32).astype(dtype)
+    k = jax.random.normal(KEYS[1], (b, hkv, sk, d), jnp.float32).astype(dtype)
+    v = jax.random.normal(KEYS[2], (b, hkv, sk, d), jnp.float32).astype(dtype)
+    return q, k, v
+
+
+# attention outputs accumulate across long softmax reductions; bf16 CK
+# tolerance (1e-3 rel) with a small atol floor for near-zero outputs
+TOL = dict(rtol=2e-2, atol=2e-2)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("sq,sk", [(128, 128), (256, 512), (100, 257)])
+    def test_plain(self, sq, sk):
+        q, k, v = _qkv(2, 4, 4, sq, sk, 64)
+        got = flash_attention(q, k, v)
+        want = ref_attention(q, k, v)
+        check_err(got, want, **TOL)
+
+    def test_causal(self):
+        q, k, v = _qkv(1, 2, 2, 256, 256, 64)
+        got = flash_attention(q, k, v, causal=True)
+        want = ref_attention(q, k, v, causal=True)
+        check_err(got, want, **TOL)
+
+    def test_causal_decode_alignment(self):
+        # bottom-right alignment: Sq < Sk (decode with prior KV)
+        q, k, v = _qkv(1, 2, 2, 16, 512, 64)
+        got = flash_attention(q, k, v, causal=True)
+        want = ref_attention(q, k, v, causal=True)
+        check_err(got, want, **TOL)
+
+    def test_sliding_window(self):
+        q, k, v = _qkv(1, 2, 2, 256, 256, 64)
+        got = flash_attention(q, k, v, causal=True, window=64)
+        want = ref_attention(q, k, v, causal=True, window=64)
+        check_err(got, want, **TOL)
+
+    def test_gqa(self):
+        q, k, v = _qkv(2, 8, 2, 128, 256, 64)
+        got = flash_attention(q, k, v, causal=True)
+        want = ref_attention(q, k, v, causal=True)
+        check_err(got, want, **TOL)
+
+    def test_mqa(self):
+        q, k, v = _qkv(1, 8, 1, 128, 128, 64)
+        got = flash_attention(q, k, v)
+        want = ref_attention(q, k, v)
+        check_err(got, want, **TOL)
+
+    def test_bias(self):
+        b, h, sq, sk, d = 1, 2, 128, 128, 64
+        q, k, v = _qkv(b, h, h, sq, sk, d)
+        bias = jax.random.normal(KEYS[3], (b, h, sq, sk), jnp.float32)
+        got = flash_attention(q, k, v, bias=bias)
+        want = ref_attention(q, k, v, bias=bias)
+        check_err(got, want, **TOL)
+
+    def test_varlen(self):
+        # ragged batch via kv_seq_len (ck_tile group-mode analog)
+        q, k, v = _qkv(3, 2, 2, 64, 512, 64)
+        lens = jnp.asarray([512, 200, 37], jnp.int32)
+        got = flash_attention(q, k, v, kv_seq_len=lens)
+        want = ref_attention(q, k, v, kv_seq_len=lens)
+        check_err(got, want, **TOL)
+
+    def test_head_dim_not_128(self):
+        q, k, v = _qkv(1, 2, 2, 128, 128, 80)
+        got = flash_attention(q, k, v)
+        want = ref_attention(q, k, v)
+        check_err(got, want, **TOL)
+
+    def test_block_configs(self):
+        q, k, v = _qkv(1, 2, 2, 512, 512, 64)
+        want = ref_attention(q, k, v, causal=True)
+        for cfg in [AttentionConfig(128, 128), AttentionConfig(256, 512)]:
+            got = flash_attention(q, k, v, causal=True, config=cfg)
+            check_err(got, want, **TOL)
+
+    def test_lse(self):
+        q, k, v = _qkv(1, 2, 2, 128, 256, 64)
+        _, lse = flash_attention(q, k, v, return_lse=True)
+        # reference LSE
+        scale = 1.0 / np.sqrt(64)
+        s = scale * jnp.einsum(
+            "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+        )
+        want = jax.scipy.special.logsumexp(s, axis=-1)
+        check_err(lse, want, rtol=1e-2, atol=1e-2)
+
+
+class TestFlashDecode:
+    @pytest.mark.parametrize("num_splits", [1, 4, 8])
+    def test_splits(self, num_splits):
+        q, k, v = _qkv(2, 8, 2, 1, 2048, 64)
+        got = flash_decode(q, k, v, num_splits=num_splits)
+        want = ref_attention(q, k, v)
+        check_err(got, want, **TOL)
+
+    def test_varlen_decode(self):
+        q, k, v = _qkv(2, 4, 4, 1, 1024, 64)
+        lens = jnp.asarray([700, 129], jnp.int32)
+        got = flash_decode(q, k, v, kv_seq_len=lens, num_splits=4)
+        want = ref_attention(q, k, v, kv_seq_len=lens)
+        check_err(got, want, **TOL)
+
+
+class TestInt8KV:
+    def _quant_kv(self, k, v):
+        # per-head symmetric int8 (the int8-KV-cache config in BASELINE.json)
+        def q8(x):
+            absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(2, 3))
+            s = jnp.maximum(absmax / 127.0, 1e-8)
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / s[:, :, None, None]), -127, 127
+            ).astype(jnp.int8)
+            return xq, s
+
+        kq, ks = q8(k)
+        vq, vs = q8(v)
+        return kq, ks, vq, vs
+
+    def test_int8_kv(self):
+        q, k, v = _qkv(2, 4, 4, 64, 512, 64)
+        kq, ks, vq, vs = self._quant_kv(k, v)
+        got = flash_attention(q, kq, vq, k_scale=ks, v_scale=vs, causal=True)
+        k_dq = (kq.astype(jnp.float32) * ks[:, :, None, None]).astype(jnp.bfloat16)
+        v_dq = (vq.astype(jnp.float32) * vs[:, :, None, None]).astype(jnp.bfloat16)
+        want = ref_attention(q, k_dq, v_dq, causal=True)
+        check_err(got, want, rtol=3e-2, atol=3e-2)
+
+    def test_int8_kv_decode(self):
+        q, k, v = _qkv(1, 8, 2, 1, 1024, 64)
+        kq, ks, vq, vs = self._quant_kv(k, v)
+        got = flash_decode(q, kq, vq, k_scale=ks, v_scale=vs, num_splits=4)
+        k_dq = (kq.astype(jnp.float32) * ks[:, :, None, None]).astype(jnp.bfloat16)
+        v_dq = (vq.astype(jnp.float32) * vs[:, :, None, None]).astype(jnp.bfloat16)
+        want = ref_attention(q, k_dq, v_dq)
+        check_err(got, want, rtol=3e-2, atol=3e-2)
