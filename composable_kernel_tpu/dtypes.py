@@ -65,38 +65,51 @@ def short_name(dtype) -> str:
 # --------------------------------------------------------------------------
 
 
-def pack_int4(w: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+def pack_int4(w: jnp.ndarray, axis: int = 0, blocks: int = 1) -> jnp.ndarray:
     """Pack an int4-valued int8 array two-per-byte along ``axis``.
 
-    ``w`` must contain values in [-8, 7]. Element ``k`` of the axis is packed
-    with element ``k + K/2`` (split-halves layout, see module docstring).
+    ``w`` must contain values in [-8, 7]. With ``blocks=1``, element ``k``
+    of the axis is packed with element ``k + K/2`` (split-halves layout, see
+    module docstring). With ``blocks=B``, the axis is divided into B equal
+    row-blocks packed *independently* — the tensor-parallel layout: sharding
+    the packed axis over B devices gives each shard a self-contained
+    split-halves matrix for its contiguous K range.
     Returns an int8 array whose ``axis`` length is halved.
     """
     w = jnp.asarray(w, jnp.int8)
     k = w.shape[axis]
-    if k % 2 != 0:
-        raise ValueError(f"pack axis length must be even, got {k}")
+    if k % (2 * blocks) != 0:
+        raise ValueError(f"axis length {k} must divide into {blocks} even blocks")
+    if blocks > 1:
+        chunks = jnp.split(w, blocks, axis=axis)
+        return jnp.concatenate([pack_int4(c, axis) for c in chunks], axis=axis)
     lo = jnp.take(w, jnp.arange(k // 2), axis=axis)
     hi = jnp.take(w, jnp.arange(k // 2, k), axis=axis)
     return ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
 
 
-def unpack_int4(packed: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+def unpack_int4(packed: jnp.ndarray, axis: int = 0, blocks: int = 1) -> jnp.ndarray:
     """Inverse of :func:`pack_int4`: int8 packed → int8 values in [-8, 7].
 
     This is the *reference* unpack; Pallas kernels inline the same two-shift
     sequence on VMEM tiles.
     """
     packed = jnp.asarray(packed, jnp.int8)
+    if blocks > 1:
+        chunks = jnp.split(packed, blocks, axis=axis)
+        return jnp.concatenate([unpack_int4(c, axis) for c in chunks], axis=axis)
     # low nibble: shift left then arithmetic-shift right to sign-extend.
     lo = ((packed << 4).astype(jnp.int8) >> 4).astype(jnp.int8)
     hi = (packed >> 4).astype(jnp.int8)  # arithmetic shift on int8
     return jnp.concatenate([lo, hi], axis=axis)
 
 
-def unpack_int4_np(packed: np.ndarray, axis: int = 0) -> np.ndarray:
+def unpack_int4_np(packed: np.ndarray, axis: int = 0, blocks: int = 1) -> np.ndarray:
     """NumPy twin of :func:`unpack_int4` for host-side checks."""
     packed = packed.astype(np.int8)
+    if blocks > 1:
+        chunks = np.split(packed, blocks, axis=axis)
+        return np.concatenate([unpack_int4_np(c, axis) for c in chunks], axis=axis)
     lo = ((packed << 4).astype(np.int8) >> 4).astype(np.int8)
     hi = (packed >> 4).astype(np.int8)
     return np.concatenate([lo, hi], axis=axis)

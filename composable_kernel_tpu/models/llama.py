@@ -1,0 +1,418 @@
+"""Llama-family model built on the quantized kernel stack.
+
+The S4 end-to-end slice (SURVEY.md §7): a Llama-3-class decoder wired from
+
+  - S2 weight-only quantized GEMMs (``ops.quant.wo_quant_gemm`` — W4A16
+    group-wise / W8A16 per-channel, dequant fused pre-MXU),
+  - S3 flash attention (prefill) + split-KV flash decode, int8 KV option,
+  - jnp RMSNorm / rotary / SwiGLU (XLA fuses these into neighbors).
+
+The reference has no model zoo (CK is a kernel library consumed by e.g.
+MIGraphX); this module plays the role of CK's ``client_example`` layer — the
+proof that the operator surface composes into a real workload — and is the
+BASELINE.json Llama-3-8B W4A16 north-star vehicle.
+
+Tensor-parallel convention (supplied natively; absent in the reference —
+SURVEY.md §2.6): when ``tp_axis`` is set the module expects to run inside
+``shard_map`` with weights pre-sharded column-wise (q/k/v/gate/up: N dim)
+or row-wise (o/down: K dim), and inserts one ``lax.psum`` after each
+row-parallel matmul — the Megatron split on XLA collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from composable_kernel_tpu import dtypes
+from composable_kernel_tpu.ops.attention import flash_attention, flash_decode
+from composable_kernel_tpu.ops.gemm.api import gemm as pallas_gemm_api
+from composable_kernel_tpu.ops.quant import wo_quant_gemm
+from composable_kernel_tpu.reference.quant import (
+    ref_quantize_group,
+    ref_quantize_per_channel,
+)
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    ffn_dim: int = 14336
+    vocab_size: int = 128256
+    norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    max_seq_len: int = 8192
+    # "bf16" | "int8" (per-channel W8A16) | "w4a16" (group-wise packed int4)
+    quant: str = "w4a16"
+    group_size: int = 128
+    # int4 pack segmentation for row-parallel weights (wo/w_down): pack in
+    # tp_pack independent K blocks so a tp_pack-way shard of the packed rows
+    # hands each device a self-contained split-halves matrix. 1 = no TP.
+    tp_pack: int = 1
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def llama3_8b(**kw) -> LlamaConfig:
+    return LlamaConfig(**kw)
+
+
+def tiny_config(**kw) -> LlamaConfig:
+    """Test-sized config (CI / dryrun)."""
+    base = dict(
+        dim=256, n_layers=2, n_heads=8, n_kv_heads=4, ffn_dim=512,
+        vocab_size=512, max_seq_len=256, group_size=64,
+    )
+    base.update(kw)
+    return LlamaConfig(**base)
+
+
+# ---------------------------------------------------------------- weights ---
+
+
+def init_weights(cfg: LlamaConfig, key) -> dict:
+    """Random bf16 weights (testing / benchmarking without a checkpoint)."""
+    d, f, v = cfg.dim, cfg.ffn_dim, cfg.vocab_size
+    hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    keys = iter(jax.random.split(key, cfg.n_layers * 7 + 3))
+    std = d ** -0.5
+
+    def mat(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(cfg.jdtype)
+
+    layers = []
+    for _ in range(cfg.n_layers):
+        layers.append(
+            {
+                "attn_norm": jnp.ones((d,), cfg.jdtype),
+                "wq": mat(next(keys), (d, nh * hd)),
+                "wk": mat(next(keys), (d, nkv * hd)),
+                "wv": mat(next(keys), (d, nkv * hd)),
+                "wo": mat(next(keys), (nh * hd, d)),
+                "ffn_norm": jnp.ones((d,), cfg.jdtype),
+                "w_gate": mat(next(keys), (d, f)),
+                "w_up": mat(next(keys), (d, f)),
+                "w_down": mat(next(keys), (f, d)),
+            }
+        )
+    return {
+        "embed": mat(next(keys), (v, d)),
+        "layers": layers,
+        "norm": jnp.ones((d,), cfg.jdtype),
+        "lm_head": mat(next(keys), (d, v)),
+    }
+
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+#: row-parallel (K-sharded) linears under TP — need segmented int4 packing
+_ROW_PARALLEL = ("wo", "w_down")
+
+
+def quantize_weights(params: dict, cfg: LlamaConfig) -> dict:
+    """bf16 params -> quantized per ``cfg.quant``.
+
+    w4a16: symmetric int4, group ``cfg.group_size`` along K, packed
+    two-per-byte (dtypes.pack_int4 split-halves). int8: per-channel.
+    Linear leaves become {"q": packed int8, "s": f32 scales}.
+    """
+    if cfg.quant == "bf16":
+        return params
+
+    def quant_one(w, row_parallel=False):
+        if cfg.quant == "int8":
+            w_q, s = ref_quantize_per_channel(w, bits=8)
+            return {"q": w_q, "s": s}
+        if cfg.quant == "w4a16":
+            w_q, s = ref_quantize_group(w, group_size=cfg.group_size, bits=4)
+            blocks = cfg.tp_pack if row_parallel else 1
+            return {"q": dtypes.pack_int4(w_q, axis=0, blocks=blocks), "s": s}
+        raise ValueError(cfg.quant)
+
+    out = dict(params)
+    out["layers"] = [
+        {
+            k: (
+                quant_one(v, row_parallel=k in _ROW_PARALLEL)
+                if k in _QUANT_KEYS
+                else v
+            )
+            for k, v in layer.items()
+        }
+        for layer in params["layers"]
+    ]
+    out["lm_head"] = quant_one(params["lm_head"])
+    return out
+
+
+# ------------------------------------------------------------------ layers ---
+
+
+def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None):
+    """2D x [T, K] @ weight — dispatches on quantization mode.
+
+    ``kernels=False`` switches to the pure-jnp reference path (differentiable
+    — the training-step route; flash kernels get a custom VJP in a later
+    stage), numerically matching the kernel per the S0 reference contract.
+    ``global_k``: unsharded K of a row-parallel weight — used to derive the
+    local int4 pack segmentation (under TP each shard holds a self-contained
+    sub-pack, so local blocks = tp_pack * K_local / K_global).
+    """
+    if isinstance(w, dict):
+        pack_blocks = 1
+        if cfg.quant == "w4a16" and global_k is not None:
+            pack_blocks = max(1, cfg.tp_pack * x.shape[-1] // global_k)
+        if not kernels:
+            from composable_kernel_tpu.reference.quant import ref_dequant_gemm
+
+            if cfg.quant == "int8":
+                return ref_dequant_gemm(x, w["q"], w["s"])
+            return ref_dequant_gemm(
+                x, w["q"], w["s"], group_size=cfg.group_size, packed_int4=True,
+                pack_blocks=pack_blocks,
+            )
+        if cfg.quant == "int8":
+            return wo_quant_gemm(x, w["q"], w["s"], interpret=interpret)
+        return wo_quant_gemm(
+            x, w["q"], w["s"], group_size=cfg.group_size, packed_int4=True,
+            pack_blocks=pack_blocks, interpret=interpret,
+        )
+    if not kernels:
+        return jnp.matmul(
+            x, w, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    return pallas_gemm_api(x, w, interpret=interpret)
+
+
+def rmsnorm(x, gamma, eps):
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(ms + eps) * gamma.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_cos_sin(positions, head_dim, theta):
+    """positions [..] int -> (cos, sin) [.., head_dim/2] f32."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x, cos, sin):
+    """x [B, H, S, D]; cos/sin [S, D/2] (or broadcastable). Rotate-half form."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    cos = cos[None, None]
+    sin = sin[None, None]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _attn_block(
+    x, layer, cfg: LlamaConfig, cos, sin, *, cache=None, pos=None,
+    kv_seq_len=None, tp_axis=None, interpret=None, kernels=True,
+):
+    """Returns (out [B, S, D_model], updated (k_cache, v_cache) or None).
+
+    Prefill: cache is None -> flash attention over the fresh K/V (causal).
+    Decode: cache = (k_cache, v_cache) [B, Hkv, max_seq, hd]; new K/V written
+    at ``pos`` and split-KV flash decode runs over the cache.
+    """
+    b, s, _ = x.shape
+    hd = cfg.head_dim
+
+    x2 = x.reshape(b * s, -1)
+    q = _linear(x2, layer["wq"], cfg, interpret, kernels)
+    k = _linear(x2, layer["wk"], cfg, interpret, kernels)
+    v = _linear(x2, layer["wv"], cfg, interpret, kernels)
+    # local head counts derive from the (possibly TP-sharded) weight shapes
+    nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
+    q = q.reshape(b, s, nh, hd)
+    k = k.reshape(b, s, nkv, hd)
+    v = v.reshape(b, s, nkv, hd)
+    q = q.transpose(0, 2, 1, 3)  # [B, H, S, hd]
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache is None:
+        if kernels:
+            o = flash_attention(
+                q, k, v, causal=True, kv_seq_len=kv_seq_len, interpret=interpret
+            )
+        else:
+            from composable_kernel_tpu.reference.attention import ref_attention
+
+            o = ref_attention(q, k, v, causal=True, kv_seq_len=kv_seq_len)
+        new_cache = (k, v)
+    else:
+        k_cache, v_cache = cache
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, pos, 0))
+        lens = jnp.full((b,), pos + s, jnp.int32) if kv_seq_len is None else kv_seq_len
+        if kernels:
+            o = flash_decode(
+                q, k_cache, v_cache, kv_seq_len=lens, interpret=interpret
+            )
+        else:
+            from composable_kernel_tpu.reference.attention import ref_attention
+
+            o = ref_attention(q, k_cache, v_cache, kv_seq_len=lens)
+        new_cache = (k_cache, v_cache)
+
+    o = o.transpose(0, 2, 1, 3).reshape(b * s, nh * hd)
+    o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
+    if tp_axis is not None:
+        o = jax.lax.psum(o, tp_axis)  # row-parallel output projection
+    return o.reshape(b, s, -1), new_cache
+
+
+def _ffn_block(x, layer, cfg: LlamaConfig, *, tp_axis=None, interpret=None, kernels=True):
+    b, s, d = x.shape
+    x2 = x.reshape(b * s, d)
+    g = _linear(x2, layer["w_gate"], cfg, interpret, kernels)
+    u = _linear(x2, layer["w_up"], cfg, interpret, kernels)
+    h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
+    o = _linear(h, layer["w_down"], cfg, interpret, kernels, global_k=cfg.ffn_dim)
+    if tp_axis is not None:
+        o = jax.lax.psum(o, tp_axis)  # row-parallel down projection
+    return o.reshape(b, s, d)
+
+
+# ----------------------------------------------------------------- forward ---
+
+
+def forward(
+    params,
+    tokens,
+    cfg: LlamaConfig,
+    *,
+    kv_seq_len=None,
+    tp_axis=None,
+    interpret=None,
+    kernels: bool = True,
+    return_cache: bool = False,
+):
+    """Prefill forward: tokens [B, S] int32 -> logits [B, S, V].
+
+    ``return_cache``: also return per-layer (K, V) lists for decode seeding.
+    """
+    b, s = tokens.shape
+    x = jnp.take(params["embed"], tokens, axis=0)
+    positions = jnp.arange(s)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    caches = []
+    for layer in params["layers"]:
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+        attn_out, kv = _attn_block(
+            h, layer, cfg, cos, sin, kv_seq_len=kv_seq_len, tp_axis=tp_axis,
+            interpret=interpret, kernels=kernels,
+        )
+        x = x + attn_out
+        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps)
+        x = x + _ffn_block(
+            h, layer, cfg, tp_axis=tp_axis, interpret=interpret, kernels=kernels
+        )
+        if return_cache:
+            caches.append(kv)
+
+    x = rmsnorm(x, params["norm"], cfg.norm_eps)
+    logits = _linear(x.reshape(b * s, -1), params["lm_head"], cfg, interpret, kernels)
+    logits = logits.reshape(b, s, -1)
+    if return_cache:
+        return logits, caches
+    return logits
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, *, n_kv_heads=None, dtype=None):
+    """[n_layers] list of (K, V) [B, Hkv, max_seq, hd] zero caches."""
+    nkv = n_kv_heads or cfg.n_kv_heads
+    shape = (batch, nkv, cfg.max_seq_len, cfg.head_dim)
+    dt = dtype or cfg.jdtype
+    return [
+        (jnp.zeros(shape, dt), jnp.zeros(shape, dt)) for _ in range(cfg.n_layers)
+    ]
+
+
+def decode_step(
+    params,
+    cache,
+    tokens,
+    pos,
+    cfg: LlamaConfig,
+    *,
+    tp_axis=None,
+    interpret=None,
+    kernels: bool = True,
+):
+    """One decode step: tokens [B, 1] at position ``pos`` (traced scalar ok).
+
+    Returns (logits [B, 1, V], updated cache). The cache is functionally
+    updated — donate it under jit for in-place HBM updates.
+    """
+    b, s = tokens.shape
+    x = jnp.take(params["embed"], tokens, axis=0)
+    positions = pos + jnp.arange(s)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    new_cache = []
+    for layer, kv in zip(params["layers"], cache):
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+        attn_out, kv = _attn_block(
+            h, layer, cfg, cos, sin, cache=kv, pos=pos, tp_axis=tp_axis,
+            interpret=interpret, kernels=kernels,
+        )
+        x = x + attn_out
+        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps)
+        x = x + _ffn_block(
+            h, layer, cfg, tp_axis=tp_axis, interpret=interpret, kernels=kernels
+        )
+        new_cache.append(kv)
+
+    x = rmsnorm(x, params["norm"], cfg.norm_eps)
+    logits = _linear(x.reshape(b * s, -1), params["lm_head"], cfg, interpret, kernels)
+    return logits.reshape(b, s, -1), new_cache
+
+
+def generate_greedy(params, prompt, n_steps, cfg: LlamaConfig, *, interpret=None):
+    """Greedy decoding demo: prompt [B, S] -> [B, S + n_steps].
+
+    Prefill seeds the cache, then ``n_steps`` single-token decode steps.
+    """
+    b, s = prompt.shape
+    logits, seeds = forward(params, prompt, cfg, interpret=interpret, return_cache=True)
+    cache = init_kv_cache(cfg, b)
+    seeded = []
+    for (kc, vc), (k, v) in zip(cache, seeds):
+        kc = jax.lax.dynamic_update_slice(kc, k, (0, 0, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v, (0, 0, 0, 0))
+        seeded.append((kc, vc))
+    cache = seeded
+
+    tokens = prompt
+    next_tok = jnp.argmax(logits[:, -1:], axis=-1).astype(prompt.dtype)
+    for i in range(n_steps):
+        tokens = jnp.concatenate([tokens, next_tok], axis=1)
+        if i == n_steps - 1:
+            break
+        logits, cache = decode_step(
+            params, cache, next_tok, s + i, cfg, interpret=interpret
+        )
+        next_tok = jnp.argmax(logits[:, -1:], axis=-1).astype(prompt.dtype)
+    return tokens

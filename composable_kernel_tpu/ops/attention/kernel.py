@@ -28,6 +28,7 @@ LDS double-buffering).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -170,7 +171,7 @@ def flash_attention(
     assert hq % hkv == 0
     group = hq // hkv
     if scale is None:
-        scale = float(1.0 / jnp.sqrt(jnp.float32(d)))
+        scale = 1.0 / math.sqrt(d)
     if interpret is None:
         interpret = _interpret_default()
     if out_dtype is None:
@@ -322,7 +323,7 @@ def flash_decode(
     b, hq, sq, d = q.shape
     _, hkv, sk, dv = v.shape
     if scale is None:
-        scale = float(1.0 / jnp.sqrt(jnp.float32(d)))
+        scale = 1.0 / math.sqrt(d)
     if kv_seq_len is None:
         kv_seq_len = jnp.full((b,), sk, jnp.int32)
     cfg = config or AttentionConfig()

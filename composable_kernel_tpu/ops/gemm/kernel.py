@@ -123,7 +123,7 @@ def pallas_gemm(
     k2, n = b.shape
     assert k == k2, f"inner dims mismatch {k} vs {k2}"
     if out_dtype is None:
-        out_dtype = a.dtype if jnp.dtype(a.dtype).kind == "f" else jnp.int32
+        out_dtype = a.dtype if jnp.issubdtype(a.dtype, jnp.floating) else jnp.int32
     if interpret is None:
         interpret = _interpret_default()
     acc_dtype = _acc_dtype(a.dtype, b.dtype)

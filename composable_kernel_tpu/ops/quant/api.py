@@ -38,6 +38,7 @@ def wo_quant_gemm(
     *,
     group_size: int | None = None,
     packed_int4: bool = False,
+    pack_blocks: int = 1,
     c_op=None,
     out_dtype=None,
     config: GemmConfig | None = None,
@@ -61,7 +62,8 @@ def wo_quant_gemm(
                 cfgs,
                 lambda cfg: dequant_gemm(
                     a, b_q, scales, ds, group_size=group_size,
-                    packed_int4=packed_int4, config=cfg, c_op=c_op,
+                    packed_int4=packed_int4, pack_blocks=pack_blocks,
+                    config=cfg, c_op=c_op,
                     out_dtype=out_dtype, interpret=interpret,
                 ),
                 flops=2.0 * m * n * k,
@@ -70,7 +72,8 @@ def wo_quant_gemm(
             config = _heuristic_config(m, n, k)
     return dequant_gemm(
         a, b_q, scales, ds,
-        group_size=group_size, packed_int4=packed_int4, config=config,
+        group_size=group_size, packed_int4=packed_int4,
+        pack_blocks=pack_blocks, config=config,
         c_op=c_op, out_dtype=out_dtype, interpret=interpret,
     )
 

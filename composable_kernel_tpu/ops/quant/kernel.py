@@ -172,6 +172,7 @@ def dequant_gemm(
     *,
     group_size: int | None = None,
     packed_int4: bool = False,
+    pack_blocks: int = 1,
     config: GemmConfig | None = None,
     c_op=None,
     out_dtype=None,
@@ -181,7 +182,8 @@ def dequant_gemm(
 
     a:      [M, K] fp32/bf16/fp16 activations
     b_q:    [K, N] int8, or [K//2, N] int8 holding packed int4 pairs
-            (``dtypes.pack_int4`` split-halves layout) when ``packed_int4``
+            (``dtypes.pack_int4`` split-halves layout; ``pack_blocks`` > 1
+            for the TP row-block layout) when ``packed_int4``
     scales: [N] f32 per-channel, or [K//group_size, N] f32 group-wise
     ds:     extra epilogue operands ([M, N] or [N]), per CK multiple-D
     """
@@ -220,15 +222,17 @@ def dequant_gemm(
             bk = group_size  # keep one-scale-row-per-tile the common case
     half_k = k // 2 if packed_int4 else None
     if packed_int4:
-        bpk = min(bk // 2 if bk // 2 >= 128 else bk, half_k)
+        assert k % (2 * pack_blocks) == 0
+        half_seg = k // (2 * pack_blocks)  # packed rows per segment
+        bpk = min(bk // 2 if bk // 2 >= 128 else bk, half_seg)
         if not per_channel:
             if bpk >= group_size:
                 bpk = (bpk // group_size) * group_size
             else:
                 bpk = group_size
-        bpk = min(bpk, half_k)
-        assert half_k % bpk == 0, (
-            f"packed half-K {half_k} must be divisible by packed block {bpk}"
+        bpk = min(bpk, half_seg)
+        assert half_seg % bpk == 0, (
+            f"packed segment {half_seg} must be divisible by packed block {bpk}"
         )
         n_k_steps = half_k // bpk
     else:
@@ -262,13 +266,24 @@ def dequant_gemm(
         s_p = pad_to(scales, (None, bn))
         blk = bpk if packed_int4 else bk
         s_rows = max(1, blk // gsz)
-        lo_starts = [(i * blk) // gsz for i in range(n_k_steps)]
-        s_lo, srb = _expand_group_scales(s_p, lo_starts, s_rows)
         if packed_int4:
-            hi0 = half_k // gsz
-            hi_starts = [hi0 + (i * bpk) // gsz for i in range(n_k_steps)]
-            s_hi, _ = _expand_group_scales(s_p, hi_starts, s_rows)
+            # logical row starts for each step's lo/hi nibbles, honoring the
+            # segmented (tensor-parallel) pack layout
+            lo_rows, hi_rows = [], []
+            for i in range(n_k_steps):
+                p0 = i * bpk
+                seg, off = p0 // half_seg, p0 % half_seg
+                lo_rows.append(seg * 2 * half_seg + off)
+                hi_rows.append(seg * 2 * half_seg + half_seg + off)
+            s_lo, srb = _expand_group_scales(
+                s_p, [r // gsz for r in lo_rows], s_rows
+            )
+            s_hi, _ = _expand_group_scales(
+                s_p, [r // gsz for r in hi_rows], s_rows
+            )
         else:
+            lo_starts = [(i * blk) // gsz for i in range(n_k_steps)]
+            s_lo, srb = _expand_group_scales(s_p, lo_starts, s_rows)
             s_hi = s_lo
         scale_spec = pl.BlockSpec(
             (srb, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
@@ -330,7 +345,6 @@ def dequant_gemm(
             interpret=interpret,
         )(a_p, b_p, s_lo, *ds_p)
     else:
-        n_pk_blocks = half_k // bpk
         kernel = functools.partial(
             _kernel_i4,
             n_ds=len(ds_p), acc_dtype=acc_dtype, c_op=c_op, n_k_steps=n_k_steps,
@@ -344,12 +358,24 @@ def dequant_gemm(
                 num_scalar_prefetch=0,
                 grid=grid,
                 in_specs=[
-                    # A low-half columns [kk*bpk, ...)
-                    pl.BlockSpec((bm, bpk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
-                    # A high-half columns [K/2 + kk*bpk, ...)
+                    # A columns for the step's lo nibbles: segment-aware
                     pl.BlockSpec(
                         (bm, bpk),
-                        lambda i, j, kk: (i, n_pk_blocks + kk),
+                        lambda i, j, kk: (
+                            i,
+                            ((kk * bpk) // half_seg) * (2 * half_seg) // bpk
+                            + ((kk * bpk) % half_seg) // bpk,
+                        ),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    # A columns for the hi nibbles: + half_seg within segment
+                    pl.BlockSpec(
+                        (bm, bpk),
+                        lambda i, j, kk: (
+                            i,
+                            ((kk * bpk) // half_seg) * (2 * half_seg) // bpk
+                            + (half_seg + (kk * bpk) % half_seg) // bpk,
+                        ),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec((bpk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),

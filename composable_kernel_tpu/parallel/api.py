@@ -1,0 +1,181 @@
+"""Multi-device parallelism: mesh, TP sharding, shard_map wrappers.
+
+The reference has NO distributed layer (SURVEY.md §2.6: CK is single-GPU;
+its whole execution context is one hipStream). This module is the
+TPU-native addition the north star requires: a ``jax.sharding.Mesh`` over
+ICI/DCN, Megatron-style tensor parallelism for the Llama stack, and data
+parallelism — all via ``shard_map`` so the Pallas kernels run per-shard
+with XLA collectives (psum over ICI) stitching the results.
+
+Sharding plan (the "How to Scale Your Model" TP recipe):
+
+  - wq/wk/wv, w_gate/w_up : column-parallel (output dim sharded on 'tp')
+  - wo, w_down            : row-parallel (input dim sharded; psum after)
+  - embed / norms / lm_head: replicated
+  - activations           : batch on 'dp', replicated on 'tp'
+  - KV cache              : heads on 'tp', batch on 'dp'
+
+Quantized leaves ({"q": ..., "s": ...}) shard with their weight: packed
+int4 along K shards the packed rows AND the group-scale rows for the
+row-parallel case, and shards N for scales in the column-parallel case.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from composable_kernel_tpu.models import llama
+
+
+def make_mesh(tp: int = 1, dp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, tp) mesh. tp should map to the ICI-adjacent axis."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= tp * dp, (len(devices), tp, dp)
+    import numpy as np
+
+    arr = np.array(devices[: tp * dp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+# --------------------------------------------------------- sharding specs ---
+
+
+def param_specs(params, cfg: llama.LlamaConfig):
+    """PartitionSpec pytree matching ``params`` for the TP plan above."""
+
+    def w_spec(w, col: bool):
+        if isinstance(w, dict):  # quantized {"q","s"}
+            if col:
+                s_spec = P("tp") if w["s"].ndim == 1 else P(None, "tp")
+                return {"q": P(None, "tp"), "s": s_spec}
+            # row-parallel: packed K rows shard on tp; group scales [G, N]
+            # shard G (per-channel [N] scales replicate)
+            s_spec = P() if w["s"].ndim == 1 else P("tp", None)
+            return {"q": P("tp", None), "s": s_spec}
+        return P(None, "tp") if col else P("tp", None)
+
+    layer_spec = lambda layer: {
+        "attn_norm": P(),
+        "ffn_norm": P(),
+        "wq": w_spec(layer["wq"], True),
+        "wk": w_spec(layer["wk"], True),
+        "wv": w_spec(layer["wv"], True),
+        "wo": w_spec(layer["wo"], False),
+        "w_gate": w_spec(layer["w_gate"], True),
+        "w_up": w_spec(layer["w_up"], True),
+        "w_down": w_spec(layer["w_down"], False),
+    }
+    return {
+        "embed": P(),
+        "layers": [layer_spec(l) for l in params["layers"]],
+        "norm": P(),
+        "lm_head": (
+            {"q": P(), "s": P()} if isinstance(params["lm_head"], dict) else P()
+        ),
+    }
+
+
+def shard_params(params, cfg: llama.LlamaConfig, mesh: Mesh):
+    """Place ``params`` on ``mesh`` with the TP plan (jax.device_put)."""
+    specs = param_specs(params, cfg)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, jnp.ndarray) or hasattr(x, "shape"),
+    )
+
+
+# ----------------------------------------------------- shard_map wrappers ---
+
+
+def tp_forward(params, tokens, cfg: llama.LlamaConfig, mesh: Mesh, *, kernels=True):
+    """TP+DP prefill: logits [B, S, V]. Run under jit for real use."""
+    specs = param_specs(params, cfg)
+
+    fwd = partial(llama.forward, cfg=cfg, tp_axis="tp", kernels=kernels)
+
+    def inner(params, tokens):
+        return fwd(params, tokens)
+
+    return shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(specs, P("dp", None)),
+        out_specs=P("dp", None, None),
+        check_rep=False,
+    )(params, tokens)
+
+
+def tp_decode_step(params, cache, tokens, pos, cfg: llama.LlamaConfig, mesh: Mesh,
+                   *, kernels=True):
+    """TP+DP one-token decode over a head-sharded KV cache."""
+    specs = param_specs(params, cfg)
+    cache_spec = [
+        (P("dp", "tp", None, None), P("dp", "tp", None, None))
+        for _ in range(cfg.n_layers)
+    ]
+
+    def inner(params, cache, tokens, pos):
+        return llama.decode_step(
+            params, cache, tokens, pos[0], cfg, tp_axis="tp", kernels=kernels
+        )
+
+    return shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(specs, cache_spec, P("dp", None), P()),
+        out_specs=(P("dp", None, None), cache_spec),
+        check_rep=False,
+    )(params, cache, tokens, jnp.asarray([pos], jnp.int32))
+
+
+# ------------------------------------------------------------ train step ---
+
+
+def train_step(params, opt_state, tokens, cfg: llama.LlamaConfig, mesh: Mesh,
+               lr: float = 1e-4):
+    """One DP+TP causal-LM training step (SGD) over the mesh.
+
+    Uses the differentiable jnp path (``kernels=False``); the flash/quant
+    kernels are inference-side until their custom VJPs land. Gradients are
+    psum'd over 'dp' inside shard_map; TP weights get per-shard gradients
+    (no cross-tp reduction needed for column/row splits — activations are
+    replicated on 'tp', and the psum in forward handles the row-parallel
+    sum). Returns (params, opt_state, loss).
+    """
+    assert cfg.quant == "bf16", "training runs on unquantized weights"
+    specs = param_specs(params, cfg)
+
+    def loss_fn(p, toks):
+        logits = llama.forward(p, toks[:, :-1], cfg, tp_axis="tp", kernels=False)
+        targets = toks[:, 1:]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)
+        return -jnp.mean(ll)
+
+    def inner(p, opt, toks):
+        loss, grads = jax.value_and_grad(loss_fn)(p, toks)
+        loss = jax.lax.pmean(loss, "dp")
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, "dp"), grads)
+        new_p = jax.tree.map(lambda w, g: w - lr * g.astype(w.dtype), p, grads)
+        new_opt = jax.tree.map(lambda o, g: o + jnp.square(g), opt, grads)
+        return new_p, new_opt, loss
+
+    return shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(specs, specs, P("dp", None)),
+        out_specs=(specs, specs, P()),
+        check_rep=False,
+    )(params, opt_state, tokens)
+
+
+def init_opt_state(params):
+    """Toy accumulator state (grad-norm tracker) matching the params tree."""
+    return jax.tree.map(lambda w: jnp.zeros_like(w, jnp.float32), params)

@@ -40,7 +40,7 @@ def ref_gemm(
     acc = jnp.matmul(lhs, rhs, preferred_element_type=acc_t, precision=_HI)
     out = c_op(acc, *[jnp.asarray(d, jnp.float32) for d in ds])
     if out_dtype is None:
-        out_dtype = a.dtype if jnp.dtype(a.dtype).kind == "f" else jnp.int32
+        out_dtype = a.dtype if jnp.issubdtype(a.dtype, jnp.floating) else jnp.int32
     return out.astype(out_dtype)
 
 
@@ -51,7 +51,7 @@ def ref_batched_gemm(a, b, ds=(), c_op=ep.passthrough, out_dtype=None):
     acc = jnp.matmul(a.astype(cast), b.astype(cast), preferred_element_type=acc_t, precision=_HI)
     out = c_op(acc, *[jnp.asarray(d, jnp.float32) for d in ds])
     if out_dtype is None:
-        out_dtype = a.dtype if jnp.dtype(a.dtype).kind == "f" else jnp.int32
+        out_dtype = a.dtype if jnp.issubdtype(a.dtype, jnp.floating) else jnp.int32
     return out.astype(out_dtype)
 
 

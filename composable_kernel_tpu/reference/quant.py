@@ -27,6 +27,7 @@ def ref_dequant_gemm(
     c_op=ep.passthrough,
     group_size: int | None = None,
     packed_int4: bool = False,
+    pack_blocks: int = 1,
     out_dtype=None,
 ):
     """C = c_op(A @ dequant(B), *Ds).
@@ -36,7 +37,7 @@ def ref_dequant_gemm(
     scales: [N] per-channel, or [K//group_size, N] group-wise
     """
     if packed_int4:
-        b_q = dtypes.unpack_int4(b_q, axis=0)
+        b_q = dtypes.unpack_int4(b_q, axis=0, blocks=pack_blocks)
     k = b_q.shape[0]
     b = b_q.astype(jnp.float32)
     scales = jnp.asarray(scales, jnp.float32)

@@ -1,0 +1,98 @@
+"""S4 tests: Llama model slice — kernel-path parity, decode, quantization.
+
+The model is the client_example-layer proof that S1-S3 kernels compose;
+parity is checked kernel-path vs pure-jnp reference path, and decode-with-
+cache vs full prefill.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composable_kernel_tpu.models import llama
+from composable_kernel_tpu.utils.check_err import check_err
+
+CFG_BF16 = llama.tiny_config(quant="bf16")
+CFG_W4 = llama.tiny_config(quant="w4a16")
+CFG_I8 = llama.tiny_config(quant="int8")
+
+KEY = jax.random.PRNGKey(0)
+PARAMS_BF16 = llama.init_weights(CFG_BF16, KEY)
+TOKENS = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, CFG_BF16.vocab_size)
+
+
+class TestForward:
+    def test_kernel_vs_reference_path(self):
+        # the whole point: Pallas kernel path == jnp reference path
+        got = llama.forward(PARAMS_BF16, TOKENS, CFG_BF16, kernels=True)
+        want = llama.forward(PARAMS_BF16, TOKENS, CFG_BF16, kernels=False)
+        check_err(got, want, rtol=6e-2, atol=6e-2)
+
+    @pytest.mark.parametrize("cfg", [CFG_W4, CFG_I8], ids=["w4a16", "int8"])
+    def test_quantized_paths(self, cfg):
+        qp = llama.quantize_weights(PARAMS_BF16, cfg)
+        got = llama.forward(qp, TOKENS, cfg, kernels=True)
+        want = llama.forward(qp, TOKENS, cfg, kernels=False)
+        check_err(got, want, rtol=6e-2, atol=6e-2)
+
+    def test_quantization_fidelity(self):
+        # quantized logits should stay close to bf16 logits (perplexity
+        # proxy; a random tiny model has near-uniform logits, so the metric
+        # is relative error norm, not top-1 agreement)
+        lf = llama.forward(PARAMS_BF16, TOKENS, CFG_BF16, kernels=False).astype(
+            jnp.float32
+        )
+        for cfg, bound in [(CFG_I8, 0.05), (CFG_W4, 0.6)]:
+            qp = llama.quantize_weights(PARAMS_BF16, cfg)
+            lq = llama.forward(qp, TOKENS, cfg, kernels=False).astype(jnp.float32)
+            rel = float(
+                jnp.linalg.norm(lq - lf) / jnp.maximum(jnp.linalg.norm(lf), 1e-9)
+            )
+            assert rel < bound, f"{cfg.quant}: rel logits err {rel}"
+
+
+class TestDecode:
+    def test_decode_matches_prefill(self):
+        """Prefill S tokens, then decode token S: logits must match a full
+        prefill of S+1 tokens at the last position."""
+        cfg = CFG_BF16
+        toks = TOKENS[:, :32]
+        nxt = TOKENS[:, 32:33]
+        full = jnp.concatenate([toks, nxt], axis=1)
+
+        _, seeds = llama.forward(PARAMS_BF16, toks, cfg, return_cache=True)
+        cache = llama.init_kv_cache(cfg, toks.shape[0])
+        seeded = []
+        for (kc, vc), (k, v) in zip(cache, seeds):
+            kc = jax.lax.dynamic_update_slice(kc, k, (0, 0, 0, 0))
+            vc = jax.lax.dynamic_update_slice(vc, v, (0, 0, 0, 0))
+            seeded.append((kc, vc))
+
+        got, _ = llama.decode_step(PARAMS_BF16, seeded, nxt, 32, cfg)
+        want = llama.forward(PARAMS_BF16, full, cfg)[:, -1:]
+        check_err(got, want, rtol=5e-2, atol=5e-2)
+
+    def test_generate_greedy(self):
+        out = llama.generate_greedy(PARAMS_BF16, TOKENS[:, :16], 4, CFG_BF16)
+        assert out.shape == (2, 20)
+        assert (out[:, :16] == TOKENS[:, :16]).all()
+
+    def test_decode_w4a16(self):
+        cfg = CFG_W4
+        qp = llama.quantize_weights(PARAMS_BF16, cfg)
+        toks = TOKENS[:, :16]
+        _, seeds = llama.forward(qp, toks, cfg, return_cache=True)
+        cache = llama.init_kv_cache(cfg, 2)
+        seeded = []
+        for (kc, vc), (k, v) in zip(cache, seeds):
+            seeded.append(
+                (
+                    jax.lax.dynamic_update_slice(kc, k, (0, 0, 0, 0)),
+                    jax.lax.dynamic_update_slice(vc, v, (0, 0, 0, 0)),
+                )
+            )
+        nxt = TOKENS[:, 16:17]
+        got, cache2 = llama.decode_step(qp, seeded, nxt, 16, cfg)
+        assert got.shape == (2, 1, cfg.vocab_size)
+        assert jnp.isfinite(got.astype(jnp.float32)).all()

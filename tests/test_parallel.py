@@ -1,0 +1,84 @@
+"""S5 tests: mesh, TP/DP sharding, shard_map wrappers, train step.
+
+Runs on the 8-virtual-device CPU mesh from conftest (the capability the
+single-GPU reference never had — SURVEY.md §2.6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composable_kernel_tpu.models import llama
+from composable_kernel_tpu.parallel import (
+    init_opt_state,
+    make_mesh,
+    shard_params,
+    tp_decode_step,
+    tp_forward,
+    train_step,
+)
+from composable_kernel_tpu.utils.check_err import check_err
+
+CFG = llama.tiny_config(quant="bf16")
+PARAMS = llama.init_weights(CFG, jax.random.PRNGKey(0))
+TOKENS = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, CFG.vocab_size)
+
+
+def test_mesh_shape():
+    mesh = make_mesh(tp=4, dp=2)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+
+
+def test_tp_forward_parity():
+    mesh = make_mesh(tp=4, dp=2)
+    sharded = shard_params(PARAMS, CFG, mesh)
+    got = tp_forward(sharded, TOKENS, CFG, mesh, kernels=False)
+    want = llama.forward(PARAMS, TOKENS, CFG, kernels=False)
+    check_err(got, want, rtol=6e-2, atol=6e-2)
+
+
+def test_tp_forward_quantized():
+    # tp_pack=4: row-parallel int4 weights packed in 4 K-blocks so each of
+    # the 4 'tp' shards holds a self-contained split-halves sub-pack
+    cfg = llama.tiny_config(quant="w4a16", tp_pack=4)
+    qp = llama.quantize_weights(PARAMS, cfg)
+    mesh = make_mesh(tp=4, dp=2)
+    sharded = shard_params(qp, cfg, mesh)
+    got = tp_forward(sharded, TOKENS, cfg, mesh, kernels=False)
+    want = llama.forward(qp, TOKENS, cfg, kernels=False)
+    check_err(got, want, rtol=6e-2, atol=6e-2)
+
+
+def test_tp_decode_parity():
+    mesh = make_mesh(tp=4, dp=2)
+    sharded = shard_params(PARAMS, CFG, mesh)
+    cache = llama.init_kv_cache(CFG, 2)
+    nxt = TOKENS[:, :1]
+    got, _ = tp_decode_step(sharded, cache, nxt, 0, CFG, mesh, kernels=False)
+    want, _ = llama.decode_step(PARAMS, cache, nxt, 0, CFG, kernels=False)
+    check_err(got, want, rtol=6e-2, atol=6e-2)
+
+
+def test_train_step():
+    mesh = make_mesh(tp=4, dp=2)
+    sharded = shard_params(PARAMS, CFG, mesh)
+    opt = init_opt_state(sharded)
+    toks = jax.random.randint(jax.random.PRNGKey(2), (4, 33), 0, CFG.vocab_size)
+    new_p, new_opt, loss = train_step(sharded, opt, toks, CFG, mesh, lr=1e-2)
+    loss = float(loss)
+    assert np.isfinite(loss) and loss > 0
+    # params actually moved
+    delta = float(
+        jnp.abs(
+            new_p["layers"][0]["wq"].astype(jnp.float32)
+            - PARAMS["layers"][0]["wq"].astype(jnp.float32)
+        ).max()
+    )
+    assert delta > 0
+
+    # loss decreases over a few steps on the same batch
+    p, o = new_p, new_opt
+    first = loss
+    for _ in range(3):
+        p, o, loss = train_step(p, o, toks, CFG, mesh, lr=1e-2)
+    assert float(loss) < first

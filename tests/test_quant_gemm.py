@@ -141,3 +141,34 @@ class TestInt8Requant:
         got = int8_gemm(a_q, b_q, op, ds=(bias,))
         want = rq.ref_int8_gemm_requant(a_q, b_q, op, ds=(bias,))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestInt4Segmented:
+    def test_pack_blocks_roundtrip(self):
+        w = jnp.array(np.random.randint(-8, 8, size=(256, 32)), jnp.int8)
+        p = dtypes.pack_int4(w, axis=0, blocks=4)
+        assert (dtypes.unpack_int4(p, axis=0, blocks=4) == w).all()
+
+    @pytest.mark.parametrize("blocks", [2, 4])
+    def test_segmented_kernel(self, blocks):
+        # the TP row-block layout: kernel must honor per-segment halves
+        m, n, k, g = 16, 256, 1024, 128
+        a = _rand(KEYS[0], (m, k))
+        w_q, s = rq.ref_quantize_group(_rand(KEYS[1], (k, n), jnp.float32), g, bits=4)
+        packed = dtypes.pack_int4(w_q, axis=0, blocks=blocks)
+        got = dequant_gemm(
+            a, packed, s, group_size=g, packed_int4=True, pack_blocks=blocks
+        )
+        want = rq.ref_dequant_gemm(
+            a, packed, s, group_size=g, packed_int4=True, pack_blocks=blocks
+        )
+        check_err(got, want)
+
+    def test_segment_equals_shard(self):
+        # shard i of a blocks=B pack == standalone pack of W's i-th K block
+        k, n, B = 512, 64, 4
+        w = jnp.array(np.random.randint(-8, 8, (k, n)), jnp.int8)
+        p_full = dtypes.pack_int4(w, axis=0, blocks=B)
+        shard = p_full[k // 2 // B : 2 * (k // 2 // B)]  # shard 1
+        standalone = dtypes.pack_int4(w[k // B : 2 * (k // B)], axis=0)
+        assert (shard == standalone).all()
