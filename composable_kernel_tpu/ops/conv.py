@@ -1,0 +1,200 @@
+"""Convolution op family (fwd / bwd-data / bwd-weight, grouped, quantized).
+
+CK surface covered (SURVEY.md §2.3):
+
+  - ``device_grouped_conv_fwd_multiple_abd_xdl_cshuffle.hpp`` (+
+    ``TransformConvFwdToGemm``, transform_conv_fwd_to_gemm.hpp:23) —
+    grouped 1d/2d/3d conv fwd with fused multiple-D epilogue
+  - ``device_conv_fwd_bias_activation[_add].hpp`` — bias+activation(+add)
+  - int8 quantized conv (example/40_conv2d_quantization: perlayer /
+    perchannel requant) and weight-only dequant conv
+  - ``device_grouped_conv_bwd_data_multiple_d.hpp`` /
+    ``device_grouped_conv_bwd_weight.hpp`` — training-side convs
+
+TPU design stance: CK reduces conv to implicit GEMM because it must feed
+MFMA manually. On TPU, ``lax.conv_general_dilated`` *is* the implicit GEMM
+— XLA lowers it straight onto the MXU with exactly the coordinate
+transforms CK builds by hand (and fuses the epilogue lambdas we apply).
+Re-deriving that in Pallas would duplicate the compiler for no perf gain.
+The explicit-GEMM route (``image_to_column`` + the Pallas GEMM with its
+epilogue/quant machinery) is available for cases that need our in-kernel
+dequant path; weight-only quant convs dequantize W (small) and use the
+native conv.
+
+Layouts: NHWC activations / HWIO filters (TPU-native; CK's NHWGC/GKYXC
+grouped layouts map to ``groups`` + reshapes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "conv_fwd",
+    "conv_bwd_data",
+    "conv_bwd_weight",
+    "conv_int8",
+    "conv_wo_quant",
+]
+
+
+def _dim_nums(ndim):
+    sp = "DHW"[3 - ndim :] if ndim <= 3 else None
+    lhs = "N" + sp + "C"
+    rhs = sp + "IO"
+    out = "N" + sp + "C"
+    return jax.lax.conv_dimension_numbers(
+        (1,) * (ndim + 2), (1,) * (ndim + 2), (lhs, rhs, out)
+    )
+
+
+def _norm_args(ndim, strides, dilations, padding):
+    strides = strides or (1,) * ndim
+    dilations = dilations or (1,) * ndim
+    if padding is None:
+        padding = ((0, 0),) * ndim
+    elif isinstance(padding, str):
+        pass  # "SAME"/"VALID"
+    return strides, dilations, padding
+
+
+def conv_fwd(
+    x,
+    w,
+    *,
+    strides=None,
+    dilations=None,
+    padding=None,
+    groups: int = 1,
+    ds=(),
+    c_op=None,
+    acc_dtype=jnp.float32,
+    out_dtype=None,
+):
+    """y = c_op(conv(x, w), *ds) — grouped Nd conv fwd with fused epilogue.
+
+    x: [N, *spatial, C]; w: [*filter, C/groups, K]; ds entries broadcast
+    against [N, *out_spatial, K] ([K] bias rows supported). Matches CK's
+    multiple-ABD conv contract with CDEElementOp applied on the f32/i32
+    accumulator.
+    """
+    ndim = x.ndim - 2
+    strides, dilations, padding = _norm_args(ndim, strides, dilations, padding)
+    acc = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=strides,
+        padding=padding,
+        rhs_dilation=dilations,
+        dimension_numbers=_dim_nums(ndim),
+        feature_group_count=groups,
+        preferred_element_type=acc_dtype,
+    )
+    if c_op is not None:
+        acc = c_op(acc, *[jnp.asarray(d, acc_dtype) for d in ds])
+    if out_dtype is None:
+        out_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else acc_dtype
+    return acc.astype(out_dtype)
+
+
+def conv_bwd_data(
+    dy, w, input_spatial, *, strides=None, dilations=None, padding=None,
+    groups: int = 1, out_dtype=None,
+):
+    """dx from dy and w (CK device_grouped_conv_bwd_data).
+
+    dy: [N, *out_spatial, K]; w: [*filter, C/groups, K]; returns
+    [N, *input_spatial, C]. Derived as the VJP of the forward conv — XLA
+    lowers it to the same transposed implicit GEMM CK's bwd-data transform
+    builds (transform_conv_bwd_data_to_gemm_v1.hpp).
+    """
+    ndim = dy.ndim - 2
+    c = w.shape[-2] * groups
+    x_shape = (dy.shape[0], *input_spatial, c)
+
+    def f(x):
+        return conv_fwd(
+            x, w.astype(jnp.float32), strides=strides, dilations=dilations,
+            padding=padding, groups=groups, out_dtype=jnp.float32,
+        )
+
+    _, vjp = jax.vjp(f, jnp.zeros(x_shape, jnp.float32))
+    (dx,) = vjp(dy.astype(jnp.float32))
+    return dx.astype(out_dtype or dy.dtype)
+
+
+def conv_bwd_weight(
+    x, dy, filter_shape, *, strides=None, dilations=None, padding=None,
+    groups: int = 1, out_dtype=None,
+):
+    """dw from x and dy (CK device_grouped_conv_bwd_weight).
+
+    Derived via jax.grad of the forward — XLA emits the same
+    batch-as-contraction GEMM CK's two-stage bwd-weight builds by hand.
+    """
+    ndim = x.ndim - 2
+    w_shape = (*filter_shape, x.shape[-1] // groups, dy.shape[-1])
+
+    def f(w):
+        return conv_fwd(
+            x.astype(jnp.float32), w, strides=strides, dilations=dilations,
+            padding=padding, groups=groups, out_dtype=jnp.float32,
+        )
+
+    zero_w = jnp.zeros(w_shape, jnp.float32)
+    _, vjp = jax.vjp(f, zero_w)
+    (dw,) = vjp(dy.astype(jnp.float32))
+    return dw.astype(out_dtype or x.dtype)
+
+
+def conv_int8(
+    x_q,
+    w_q,
+    requant_op,
+    ds=(),
+    *,
+    strides=None,
+    dilations=None,
+    padding=None,
+    groups: int = 1,
+):
+    """int8 x int8 conv -> int32 acc -> requant epilogue -> int8.
+
+    CK example/40_conv2d_quantization parity: ``requant_op`` is an
+    ``ops.epilogues`` ``*_mul_clamp`` factory result; per-layer scale is a
+    scalar, per-channel a [K] row carried via ``ds``.
+    """
+    acc = conv_fwd(
+        x_q, w_q, strides=strides, dilations=dilations, padding=padding,
+        groups=groups, acc_dtype=jnp.int32, c_op=None, out_dtype=jnp.int32,
+    )
+    out = requant_op(acc, *[jnp.asarray(d) for d in ds])
+    return out.astype(jnp.int8)
+
+
+def conv_wo_quant(
+    x,
+    w_q,
+    scales,
+    ds=(),
+    *,
+    strides=None,
+    dilations=None,
+    padding=None,
+    groups: int = 1,
+    c_op=None,
+    out_dtype=None,
+):
+    """Weight-only quantized conv: W stored int8 with per-K-channel scales.
+
+    The filter is tiny relative to activations, so dequantizing it in HBM
+    (fused by XLA into the conv's weight read) costs nothing — unlike GEMM
+    weights, which our S2 kernels dequantize on the fly in VMEM.
+    """
+    w = w_q.astype(jnp.float32) * jnp.asarray(scales, jnp.float32)
+    return conv_fwd(
+        x, w.astype(x.dtype), strides=strides, dilations=dilations,
+        padding=padding, groups=groups, ds=ds, c_op=c_op, out_dtype=out_dtype,
+    )

@@ -119,3 +119,54 @@ def grouped_gemm(
         group_sizes, a, b, c_op=c_op, out_dtype=out_dtype, config=config,
         interpret=interpret,
     )
+
+
+def gemm_reduce(a, b, reduce_ops=("add",), ds=(), *, c_op=None, config=None,
+                out_dtype=None, interpret=None):
+    """GEMM + row reductions of E over N (CK device_gemm_reduce /
+    device_gemm_multiple_d_multiple_r: e.g. bias_add_reduce emitting
+    per-row sum and sum-of-squares for a following normalization).
+
+    Returns (e, (r0, r1, ...)) with each r_i = reduce_op_i(e, axis=1).
+    Two-pass like CK's cshuffle+atomic reduce: the GEMM kernel writes E,
+    XLA fuses the trailing reductions into its consumer.
+    """
+    from composable_kernel_tpu.ops.reduction import REDUCE_OPS
+
+    e = pallas_gemm(a, b, ds, config=config, c_op=c_op, out_dtype=out_dtype,
+                    interpret=interpret)
+    ef = e.astype(jnp.float32)
+    rs = tuple(REDUCE_OPS[op][0](ef, axis=1) for op in reduce_ops)
+    return e, rs
+
+
+def gemm_layernorm(a, b, gamma, beta, ds=(), *, c_op=None, eps=1e-5,
+                   config=None, out_dtype=None, interpret=None):
+    """h = layernorm(c_op(A@B, *Ds)) * gamma + beta over N.
+
+    CK analog: device_gemm_multiple_d_layernorm (two-kernel welford fusion,
+    gemm_layernorm gridwise pair). Here: Pallas GEMM (+fused epilogue) then
+    the Pallas layernorm kernel — the same two-device-pass structure.
+    """
+    from composable_kernel_tpu.ops.normalization import layernorm
+
+    e = pallas_gemm(a, b, ds, config=config, c_op=c_op,
+                    out_dtype=out_dtype or a.dtype, interpret=interpret)
+    return layernorm(e, gamma, beta, eps=eps, interpret=interpret)
+
+
+def batched_gemm_gemm(a, b0, b1, *, acc_op=None, config=None, out_dtype=None,
+                      interpret=None):
+    """Back-to-back batched GEMM: E[G,M,O] = (op(A@B0))@B1.
+
+    CK analog: device_batched_gemm_gemm / device_batched_gemm_multiple_d_
+    gemm_multiple_d (the attention-shaped pipeline without softmax). The
+    intermediate stays in HBM between the two Pallas launches; the fully
+    fused variant (softmax between) is ops.attention.flash_attention.
+    """
+    h = batched_gemm(a, b0, config=config, out_dtype=out_dtype or a.dtype,
+                     interpret=interpret)
+    if acc_op is not None:
+        h = acc_op(h.astype(jnp.float32)).astype(out_dtype or a.dtype)
+    return batched_gemm(h, b1, config=config, out_dtype=out_dtype,
+                        interpret=interpret)
