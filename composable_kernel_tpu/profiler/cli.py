@@ -1,0 +1,260 @@
+"""ckprof — the profiler / autotuning CLI.
+
+TPU re-design of CK's ``ckProfiler`` (SURVEY.md §3.3):
+
+  - self-registering op table (``profiler_operation_registry.hpp:12-79``,
+    ``REGISTER_PROFILER_OPERATION``) -> the ``@register`` decorator
+  - per-op engines (``profiler/include/profiler/profile_*_impl.hpp``): run
+    every supported instance, verify against the host reference, time with
+    CK's warmup+repeat discipline, report best TFlops/GB/s + instance name
+    (``profile_gemm_impl.hpp:140-220``)
+  - CLI shape args like ``ckprof gemm -m 3840 -n 4096 -k 4096 --dtype bf16``
+    (CK: positional M N K strides; we use flags)
+
+Timing uses the chained-slope harness on TPU (honest under a proxied
+runtime) and falls back to wall-clock on CPU interpret mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+OPERATIONS = {}
+
+
+def register(name):
+    def deco(fn):
+        OPERATIONS[name] = fn
+        return fn
+
+    return deco
+
+
+def _env():
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() == "tpu"
+    return jax, jnp, on_tpu
+
+
+def _time(fn, a, *rest, flops, on_tpu):
+    from composable_kernel_tpu.utils.timing import benchmark, benchmark_chained
+
+    if on_tpu:
+        return benchmark_chained(fn, a, *rest, iters_lo=20, iters_hi=100, flops=flops)
+    return benchmark(lambda: fn(a, *rest), warmup=1, iters=3, flops=flops)
+
+
+def _report(rows, best):
+    for name, r, ok in rows:
+        flag = "OK " if ok else "FAIL"
+        print(f"  [{flag}] {name:40s} {r.avg_ms:9.4f} ms  {r.tflops:8.2f} TFlops")
+    if best:
+        name, r, _ = best
+        print(f"Best Perf: {r.avg_ms:.4f} ms, {r.tflops:.2f} TFlops, {name}")
+
+
+def _run_instances(configs, make_fn, args_tuple, want, check, flops, on_tpu):
+    import numpy as np
+
+    rows, best = [], None
+    for cfg in configs:
+        fn = make_fn(cfg)
+        try:
+            out = fn(*args_tuple)
+            ok = True
+            if want is not None:
+                try:
+                    check(np.asarray(out, np.float64), want)
+                except AssertionError as e:
+                    ok = False
+                    print(f"  verify fail {cfg.name()}: {e}", file=sys.stderr)
+            r = _time(fn, *args_tuple, flops=flops, on_tpu=on_tpu)
+        except Exception as e:
+            print(f"  skip {cfg.name()}: {type(e).__name__}: {e}", file=sys.stderr)
+            continue
+        rows.append((cfg.name(), r, ok))
+        if ok and (best is None or r.avg_ms < best[1].avg_ms):
+            best = rows[-1]
+    _report(rows, best)
+    return best
+
+
+def _check_rel(tol):
+    import numpy as np
+
+    def check(out, want):
+        err = np.abs(out - want).max()
+        scale = max(np.abs(want).max(), 1e-9)
+        assert err / scale < tol, f"rel err {err / scale:.3e} > {tol}"
+
+    return check
+
+
+@register("gemm")
+def profile_gemm(ns):
+    jax, jnp, on_tpu = _env()
+    import numpy as np
+
+    from composable_kernel_tpu.ops.gemm.config import is_supported
+    from composable_kernel_tpu.ops.gemm.kernel import pallas_gemm
+    from composable_kernel_tpu.tuning.registry import registry
+
+    dt = {"bf16": jnp.bfloat16, "f16": jnp.float16, "f32": jnp.float32}[ns.dtype]
+    m, n, k = ns.m, ns.n, ns.k
+    a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32).astype(dt)
+    b = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32).astype(dt)
+    want = None
+    if ns.verify:
+        want = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    cfgs = registry.get_instances("gemm", m, n, k)
+    print(f"gemm {ns.dtype} {m}x{n}x{k}: {len(cfgs)} instances")
+    _run_instances(
+        cfgs,
+        lambda cfg: (lambda a_, b_: pallas_gemm(a_, b_, config=cfg, interpret=not on_tpu)),
+        (a, b),
+        want,
+        _check_rel(0.02 if ns.dtype != "f32" else 1e-4),
+        2.0 * m * n * k,
+        on_tpu,
+    )
+
+
+@register("wo_quant_gemm")
+def profile_wo_quant_gemm(ns):
+    jax, jnp, on_tpu = _env()
+    import numpy as np
+
+    from composable_kernel_tpu import dtypes
+    from composable_kernel_tpu.ops.gemm.config import is_supported
+    from composable_kernel_tpu.ops.quant import dequant_gemm
+    from composable_kernel_tpu.reference.quant import (
+        ref_quantize_group,
+        ref_quantize_per_channel,
+    )
+    from composable_kernel_tpu.tuning.registry import registry
+
+    m, n, k = ns.m, ns.n, ns.k
+    a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32).astype(jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
+    int4 = ns.wdtype == "i4"
+    if ns.group:
+        w_q, s = ref_quantize_group(w, ns.group, bits=4 if int4 else 8)
+        g = ns.group
+    else:
+        w_q, s = ref_quantize_per_channel(w, bits=4 if int4 else 8)
+        g = None
+    b_q = dtypes.pack_int4(w_q, axis=0) if int4 else w_q
+    want = None
+    if ns.verify:
+        wdq = np.asarray(w_q, np.float64)
+        s64 = np.asarray(s, np.float64)
+        wdq = wdq * (s64[None, :] if g is None else np.repeat(s64, g, axis=0))
+        want = np.asarray(a, np.float64) @ wdq
+    cfgs = registry.get_instances("gemm", m, n, k)
+    print(f"wo_quant_gemm bf16x{ns.wdtype} g={g or 'chan'} {m}x{n}x{k}: "
+          f"{len(cfgs)} instances")
+    _run_instances(
+        cfgs,
+        lambda cfg: (
+            lambda a_, b_, s_: dequant_gemm(
+                a_, b_, s_, group_size=g, packed_int4=int4, config=cfg,
+                interpret=not on_tpu,
+            )
+        ),
+        (a, b_q, s),
+        want,
+        _check_rel(0.02),
+        2.0 * m * n * k,
+        on_tpu,
+    )
+
+
+@register("attention")
+def profile_attention(ns):
+    jax, jnp, on_tpu = _env()
+    import numpy as np
+
+    from composable_kernel_tpu.ops.attention import (
+        DEFAULT_ATTENTION_CONFIGS,
+        flash_attention,
+    )
+
+    b, hq, hkv, sq, sk, d = ns.batch, ns.heads, ns.kv_heads or ns.heads, ns.m, ns.n, ns.k
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, hq, sq, d), jnp.float32).astype(jnp.bfloat16)
+    kk = jax.random.normal(jax.random.PRNGKey(1), (b, hkv, sk, d), jnp.float32).astype(jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, hkv, sk, d), jnp.float32).astype(jnp.bfloat16)
+    flops = 4.0 * b * hq * sq * sk * d * (0.5 if ns.causal else 1.0)
+    print(f"attention B{b} Hq{hq} Hkv{hkv} Sq{sq} Sk{sk} D{d} causal={ns.causal}: "
+          f"{len(DEFAULT_ATTENTION_CONFIGS)} instances")
+    _run_instances(
+        DEFAULT_ATTENTION_CONFIGS,
+        lambda cfg: (
+            lambda q_, k_, v_: flash_attention(
+                q_, k_, v_, causal=ns.causal, config=cfg, interpret=not on_tpu
+            )
+        ),
+        (q, kk, v),
+        None,
+        None,
+        flops,
+        on_tpu,
+    )
+
+
+@register("softmax")
+def profile_softmax(ns):
+    jax, jnp, on_tpu = _env()
+    from composable_kernel_tpu.ops.normalization import softmax
+    from composable_kernel_tpu.utils.timing import BenchResult
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (ns.m, ns.n), jnp.float32)
+    fn = lambda x_: softmax(x_, interpret=not on_tpu)
+    r = _time(fn, x, flops=0, on_tpu=on_tpu)
+    gb = 2 * x.size * 4 / 1e9
+    print(f"softmax {ns.m}x{ns.n}: {r.avg_ms:.4f} ms, "
+          f"{gb / (r.avg_ms / 1e3):.1f} GB/s")
+
+
+@register("layernorm")
+def profile_layernorm(ns):
+    jax, jnp, on_tpu = _env()
+    from composable_kernel_tpu.ops.normalization import layernorm
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (ns.m, ns.n), jnp.float32)
+    g = jnp.ones((ns.n,), jnp.float32)
+    b = jnp.zeros((ns.n,), jnp.float32)
+    fn = lambda x_, g_, b_: layernorm(x_, g_, b_, interpret=not on_tpu)
+    r = _time(fn, x, g, b, flops=0, on_tpu=on_tpu)
+    gb = 2 * x.size * 4 / 1e9
+    print(f"layernorm {ns.m}x{ns.n}: {r.avg_ms:.4f} ms, "
+          f"{gb / (r.avg_ms / 1e3):.1f} GB/s")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="ckprof",
+        description="composable_kernel_tpu profiler (CK ckProfiler analog)",
+    )
+    p.add_argument("op", choices=sorted(OPERATIONS))
+    p.add_argument("-m", type=int, default=3840)
+    p.add_argument("-n", type=int, default=4096)
+    p.add_argument("-k", type=int, default=4096)
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "f16", "f32"])
+    p.add_argument("--wdtype", default="i8", choices=["i8", "i4"],
+                   help="weight dtype for wo_quant_gemm")
+    p.add_argument("--group", type=int, default=None,
+                   help="group size for wo_quant_gemm (default per-channel)")
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--kv-heads", type=int, default=None, dest="kv_heads")
+    p.add_argument("--causal", action="store_true")
+    p.add_argument("--no-verify", dest="verify", action="store_false")
+    ns = p.parse_args(argv)
+    OPERATIONS[ns.op](ns)
+
+
+if __name__ == "__main__":
+    main()

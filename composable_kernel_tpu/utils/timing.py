@@ -76,52 +76,53 @@ def benchmark_chained(
     fn,
     a,
     *rest,
-    iters_lo: int = 10,
-    iters_hi: int = 50,
+    iters_lo: int = 20,
+    iters_hi: int = 100,
     flops: float = 0.0,
     bytes_accessed: float = 0.0,
+    min_signal_s: float = 0.25,
 ) -> BenchResult:
-    """Tunnel-honest timing: chain ``iters`` calls of ``fn(a, *rest)`` inside
-    ONE jit via a tiny data dependency on ``a``, force a host readback, and
-    use the slope between two iteration counts so constant dispatch/transfer
-    overhead cancels. Use this (not per-call block_until_ready) when the
-    device sits behind a proxy runtime.
+    """Tunnel-honest timing: chain ``n`` calls of ``fn(a, *rest)`` inside ONE
+    jit via a tiny data dependency on ``a``, return only a scalar (a full
+    readback over a proxied runtime costs ~1s), and use the slope between
+    two iteration counts so constant dispatch/transfer overhead cancels.
+    The trip count is a *traced* argument, so growing it to beat timing
+    jitter costs no recompiles.
     """
     import numpy as np
     import jax.numpy as jnp
     import jax as _jax
 
-    def make(n):
-        @_jax.jit
-        def loop(a, *rest):
-            def body(i, a):
-                out = fn(a, *rest)
-                bump = out.reshape(-1)[0].astype(jnp.float32) * 1e-30
-                return a + bump.astype(a.dtype)
-            a = _jax.lax.fori_loop(0, n, body, a)
-            # scalar readback only: a full-array device->host transfer over
-            # a proxied runtime costs ~1s and would swamp the measurement
-            return a.reshape(-1)[0]
-        return loop
+    @_jax.jit
+    def loop(n, a, *rest):
+        def body(i, a):
+            out = fn(a, *rest)
+            bump = out.reshape(-1)[0].astype(jnp.float32) * 1e-30
+            return a + bump.astype(a.dtype)
+        a = _jax.lax.fori_loop(0, n, body, a)
+        return a.reshape(-1)[0]
 
-    lo, hi = make(iters_lo), make(iters_hi)
-    np.asarray(lo(a, *rest))  # compile + warm
-    np.asarray(hi(a, *rest))
+    np.asarray(loop(iters_hi, a, *rest))  # compile + warm
 
-    def t(f):
-        # min over repeats: tunnel/dispatch jitter is strictly additive
+    def t(n):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(f(a, *rest))
+            np.asarray(loop(n, a, *rest))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    per_iter = max((t(hi) - t(lo)) / (iters_hi - iters_lo), 1e-9)
+    lo, hi = iters_lo, iters_hi
+    for _ in range(8):
+        t_lo, t_hi = t(lo), t(hi)
+        if t_hi - t_lo >= min_signal_s or hi >= 200_000:
+            break
+        lo, hi = hi, hi * 4
+    per_iter = max((t_hi - t_lo) / (hi - lo), 1e-9)
     return BenchResult(
         avg_ms=per_iter * 1e3,
         best_ms=per_iter * 1e3,
-        n_iters=iters_hi,
+        n_iters=hi,
         tflops=(flops / per_iter) / 1e12 if flops else 0.0,
         gbps=(bytes_accessed / per_iter) / 1e9 if bytes_accessed else 0.0,
     )
