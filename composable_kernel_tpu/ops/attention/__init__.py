@@ -2,11 +2,13 @@ from composable_kernel_tpu.ops.attention.config import (
     DEFAULT_ATTENTION_CONFIGS,
     AttentionConfig,
 )
+from composable_kernel_tpu.ops.attention.backward import flash_attention_grad
 from composable_kernel_tpu.ops.attention.kernel import flash_attention, flash_decode
 
 __all__ = [
     "AttentionConfig",
     "DEFAULT_ATTENTION_CONFIGS",
     "flash_attention",
+    "flash_attention_grad",
     "flash_decode",
 ]

@@ -170,3 +170,29 @@ def batched_gemm_gemm(a, b0, b1, *, acc_op=None, config=None, out_dtype=None,
         h = acc_op(h.astype(jnp.float32)).astype(out_dtype or a.dtype)
     return batched_gemm(h, b1, config=config, out_dtype=out_dtype,
                         interpret=interpret)
+
+
+@jax.custom_vjp
+def gemm_grad(a, b):
+    """Differentiable Pallas GEMM (training path).
+
+    dA = dC @ B^T and dB = A^T @ dC run as transposed Pallas GEMMs — the
+    layout change folds into the kernel's BlockSpec index maps via XLA.
+    The epilogue-fused ``gemm`` stays VJP-free (CK likewise keeps fused
+    device ops inference-side); compose activations outside when training.
+    """
+    return gemm(a, b)
+
+
+def _gemm_grad_fwd(a, b):
+    return gemm(a, b), (a, b)
+
+
+def _gemm_grad_bwd(res, dc):
+    a, b = res
+    da = gemm(dc, b.T, out_dtype=a.dtype)
+    db = gemm(a.T, dc, out_dtype=b.dtype)
+    return da, db
+
+
+gemm_grad.defvjp(_gemm_grad_fwd, _gemm_grad_bwd)

@@ -161,3 +161,41 @@ class TestInt8KV:
         v_dq = (vq.astype(jnp.float32) * vs[:, :, None, None]).astype(jnp.bfloat16)
         want = ref_attention(q, k_dq, v_dq)
         check_err(got, want, rtol=3e-2, atol=3e-2)
+
+
+class TestFlashBackward:
+    def _grads(self, fn, q, k, v):
+        def loss(q_, k_, v_):
+            return jnp.sum(fn(q_, k_, v_).astype(jnp.float32) ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grads_match_reference(self, causal):
+        from composable_kernel_tpu.ops.attention import flash_attention_grad
+
+        q, k, v = _qkv(1, 2, 2, 128, 128, 64)
+        got = self._grads(
+            lambda q_, k_, v_: flash_attention_grad(q_, k_, v_, None, causal),
+            q, k, v,
+        )
+        want = self._grads(
+            lambda q_, k_, v_: ref_attention(q_, k_, v_, causal=causal), q, k, v
+        )
+        for g, w, name in zip(got, want, "qkv"):
+            check_err(g, w, rtol=5e-2, atol=5e-2, msg=f"d{name}")
+
+    def test_grads_gqa_window(self):
+        from composable_kernel_tpu.ops.attention import flash_attention_grad
+
+        q, k, v = _qkv(1, 4, 2, 128, 256, 64)
+        got = self._grads(
+            lambda q_, k_, v_: flash_attention_grad(q_, k_, v_, None, True, 64),
+            q, k, v,
+        )
+        want = self._grads(
+            lambda q_, k_, v_: ref_attention(q_, k_, v_, causal=True, window=64),
+            q, k, v,
+        )
+        for g, w, name in zip(got, want, "qkv"):
+            check_err(g, w, rtol=5e-2, atol=5e-2, msg=f"d{name}")
