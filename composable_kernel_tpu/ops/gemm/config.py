@@ -93,4 +93,9 @@ DEFAULT_GEMM_CONFIGS = [
     # decode shapes (M small, K deep) — cf. script/profile_mixed_gemm.sh
     GemmConfig(8, 1024, 512),
     GemmConfig(16, 1024, 1024),
+    # wide-N decode blocks: HBM-rate winners for M<=32 weight-streaming
+    # (measured v5e: block_k=1024 is 2x over 512; bn ~4k optimal)
+    GemmConfig(16, 4096, 1024),
+    GemmConfig(16, 3584, 1024),
+    GemmConfig(32, 2048, 1024),
 ]

@@ -22,9 +22,26 @@ from composable_kernel_tpu.tuning import autotune, registry
 __all__ = ["wo_quant_gemm", "int8_gemm", "dequant_gemm"]
 
 
+def _decode_bn(n: int) -> int:
+    """Widest N block <= 4096 with minimal padding waste.
+
+    Measured on v5e (M=8 Llama shapes): decode throughput is maximized by
+    very wide N blocks with block_k=1024; a block that pads N badly (e.g.
+    4096 over N=14336 -> 16384) loses ~40%. Pick the fewest column blocks
+    whose rounded width stays <= 4096.
+    """
+    for nb in range(1, 64):
+        bn = -(-n // nb // 128) * 128
+        if bn <= 4096:
+            return max(bn, 128)
+    return 4096
+
+
 def _heuristic_config(m: int, n: int, k: int) -> GemmConfig:
     if m <= 32:
-        return GemmConfig(block_m=32, block_n=512, block_k=1024)
+        # decode: HBM-bound; wide N + deep K keeps the weight stream at
+        # ~70% of HBM SOL (int4) / ~91% (int8) on v5e
+        return GemmConfig(block_m=32, block_n=_decode_bn(n), block_k=1024)
     if m <= 128:
         return GemmConfig(block_m=128, block_n=512, block_k=512)
     return GemmConfig(block_m=256, block_n=512, block_k=512)
