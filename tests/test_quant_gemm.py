@@ -172,3 +172,43 @@ class TestInt4Segmented:
         shard = p_full[k // 2 // B : 2 * (k // 2 // B)]  # shard 1
         standalone = dtypes.pack_int4(w[k // B : 2 * (k // B)], axis=0)
         assert (shard == standalone).all()
+
+
+class TestFp8AbScale:
+    def test_fp8_gemm_blockwise(self):
+        from composable_kernel_tpu.ops.quant.fp8 import (
+            fp8_gemm_ab_scale,
+            quantize_fp8_blockwise,
+            ref_fp8_gemm_ab_scale,
+        )
+
+        m, n, k = 64, 256, 512
+        a = _rand(KEYS[0], (m, k), jnp.float32) * 3.0
+        b = _rand(KEYS[1], (k, n), jnp.float32)
+        a_q, a_s = quantize_fp8_blockwise(a, (1, 128))
+        b_q, b_s = quantize_fp8_blockwise(b, (128, 128))
+        got = fp8_gemm_ab_scale(a_q, a_s, b_q, b_s)
+        want = ref_fp8_gemm_ab_scale(a_q, a_s, b_q, b_s)
+        check_err(got, want, rtol=2e-2, atol=2e-2)
+        # quantization fidelity vs the unquantized product
+        full = (a @ b).astype(jnp.bfloat16)
+        rel = float(
+            jnp.linalg.norm(want.astype(jnp.float32) - full.astype(jnp.float32))
+            / jnp.linalg.norm(full.astype(jnp.float32))
+        )
+        assert rel < 0.1, rel
+
+    def test_fp8_epilogue(self):
+        from composable_kernel_tpu.ops.quant.fp8 import (
+            fp8_gemm_ab_scale,
+            quantize_fp8_blockwise,
+            ref_fp8_gemm_ab_scale,
+        )
+
+        m, n, k = 32, 128, 256
+        a_q, a_s = quantize_fp8_blockwise(_rand(KEYS[0], (m, k), jnp.float32), (1, 128))
+        b_q, b_s = quantize_fp8_blockwise(_rand(KEYS[1], (k, n), jnp.float32), (128, 128))
+        d0 = _rand(KEYS[2], (n,), jnp.float32)
+        got = fp8_gemm_ab_scale(a_q, a_s, b_q, b_s, ds=(d0,), c_op=ep.add_fast_gelu)
+        want = ref_fp8_gemm_ab_scale(a_q, a_s, b_q, b_s, ds=(d0,), c_op=ep.add_fast_gelu)
+        check_err(got, want, rtol=2e-2, atol=2e-2)
