@@ -416,3 +416,80 @@ def generate_greedy(params, prompt, n_steps, cfg: LlamaConfig, *, interpret=None
         )
         next_tok = jnp.argmax(logits[:, -1:], axis=-1).astype(prompt.dtype)
     return tokens
+
+
+def decode_step_batched(
+    params,
+    cache,
+    tokens,
+    positions,
+    cfg: LlamaConfig,
+    *,
+    tp_axis=None,
+    interpret=None,
+    kernels: bool = True,
+):
+    """Continuous-batching decode: per-slot positions.
+
+    tokens: [B, 1]; positions: [B] int32 — each batch slot decodes its own
+    next position (slots run different sequences at different lengths, the
+    continuous-batching invariant). KV rows are scattered per slot and
+    attention masks per-slot via kv_seq_len = positions + 1.
+    """
+    b, s = tokens.shape
+    assert s == 1
+    x = jnp.take(params["embed"], tokens, axis=0)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)  # [B, d/2]
+    cos_b = cos[:, None, None, :]  # [B, 1, 1, d/2] broadcastable over (H, S)
+    sin_b = sin[:, None, None, :]
+    lens = positions + 1
+
+    def upd(c, new):
+        # per-slot dynamic row update at positions[b]
+        return jax.vmap(
+            lambda cb, nb, p: jax.lax.dynamic_update_slice(cb, nb, (0, p, 0))
+        )(c, new, positions)
+
+    new_cache = []
+    for layer, kv in zip(params["layers"], cache):
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+        x2 = h.reshape(b * s, -1)
+        hd = cfg.head_dim
+        q = _linear(x2, layer["wq"], cfg, interpret, kernels)
+        k = _linear(x2, layer["wk"], cfg, interpret, kernels)
+        v = _linear(x2, layer["wv"], cfg, interpret, kernels)
+        nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
+        q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+        q = jnp.concatenate(
+            [q[..., : hd // 2] * cos_b - q[..., hd // 2 :] * sin_b,
+             q[..., hd // 2 :] * cos_b + q[..., : hd // 2] * sin_b], axis=-1
+        ).astype(q.dtype)
+        k = jnp.concatenate(
+            [k[..., : hd // 2] * cos_b - k[..., hd // 2 :] * sin_b,
+             k[..., hd // 2 :] * cos_b + k[..., : hd // 2] * sin_b], axis=-1
+        ).astype(k.dtype)
+        k_cache, v_cache = kv
+        k_cache = upd(k_cache, k)
+        v_cache = upd(v_cache, v)
+        if kernels:
+            o = flash_decode(q, k_cache, v_cache, kv_seq_len=lens, interpret=interpret)
+        else:
+            from composable_kernel_tpu.reference.attention import ref_attention
+
+            o = ref_attention(q, k_cache, v_cache, kv_seq_len=lens)
+        o = o.transpose(0, 2, 1, 3).reshape(b * s, nh * hd)
+        o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
+        if tp_axis is not None:
+            o = jax.lax.psum(o, tp_axis)
+        x = x + o.reshape(b, s, -1)
+        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps)
+        x = x + _ffn_block(
+            h, layer, cfg, tp_axis=tp_axis, interpret=interpret, kernels=kernels
+        )
+        new_cache.append((k_cache, v_cache))
+
+    x = rmsnorm(x, params["norm"], cfg.norm_eps)
+    logits = _linear(x.reshape(b * s, -1), params["lm_head"], cfg, interpret, kernels)
+    return logits.reshape(b, s, -1), new_cache

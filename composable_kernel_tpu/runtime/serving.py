@@ -1,0 +1,185 @@
+"""Continuous-batching serving engine.
+
+The multi-request serving layer the north star requires (SURVEY.md §2.6,
+§5 — entirely absent in the single-GPU reference; its closest kernel-level
+relative is the grouped-GEMM tile-loop whose device-side args let work
+arrive without host resizing, device_grouped_gemm_tile_loop.hpp:26-95).
+
+Design (TPU-shaped):
+  - a FIXED batch of B slots — XLA needs static shapes, so admission
+    control fills/clears slots inside a constant-shape decode step instead
+    of re-batching (the continuous-batching invariant);
+  - per-slot positions + kv_seq_len masks (models.llama.decode_step_batched);
+  - prefill runs per-request and scatters its KV into the slot;
+  - a watchdog wrapper supplies the failure-detection/restart hook the
+    serving layer owes (reference has none to port — §5).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from composable_kernel_tpu.models import llama
+
+__all__ = ["Request", "ServingEngine", "Watchdog"]
+
+
+@dataclass
+class Request:
+    uid: int
+    prompt: list
+    max_new_tokens: int = 32
+    eos_id: int | None = None
+    # filled by the engine:
+    output: list = field(default_factory=list)
+    done: bool = False
+
+
+class ServingEngine:
+    """Fixed-slot continuous batching over a single (possibly sharded) model.
+
+    Usage::
+
+        eng = ServingEngine(params, cfg, batch_slots=8)
+        eng.add(Request(0, prompt_tokens, max_new_tokens=64))
+        while eng.pending():
+            finished = eng.step()
+    """
+
+    def __init__(self, params, cfg: llama.LlamaConfig, batch_slots: int = 8,
+                 kernels: bool = True, interpret=None):
+        self.params = params
+        self.cfg = cfg
+        self.b = batch_slots
+        self.kernels = kernels
+        self.interpret = interpret
+        self.cache = llama.init_kv_cache(cfg, batch_slots)
+        self.positions = np.zeros(batch_slots, np.int32)  # next decode pos
+        self.slot_req: list[Request | None] = [None] * batch_slots
+        self.next_token = np.zeros((batch_slots, 1), np.int32)
+        self.queue: list[Request] = []
+        self._decode = jax.jit(
+            lambda p, c, t, pos: llama.decode_step_batched(
+                p, c, t, pos, cfg, kernels=kernels, interpret=interpret
+            )
+        )
+
+    # ------------------------------------------------------------ admission
+    def add(self, req: Request):
+        self.queue.append(req)
+        self._admit()
+
+    def _admit(self):
+        for slot in range(self.b):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            self._prefill_into(slot, req)
+
+    def _prefill_into(self, slot: int, req: Request):
+        prompt = jnp.asarray([req.prompt], jnp.int32)
+        s = prompt.shape[1]
+        logits, seeds = llama.forward(
+            self.params, prompt, self.cfg, kernels=self.kernels,
+            interpret=self.interpret, return_cache=True,
+        )
+        new_cache = []
+        for (kc, vc), (k, v) in zip(self.cache, seeds):
+            kc = jax.lax.dynamic_update_slice(
+                kc, k.astype(kc.dtype), (slot, 0, 0, 0)
+            )
+            vc = jax.lax.dynamic_update_slice(
+                vc, v.astype(vc.dtype), (slot, 0, 0, 0)
+            )
+            new_cache.append((kc, vc))
+        self.cache = new_cache
+        nxt = int(jnp.argmax(logits[0, -1]))
+        req.output.append(nxt)
+        # the prefill-produced token can already finish the request
+        if (req.eos_id is not None and nxt == req.eos_id) or (
+            req.max_new_tokens <= 1
+        ):
+            req.done = True
+            return
+        self.slot_req[slot] = req
+        self.positions[slot] = s
+        self.next_token[slot, 0] = nxt
+
+    # --------------------------------------------------------------- decode
+    def pending(self) -> int:
+        return len(self.queue) + sum(r is not None for r in self.slot_req)
+
+    def active_slots(self):
+        return [i for i, r in enumerate(self.slot_req) if r is not None]
+
+    def step(self):
+        """One fixed-shape decode step for every active slot.
+
+        Returns the list of requests finished this step.
+        """
+        if not self.active_slots():
+            return []
+        logits, self.cache = self._decode(
+            self.params, self.cache,
+            jnp.asarray(self.next_token), jnp.asarray(self.positions),
+        )
+        next_ids = np.asarray(jnp.argmax(logits[:, 0], axis=-1), np.int32)
+
+        finished = []
+        for slot in self.active_slots():
+            req = self.slot_req[slot]
+            tok = int(next_ids[slot])
+            req.output.append(tok)
+            self.positions[slot] += 1
+            self.next_token[slot, 0] = tok
+            hit_eos = req.eos_id is not None and tok == req.eos_id
+            out_of_room = self.positions[slot] + 1 >= self.cfg.max_seq_len
+            if len(req.output) >= req.max_new_tokens or hit_eos or out_of_room:
+                req.done = True
+                finished.append(req)
+                self.slot_req[slot] = None
+                self.positions[slot] = 0
+        self._admit()
+        return finished
+
+
+class Watchdog:
+    """Failure detection + bounded-retry for device steps (SURVEY.md §5:
+    the serving layer must supply health checking the reference lacks).
+
+    Wraps a callable; on exception it re-raises after ``max_retries``
+    attempts and tracks step latency for health introspection.
+    """
+
+    def __init__(self, fn, max_retries: int = 2, timeout_s: float | None = None):
+        self.fn = fn
+        self.max_retries = max_retries
+        self.timeout_s = timeout_s
+        self.failures = 0
+        self.last_latency_s: float | None = None
+
+    def __call__(self, *args, **kw):
+        last_exc = None
+        for _ in range(self.max_retries + 1):
+            t0 = time.perf_counter()
+            try:
+                out = self.fn(*args, **kw)
+                jax.block_until_ready(out)
+                self.last_latency_s = time.perf_counter() - t0
+                if self.timeout_s and self.last_latency_s > self.timeout_s:
+                    raise TimeoutError(
+                        f"step took {self.last_latency_s:.1f}s > {self.timeout_s}s"
+                    )
+                return out
+            except Exception as e:  # noqa: BLE001 — health boundary
+                self.failures += 1
+                last_exc = e
+        raise last_exc
+
+    def healthy(self) -> bool:
+        return self.failures == 0
