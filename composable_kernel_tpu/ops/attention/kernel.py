@@ -302,7 +302,7 @@ def flash_decode(
     v,
     *,
     kv_seq_len=None,
-    num_splits: int = 8,
+    num_splits: int = 1,
     scale: float | None = None,
     k_scale=None,
     v_scale=None,
@@ -317,6 +317,10 @@ def flash_decode(
     The KV sequence is partitioned into ``num_splits`` chunks processed as
     independent attention problems (extra parallelism when B*H is small);
     the combine is a tiny jnp log-sum-exp reduction that XLA fuses.
+
+    num_splits matters on multi-core parts; on a single-tensorcore chip
+    (v5e) the grid is sequential anyway and the split's KV reshuffle is
+    pure overhead, so the default is 1.
 
     q: [B, Hq, Sq, D] (Sq small); k, v: [B, Hkv, Sk, D].
     """

@@ -1,0 +1,129 @@
+"""End-to-end Llama-3-8B W4A16 inference benchmark on one chip.
+
+Builds the full 8B-parameter quantized model (random weights — bandwidth
+and compute are weight-value-independent), then measures:
+
+  - single-token decode latency / tokens/s at several batch sizes
+  - prefill throughput (tokens/s) at a 2k prompt
+
+Speed-of-light: a decode step must stream every weight once
+(~4.2 GB int4 + scales + bf16 embed/head) -> HBM-bound floor.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from composable_kernel_tpu.models import llama
+
+
+def random_quantized_params(cfg: llama.LlamaConfig, key):
+    """Generate the quantized pytree directly (no bf16 intermediate —
+    a full bf16 8B copy would not fit next to the quantized one)."""
+    d, f, v, g = cfg.dim, cfg.ffn_dim, cfg.vocab_size, cfg.group_size
+    hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    keys = iter(jax.random.split(key, cfg.n_layers * 7 + 3))
+
+    def qlin(k_, kk, nn):
+        packed = jax.random.randint(k_, (kk // 2, nn), -128, 128, jnp.int8)
+        scales = jnp.full((kk // g, nn), 0.004, jnp.float32)
+        return {"q": packed, "s": scales}
+
+    layers = []
+    for _ in range(cfg.n_layers):
+        layers.append(
+            {
+                "attn_norm": jnp.ones((d,), cfg.jdtype),
+                "wq": qlin(next(keys), d, nh * hd),
+                "wk": qlin(next(keys), d, nkv * hd),
+                "wv": qlin(next(keys), d, nkv * hd),
+                "wo": qlin(next(keys), nh * hd, d),
+                "ffn_norm": jnp.ones((d,), cfg.jdtype),
+                "w_gate": qlin(next(keys), d, f),
+                "w_up": qlin(next(keys), d, f),
+                "w_down": qlin(next(keys), f, d),
+            }
+        )
+    std = 0.02
+    return {
+        "embed": (jax.random.normal(next(keys), (v, d), jnp.float32) * std).astype(cfg.jdtype),
+        "layers": layers,
+        "norm": jnp.ones((d,), cfg.jdtype),
+        "lm_head": qlin(next(keys), d, v),
+    }
+
+
+def main():
+    assert jax.default_backend() == "tpu", "run on the real chip"
+    cfg = llama.llama3_8b(max_seq_len=4096, quant="w4a16", group_size=128)
+    print("building 8B quantized params on device ...", flush=True)
+    params = random_quantized_params(cfg, jax.random.PRNGKey(0))
+    n_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(params)
+    )
+    print(f"param bytes on HBM: {n_bytes/1e9:.2f} GB", flush=True)
+
+    # ---- decode latency: B slots, positions mid-sequence -----------------
+    # Steps are chained inside ONE jit via lax.scan (token feedback,
+    # positions advancing) and timed at two step counts: the per-call
+    # dispatch through a proxied runtime costs ~40 ms and would otherwise
+    # swamp the ~5 ms device step (measured: a python-loop "benchmark"
+    # reports 39-45 ms/step regardless of model depth).
+    for batch in (1, 4, 8):
+        cache = llama.init_kv_cache(cfg, batch)
+        toks = jnp.ones((batch, 1), jnp.int32)
+        pos0 = jnp.full((batch,), 1024, jnp.int32)
+
+        def run_n(n):
+            @jax.jit
+            def body(params, cache, toks, pos0):
+                def one(carry, i):
+                    cache, toks = carry
+                    logits, cache = llama.decode_step_batched(
+                        params, cache, toks, pos0 + i, cfg
+                    )
+                    nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                    return (cache, nxt), ()
+                (cache, toks), _ = jax.lax.scan(
+                    one, (cache, toks), jnp.arange(n)
+                )
+                return toks
+            return body
+
+        lo_n, hi_n = 8, 40
+        lo, hi = run_n(lo_n), run_n(hi_n)
+        np.asarray(lo(params, cache, toks, pos0))
+        np.asarray(hi(params, cache, toks, pos0))
+        t0 = time.perf_counter(); np.asarray(lo(params, cache, toks, pos0)); t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter(); np.asarray(hi(params, cache, toks, pos0)); t_hi = time.perf_counter() - t0
+        dt = (t_hi - t_lo) / (hi_n - lo_n)
+        print(
+            f"decode B={batch}: {dt*1e3:.2f} ms/step, "
+            f"{batch/dt:.1f} tok/s total, {1/dt:.1f} tok/s/seq",
+            flush=True,
+        )
+        del cache
+
+    # ---- prefill throughput ---------------------------------------------
+    s = 2048
+    prompt = jnp.ones((1, s), jnp.int32)
+    fwd = jax.jit(lambda p, t: llama.forward(p, t, cfg))
+    logits = fwd(params, prompt)
+    np.asarray(logits[0, -1, :8])
+    t0 = time.perf_counter()
+    logits = fwd(params, prompt)
+    np.asarray(logits[0, -1, :8])
+    dt = time.perf_counter() - t0
+    print(f"prefill {s} tokens: {dt*1e3:.1f} ms, {s/dt:.0f} tok/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
