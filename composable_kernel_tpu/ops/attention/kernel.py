@@ -45,7 +45,7 @@ _LANES = 128
 
 
 def _fa_kernel(
-    lens_ref,  # scalar prefetch: [B] int32 kv lengths
+    lens_ref,  # scalar prefetch: [2, B] int32 — row 0: kv lens, row 1: causal offsets
     *refs,
     has_bias: bool,
     has_kv_scale: bool,
@@ -56,7 +56,6 @@ def _fa_kernel(
     n_k_steps: int,
     bq: int,
     bk: int,
-    q_offset: int,
     heads_q: int,
 ):
     idx = 0
@@ -99,9 +98,13 @@ def _fa_kernel(
         s = s + bias_ref[0].astype(jnp.float32)
 
     # ---- masking ----
-    q_pos = q_blk * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + q_offset
+    q_pos = (
+        q_blk * bq
+        + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        + lens_ref[1, batch]  # causal alignment offset (may be traced)
+    )
     k_pos = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    mask = k_pos < lens_ref[batch]  # varlen + Sk padding
+    mask = k_pos < lens_ref[0, batch]  # varlen + Sk padding
     if causal:
         mask &= k_pos <= q_pos
     if window is not None:
@@ -146,6 +149,7 @@ def flash_attention(
     window: int | None = None,
     bias=None,
     kv_seq_len=None,
+    causal_offset=None,
     k_scale=None,
     v_scale=None,
     config: AttentionConfig | None = None,
@@ -161,8 +165,12 @@ def flash_attention(
     bias:       optional [B, Hq, Sq, Sk] additive (alibi / attention bias).
     kv_seq_len: optional [B] int32 — keys at positions >= len are masked
                 (ragged batches; also how Sk padding is neutralized).
-    causal masking is bottom-right aligned: query i attends keys
-    <= Sk - Sq + i (decode convention, matching ``ref_attention``).
+    causal_offset: optional [B] int32 (may be traced) — overrides the
+                causal diagonal alignment per batch: query i attends keys
+                <= i + causal_offset[b]. Used by ring attention, where the
+                KV chunk's global position rotates each step.
+    causal masking defaults to bottom-right alignment: query i attends
+    keys <= Sk - Sq + i (decode convention, matching ``ref_attention``).
     Returns O [B, Hq, Sq, D] (and LSE [B, Hq, Sq] if ``return_lse``).
     """
     b, hq, sq, d = q.shape
@@ -198,8 +206,11 @@ def flash_attention(
         lens = jnp.full((b,), sk, jnp.int32)
     else:
         lens = jnp.asarray(kv_seq_len, jnp.int32)
-
-    q_offset = sk - sq  # bottom-right causal alignment
+    if causal_offset is None:
+        offs = jnp.full((b,), sk - sq, jnp.int32)  # bottom-right alignment
+    else:
+        offs = jnp.asarray(causal_offset, jnp.int32)
+    lens2 = jnp.stack([lens, offs])  # [2, B] scalar-prefetch payload
 
     # index maps receive the scalar-prefetch ref as a trailing argument
     def q_index(bh, i, kk, *_):
@@ -253,7 +264,6 @@ def flash_attention(
         n_k_steps=n_k_steps,
         bq=bq,
         bk=bk,
-        q_offset=q_offset,
         heads_q=hq,
     )
 
@@ -287,7 +297,7 @@ def flash_attention(
             transcendentals=b * hq * sq * sk,
         ),
         interpret=interpret,
-    )(lens, *inputs)
+    )(lens2, *inputs)
 
     o = outs[0][:, :sq, :dv].reshape(b, hq, sq, dv)
     if return_lse:

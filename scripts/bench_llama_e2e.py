@@ -27,7 +27,8 @@ from composable_kernel_tpu.models import llama
 
 def random_quantized_params(cfg: llama.LlamaConfig, key):
     """Generate the quantized pytree directly (no bf16 intermediate —
-    a full bf16 8B copy would not fit next to the quantized one)."""
+    a full bf16 8B copy would not fit next to the quantized one).
+    One jit call: per-tensor dispatches through a proxied runtime are slow."""
     d, f, v, g = cfg.dim, cfg.ffn_dim, cfg.vocab_size, cfg.group_size
     hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     keys = iter(jax.random.split(key, cfg.n_layers * 7 + 3))
@@ -65,7 +66,8 @@ def main():
     assert jax.default_backend() == "tpu", "run on the real chip"
     cfg = llama.llama3_8b(max_seq_len=4096, quant="w4a16", group_size=128)
     print("building 8B quantized params on device ...", flush=True)
-    params = random_quantized_params(cfg, jax.random.PRNGKey(0))
+    params = jax.jit(lambda k: random_quantized_params(cfg, k))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
     n_bytes = sum(
         x.size * x.dtype.itemsize for x in jax.tree.leaves(params)
     )

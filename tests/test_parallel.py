@@ -82,3 +82,30 @@ def test_train_step():
     for _ in range(3):
         p, o, loss = train_step(p, o, toks, CFG, mesh, lr=1e-2)
     assert float(loss) < first
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention(causal):
+    """Sequence-parallel ring attention == full-sequence reference."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from composable_kernel_tpu.parallel.ring_attention import ring_attention
+    from composable_kernel_tpu.reference.attention import ref_attention
+
+    mesh = make_mesh(tp=1, dp=8)  # ring over 'dp' (8 virtual devices)
+    b, h, s, d = 1, 2, 512, 64
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(keys[0], (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+    k = jax.random.normal(keys[1], (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+    v = jax.random.normal(keys[2], (b, h, s, d), jnp.float32).astype(jnp.bfloat16)
+
+    f = shard_map(
+        lambda q_, k_, v_: ring_attention(q_, k_, v_, "dp", causal=causal),
+        mesh=mesh,
+        in_specs=(P(None, None, "dp", None),) * 3,
+        out_specs=P(None, None, "dp", None),
+        check_rep=False,
+    )
+    got = f(q, k, v)
+    want = ref_attention(q, k, v, causal=causal)
+    check_err(got, want, rtol=3e-2, atol=3e-2)
