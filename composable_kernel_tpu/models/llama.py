@@ -55,6 +55,11 @@ class LlamaConfig:
     # tp_pack independent K blocks so a tp_pack-way shard of the packed rows
     # hands each device a self-contained split-halves matrix. 1 = no TP.
     tp_pack: int = 1
+    # fuse qkv and gate/up projections into single wide GEMMs (fewer kernel
+    # launches + wider contiguous weight streams at decode). Single-device
+    # optimization: incompatible with TP column sharding (the concat
+    # boundary would split across shards), so keep False when sharding.
+    fuse_qkv: bool = False
     dtype: str = "bfloat16"
 
     @property
@@ -142,17 +147,27 @@ def quantize_weights(params: dict, cfg: LlamaConfig) -> dict:
         raise ValueError(cfg.quant)
 
     out = dict(params)
-    out["layers"] = [
-        {
-            k: (
-                quant_one(v, row_parallel=k in _ROW_PARALLEL)
-                if k in _QUANT_KEYS
-                else v
+    new_layers = []
+    for layer in params["layers"]:
+        if cfg.fuse_qkv:
+            layer = dict(layer)
+            layer["wqkv"] = jnp.concatenate(
+                [layer.pop("wq"), layer.pop("wk"), layer.pop("wv")], axis=1
             )
-            for k, v in layer.items()
-        }
-        for layer in params["layers"]
-    ]
+            layer["w_gateup"] = jnp.concatenate(
+                [layer.pop("w_gate"), layer.pop("w_up")], axis=1
+            )
+        new_layers.append(
+            {
+                k: (
+                    quant_one(v, row_parallel=k in _ROW_PARALLEL)
+                    if k in _QUANT_KEYS or k in ("wqkv", "w_gateup")
+                    else v
+                )
+                for k, v in layer.items()
+            }
+        )
+    out["layers"] = new_layers
     out["lm_head"] = quant_one(params["lm_head"])
     return out
 
@@ -236,9 +251,17 @@ def _attn_block(
     hd = cfg.head_dim
 
     x2 = x.reshape(b * s, -1)
-    q = _linear(x2, layer["wq"], cfg, interpret, kernels)
-    k = _linear(x2, layer["wk"], cfg, interpret, kernels)
-    v = _linear(x2, layer["wv"], cfg, interpret, kernels)
+    if "wqkv" in layer:
+        qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
+        n_q = cfg.n_heads * hd
+        n_kv = cfg.n_kv_heads * hd
+        q = qkv[:, :n_q]
+        k = qkv[:, n_q : n_q + n_kv]
+        v = qkv[:, n_q + n_kv :]
+    else:
+        q = _linear(x2, layer["wq"], cfg, interpret, kernels)
+        k = _linear(x2, layer["wk"], cfg, interpret, kernels)
+        v = _linear(x2, layer["wv"], cfg, interpret, kernels)
     # local head counts derive from the (possibly TP-sharded) weight shapes
     nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
     q = q.reshape(b, s, nh, hd)
@@ -285,8 +308,13 @@ def _attn_block(
 def _ffn_block(x, layer, cfg: LlamaConfig, *, tp_axis=None, interpret=None, kernels=True):
     b, s, d = x.shape
     x2 = x.reshape(b * s, d)
-    g = _linear(x2, layer["w_gate"], cfg, interpret, kernels)
-    u = _linear(x2, layer["w_up"], cfg, interpret, kernels)
+    if "w_gateup" in layer:
+        gu = _linear(x2, layer["w_gateup"], cfg, interpret, kernels)
+        f_loc = gu.shape[-1] // 2
+        g, u = gu[:, :f_loc], gu[:, f_loc:]
+    else:
+        g = _linear(x2, layer["w_gate"], cfg, interpret, kernels)
+        u = _linear(x2, layer["w_up"], cfg, interpret, kernels)
     h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
     o = _linear(h, layer["w_down"], cfg, interpret, kernels, global_k=cfg.ffn_dim)
     if tp_axis is not None:
@@ -455,9 +483,17 @@ def decode_step_batched(
         h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
         x2 = h.reshape(b * s, -1)
         hd = cfg.head_dim
-        q = _linear(x2, layer["wq"], cfg, interpret, kernels)
-        k = _linear(x2, layer["wk"], cfg, interpret, kernels)
-        v = _linear(x2, layer["wv"], cfg, interpret, kernels)
+        if "wqkv" in layer:
+            qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
+            n_q = cfg.n_heads * hd
+            n_kv = cfg.n_kv_heads * hd
+            q, k, v = (
+                qkv[:, :n_q], qkv[:, n_q : n_q + n_kv], qkv[:, n_q + n_kv :]
+            )
+        else:
+            q = _linear(x2, layer["wq"], cfg, interpret, kernels)
+            k = _linear(x2, layer["wk"], cfg, interpret, kernels)
+            v = _linear(x2, layer["wv"], cfg, interpret, kernels)
         nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
         q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)

@@ -216,8 +216,17 @@ def flash_attention(
     def q_index(bh, i, kk, *_):
         return (bh, i, 0)
 
-    def kv_index(bh, i, kk, *_):
-        return ((bh // hq) * hkv + (bh % hq) // group, kk, 0)
+    def kv_index(bh, i, kk, *scalars):
+        # clamp the block index to the live KV prefix: blocks past
+        # kv_seq_len re-read block 0 instead of streaming dead cache rows
+        # from HBM (they are fully masked in-kernel, so only the DMA
+        # traffic changes — decode caches are sized for max_seq but mostly
+        # empty). scalars[0] is the [2, B] lens/offset payload.
+        kk_live = kk
+        if scalars:
+            n_live = jax.lax.div(scalars[0][0, bh // hq] + (bk - 1), bk)
+            kk_live = jnp.minimum(kk, jnp.maximum(n_live - 1, 0))
+        return ((bh // hq) * hkv + (bh % hq) // group, kk_live, 0)
 
     in_specs = [
         pl.BlockSpec((1, bq, dp), q_index, memory_space=pltpu.VMEM),

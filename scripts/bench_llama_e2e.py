@@ -40,19 +40,22 @@ def random_quantized_params(cfg: llama.LlamaConfig, key):
 
     layers = []
     for _ in range(cfg.n_layers):
-        layers.append(
-            {
-                "attn_norm": jnp.ones((d,), cfg.jdtype),
-                "wq": qlin(next(keys), d, nh * hd),
-                "wk": qlin(next(keys), d, nkv * hd),
-                "wv": qlin(next(keys), d, nkv * hd),
-                "wo": qlin(next(keys), nh * hd, d),
-                "ffn_norm": jnp.ones((d,), cfg.jdtype),
-                "w_gate": qlin(next(keys), d, f),
-                "w_up": qlin(next(keys), d, f),
-                "w_down": qlin(next(keys), f, d),
-            }
-        )
+        layer = {
+            "attn_norm": jnp.ones((d,), cfg.jdtype),
+            "wo": qlin(next(keys), nh * hd, d),
+            "ffn_norm": jnp.ones((d,), cfg.jdtype),
+            "w_down": qlin(next(keys), f, d),
+        }
+        if cfg.fuse_qkv:
+            layer["wqkv"] = qlin(next(keys), d, (nh + 2 * nkv) * hd)
+            layer["w_gateup"] = qlin(next(keys), d, 2 * f)
+        else:
+            layer["wq"] = qlin(next(keys), d, nh * hd)
+            layer["wk"] = qlin(next(keys), d, nkv * hd)
+            layer["wv"] = qlin(next(keys), d, nkv * hd)
+            layer["w_gate"] = qlin(next(keys), d, f)
+            layer["w_up"] = qlin(next(keys), d, f)
+        layers.append(layer)
     std = 0.02
     return {
         "embed": (jax.random.normal(next(keys), (v, d), jnp.float32) * std).astype(cfg.jdtype),
@@ -64,7 +67,7 @@ def random_quantized_params(cfg: llama.LlamaConfig, key):
 
 def main():
     assert jax.default_backend() == "tpu", "run on the real chip"
-    cfg = llama.llama3_8b(max_seq_len=4096, quant="w4a16", group_size=128)
+    cfg = llama.llama3_8b(max_seq_len=4096, quant="w4a16", group_size=128, fuse_qkv=True)
     print("building 8B quantized params on device ...", flush=True)
     params = jax.jit(lambda k: random_quantized_params(cfg, k))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)

@@ -96,3 +96,22 @@ class TestDecode:
         got, cache2 = llama.decode_step(qp, seeded, nxt, 16, cfg)
         assert got.shape == (2, 1, cfg.vocab_size)
         assert jnp.isfinite(got.astype(jnp.float32)).all()
+
+
+class TestFusedProjections:
+    def test_fused_matches_unfused(self):
+        cfg_f = llama.tiny_config(quant="w4a16", fuse_qkv=True)
+        cfg_u = llama.tiny_config(quant="w4a16")
+        qp_f = llama.quantize_weights(PARAMS_BF16, cfg_f)
+        qp_u = llama.quantize_weights(PARAMS_BF16, cfg_u)
+        assert "wqkv" in qp_f["layers"][0] and "w_gateup" in qp_f["layers"][0]
+        got = llama.forward(qp_f, TOKENS, cfg_f, kernels=False)
+        want = llama.forward(qp_u, TOKENS, cfg_u, kernels=False)
+        check_err(got, want, rtol=6e-2, atol=6e-2)
+
+    def test_fused_kernel_path(self):
+        cfg_f = llama.tiny_config(quant="w4a16", fuse_qkv=True)
+        qp_f = llama.quantize_weights(PARAMS_BF16, cfg_f)
+        got = llama.forward(qp_f, TOKENS, cfg_f, kernels=True)
+        want = llama.forward(qp_f, TOKENS, cfg_f, kernels=False)
+        check_err(got, want, rtol=6e-2, atol=6e-2)
