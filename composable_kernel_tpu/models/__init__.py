@@ -4,6 +4,7 @@ from composable_kernel_tpu.models.llama import (
     forward,
     generate_greedy,
     init_kv_cache,
+    seed_kv_cache,
     init_weights,
     llama3_8b,
     quantize_weights,
@@ -16,6 +17,7 @@ __all__ = [
     "forward",
     "generate_greedy",
     "init_kv_cache",
+    "seed_kv_cache",
     "init_weights",
     "llama3_8b",
     "quantize_weights",

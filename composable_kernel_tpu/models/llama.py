@@ -60,6 +60,10 @@ class LlamaConfig:
     # optimization: incompatible with TP column sharding (the concat
     # boundary would split across shards), so keep False when sharding.
     fuse_qkv: bool = False
+    # KV-cache storage: "bf16" (model dtype) or "int8" (per-head symmetric
+    # scales calibrated at prefill; dequant fused at attention load — the
+    # int8-KV config of BASELINE.json, halving cache HBM traffic)
+    kv_quant: str = "bf16"
     dtype: str = "bfloat16"
 
     @property
@@ -284,19 +288,33 @@ def _attn_block(
             o = ref_attention(q, k, v, causal=True, kv_seq_len=kv_seq_len)
         new_cache = (k, v)
     else:
-        k_cache, v_cache = cache
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, pos, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, pos, 0))
+        is_i8 = "ks" in cache
+        k_in = _quantize_kv(k, cache["ks"]) if is_i8 else k
+        v_in = _quantize_kv(v, cache["vs"]) if is_i8 else v
+        new_cache = dict(cache)
+        new_cache["k"] = jax.lax.dynamic_update_slice(
+            cache["k"], k_in.astype(cache["k"].dtype), (0, 0, pos, 0)
+        )
+        new_cache["v"] = jax.lax.dynamic_update_slice(
+            cache["v"], v_in.astype(cache["v"].dtype), (0, 0, pos, 0)
+        )
         lens = jnp.full((b,), pos + s, jnp.int32) if kv_seq_len is None else kv_seq_len
+        scales = (
+            {"k_scale": cache["ks"], "v_scale": cache["vs"]} if is_i8 else {}
+        )
         if kernels:
             o = flash_decode(
-                q, k_cache, v_cache, kv_seq_len=lens, interpret=interpret
+                q, new_cache["k"], new_cache["v"], kv_seq_len=lens,
+                interpret=interpret, **scales,
             )
         else:
             from composable_kernel_tpu.reference.attention import ref_attention
 
-            o = ref_attention(q, k_cache, v_cache, kv_seq_len=lens)
-        new_cache = (k_cache, v_cache)
+            kf, vf = new_cache["k"], new_cache["v"]
+            if is_i8:
+                kf = (kf.astype(jnp.float32) * cache["ks"][:, :, None, None]).astype(q.dtype)
+                vf = (vf.astype(jnp.float32) * cache["vs"][:, :, None, None]).astype(q.dtype)
+            o = ref_attention(q, kf, vf, kv_seq_len=lens)
 
     o = o.transpose(0, 2, 1, 3).reshape(b * s, nh * hd)
     o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
@@ -369,13 +387,74 @@ def forward(
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, *, n_kv_heads=None, dtype=None):
-    """[n_layers] list of (K, V) [B, Hkv, max_seq, hd] zero caches."""
+    """[n_layers] list of cache dicts {"k","v"[,"ks","vs"]}.
+
+    K/V are [B, Hkv, max_seq, hd]; with ``cfg.kv_quant == "int8"`` they are
+    int8 with per-(B, Hkv) f32 scales (prefill-calibrated).
+    """
     nkv = n_kv_heads or cfg.n_kv_heads
     shape = (batch, nkv, cfg.max_seq_len, cfg.head_dim)
+    if cfg.kv_quant == "int8":
+        return [
+            {
+                "k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "ks": jnp.ones((batch, nkv), jnp.float32),
+                "vs": jnp.ones((batch, nkv), jnp.float32),
+            }
+            for _ in range(cfg.n_layers)
+        ]
     dt = dtype or cfg.jdtype
     return [
-        (jnp.zeros(shape, dt), jnp.zeros(shape, dt)) for _ in range(cfg.n_layers)
+        {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+        for _ in range(cfg.n_layers)
     ]
+
+
+def _quantize_kv(x, scale):
+    """x [B,Hkv,S,hd] -> int8 rows with per-(B,Hkv) scale."""
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[:, :, None, None]), -127, 127
+    ).astype(jnp.int8)
+
+
+def seed_kv_cache(cache, seeds, cfg: LlamaConfig, *, slot: int = 0):
+    """Write prefill (K, V) seeds into cache position [slot, :, 0:S).
+
+    int8 mode calibrates the per-head scales from the prefill absmax
+    (CK-style static quantization: decode tokens reuse these scales).
+    Seeds may have batch > 1 only when slot == 0 and shapes match.
+    """
+    out = []
+    for entry, (k, v) in zip(cache, seeds):
+        b_seed = k.shape[0]
+        at = (slot, 0, 0, 0)
+        if cfg.kv_quant == "int8":
+            ks = jnp.maximum(
+                jnp.max(jnp.abs(k.astype(jnp.float32)), axis=(2, 3)) / 127.0, 1e-6
+            )
+            vs = jnp.maximum(
+                jnp.max(jnp.abs(v.astype(jnp.float32)), axis=(2, 3)) / 127.0, 1e-6
+            )
+            new = dict(entry)
+            new["k"] = jax.lax.dynamic_update_slice(
+                entry["k"], _quantize_kv(k, ks), at
+            )
+            new["v"] = jax.lax.dynamic_update_slice(
+                entry["v"], _quantize_kv(v, vs), at
+            )
+            new["ks"] = jax.lax.dynamic_update_slice(entry["ks"], ks, (slot, 0))
+            new["vs"] = jax.lax.dynamic_update_slice(entry["vs"], vs, (slot, 0))
+        else:
+            new = dict(entry)
+            new["k"] = jax.lax.dynamic_update_slice(
+                entry["k"], k.astype(entry["k"].dtype), at
+            )
+            new["v"] = jax.lax.dynamic_update_slice(
+                entry["v"], v.astype(entry["v"].dtype), at
+            )
+        out.append(new)
+    return out
 
 
 def decode_step(
@@ -425,13 +504,7 @@ def generate_greedy(params, prompt, n_steps, cfg: LlamaConfig, *, interpret=None
     """
     b, s = prompt.shape
     logits, seeds = forward(params, prompt, cfg, interpret=interpret, return_cache=True)
-    cache = init_kv_cache(cfg, b)
-    seeded = []
-    for (kc, vc), (k, v) in zip(cache, seeds):
-        kc = jax.lax.dynamic_update_slice(kc, k, (0, 0, 0, 0))
-        vc = jax.lax.dynamic_update_slice(vc, v, (0, 0, 0, 0))
-        seeded.append((kc, vc))
-    cache = seeded
+    cache = seed_kv_cache(init_kv_cache(cfg, b), seeds, cfg)
 
     tokens = prompt
     next_tok = jnp.argmax(logits[:, -1:], axis=-1).astype(prompt.dtype)
@@ -475,7 +548,9 @@ def decode_step_batched(
     def upd(c, new):
         # per-slot dynamic row update at positions[b]
         return jax.vmap(
-            lambda cb, nb, p: jax.lax.dynamic_update_slice(cb, nb, (0, p, 0))
+            lambda cb, nb, p: jax.lax.dynamic_update_slice(
+                cb, nb.astype(cb.dtype), (0, p, 0)
+            )
         )(c, new, positions)
 
     new_cache = []
@@ -506,15 +581,26 @@ def decode_step_batched(
             [k[..., : hd // 2] * cos_b - k[..., hd // 2 :] * sin_b,
              k[..., hd // 2 :] * cos_b + k[..., : hd // 2] * sin_b], axis=-1
         ).astype(k.dtype)
-        k_cache, v_cache = kv
-        k_cache = upd(k_cache, k)
-        v_cache = upd(v_cache, v)
+        is_i8 = "ks" in kv
+        k_in = _quantize_kv(k, kv["ks"]) if is_i8 else k
+        v_in = _quantize_kv(v, kv["vs"]) if is_i8 else v
+        kv = dict(kv)
+        kv["k"] = upd(kv["k"], k_in)
+        kv["v"] = upd(kv["v"], v_in)
+        scales = {"k_scale": kv["ks"], "v_scale": kv["vs"]} if is_i8 else {}
         if kernels:
-            o = flash_decode(q, k_cache, v_cache, kv_seq_len=lens, interpret=interpret)
+            o = flash_decode(
+                q, kv["k"], kv["v"], kv_seq_len=lens, interpret=interpret,
+                **scales,
+            )
         else:
             from composable_kernel_tpu.reference.attention import ref_attention
 
-            o = ref_attention(q, k_cache, v_cache, kv_seq_len=lens)
+            kf, vf = kv["k"], kv["v"]
+            if is_i8:
+                kf = (kf.astype(jnp.float32) * kv["ks"][:, :, None, None]).astype(q.dtype)
+                vf = (vf.astype(jnp.float32) * kv["vs"][:, :, None, None]).astype(q.dtype)
+            o = ref_attention(q, kf, vf, kv_seq_len=lens)
         o = o.transpose(0, 2, 1, 3).reshape(b * s, nh * hd)
         o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
         if tp_axis is not None:
@@ -524,7 +610,7 @@ def decode_step_batched(
         x = x + _ffn_block(
             h, layer, cfg, tp_axis=tp_axis, interpret=interpret, kernels=kernels
         )
-        new_cache.append((k_cache, v_cache))
+        new_cache.append(kv)
 
     x = rmsnorm(x, params["norm"], cfg.norm_eps)
     logits = _linear(x.reshape(b * s, -1), params["lm_head"], cfg, interpret, kernels)

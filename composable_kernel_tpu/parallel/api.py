@@ -116,10 +116,11 @@ def tp_decode_step(params, cache, tokens, pos, cfg: llama.LlamaConfig, mesh: Mes
                    *, kernels=True):
     """TP+DP one-token decode over a head-sharded KV cache."""
     specs = param_specs(params, cfg)
-    cache_spec = [
-        (P("dp", "tp", None, None), P("dp", "tp", None, None))
-        for _ in range(cfg.n_layers)
-    ]
+    kv_spec = P("dp", "tp", None, None)
+    entry_spec = {"k": kv_spec, "v": kv_spec}
+    if cfg.kv_quant == "int8":
+        entry_spec = {**entry_spec, "ks": P("dp", "tp"), "vs": P("dp", "tp")}
+    cache_spec = [entry_spec for _ in range(cfg.n_layers)]
 
     def inner(params, cache, tokens, pos):
         return llama.decode_step(

@@ -91,16 +91,7 @@ class ServingEngine:
             self.params, prompt, self.cfg, kernels=self.kernels,
             interpret=self.interpret, return_cache=True,
         )
-        new_cache = []
-        for (kc, vc), (k, v) in zip(self.cache, seeds):
-            kc = jax.lax.dynamic_update_slice(
-                kc, k.astype(kc.dtype), (slot, 0, 0, 0)
-            )
-            vc = jax.lax.dynamic_update_slice(
-                vc, v.astype(vc.dtype), (slot, 0, 0, 0)
-            )
-            new_cache.append((kc, vc))
-        self.cache = new_cache
+        self.cache = llama.seed_kv_cache(self.cache, seeds, self.cfg, slot=slot)
         nxt = int(jnp.argmax(logits[0, -1]))
         req.output.append(nxt)
         # the prefill-produced token can already finish the request

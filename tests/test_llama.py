@@ -62,12 +62,9 @@ class TestDecode:
         full = jnp.concatenate([toks, nxt], axis=1)
 
         _, seeds = llama.forward(PARAMS_BF16, toks, cfg, return_cache=True)
-        cache = llama.init_kv_cache(cfg, toks.shape[0])
-        seeded = []
-        for (kc, vc), (k, v) in zip(cache, seeds):
-            kc = jax.lax.dynamic_update_slice(kc, k, (0, 0, 0, 0))
-            vc = jax.lax.dynamic_update_slice(vc, v, (0, 0, 0, 0))
-            seeded.append((kc, vc))
+        seeded = llama.seed_kv_cache(
+            llama.init_kv_cache(cfg, toks.shape[0]), seeds, cfg
+        )
 
         got, _ = llama.decode_step(PARAMS_BF16, seeded, nxt, 32, cfg)
         want = llama.forward(PARAMS_BF16, full, cfg)[:, -1:]
@@ -83,15 +80,7 @@ class TestDecode:
         qp = llama.quantize_weights(PARAMS_BF16, cfg)
         toks = TOKENS[:, :16]
         _, seeds = llama.forward(qp, toks, cfg, return_cache=True)
-        cache = llama.init_kv_cache(cfg, 2)
-        seeded = []
-        for (kc, vc), (k, v) in zip(cache, seeds):
-            seeded.append(
-                (
-                    jax.lax.dynamic_update_slice(kc, k, (0, 0, 0, 0)),
-                    jax.lax.dynamic_update_slice(vc, v, (0, 0, 0, 0)),
-                )
-            )
+        seeded = llama.seed_kv_cache(llama.init_kv_cache(cfg, 2), seeds, cfg)
         nxt = TOKENS[:, 16:17]
         got, cache2 = llama.decode_step(qp, seeded, nxt, 16, cfg)
         assert got.shape == (2, 1, cfg.vocab_size)
@@ -115,3 +104,29 @@ class TestFusedProjections:
         got = llama.forward(qp_f, TOKENS, cfg_f, kernels=True)
         want = llama.forward(qp_f, TOKENS, cfg_f, kernels=False)
         check_err(got, want, rtol=6e-2, atol=6e-2)
+
+
+class TestInt8KVCache:
+    def test_decode_int8_kv_close_to_bf16(self):
+        cfg8 = llama.tiny_config(quant="bf16", kv_quant="int8")
+        cfg16 = llama.tiny_config(quant="bf16")
+        toks = TOKENS[:, :24]
+        nxt = TOKENS[:, 24:25]
+        _, seeds = llama.forward(PARAMS_BF16, toks, cfg16, return_cache=True)
+        c8 = llama.seed_kv_cache(llama.init_kv_cache(cfg8, 2), seeds, cfg8)
+        c16 = llama.seed_kv_cache(llama.init_kv_cache(cfg16, 2), seeds, cfg16)
+        assert c8[0]["k"].dtype == jnp.int8
+        got, _ = llama.decode_step(PARAMS_BF16, c8, nxt, 24, cfg8)
+        want, _ = llama.decode_step(PARAMS_BF16, c16, nxt, 24, cfg16)
+        check_err(got, want, rtol=1e-1, atol=1e-1)
+
+    def test_batched_decode_int8(self):
+        cfg8 = llama.tiny_config(quant="bf16", kv_quant="int8")
+        cache = llama.init_kv_cache(cfg8, 2)
+        toks = TOKENS[:, :1]
+        pos = jnp.asarray([0, 0], jnp.int32)
+        logits, cache2 = llama.decode_step_batched(
+            PARAMS_BF16, cache, toks, pos, cfg8
+        )
+        assert jnp.isfinite(logits.astype(jnp.float32)).all()
+        assert cache2[0]["k"].dtype == jnp.int8
