@@ -1,0 +1,144 @@
+"""Mixture-of-Experts block on the ragged grouped GEMM.
+
+CK connection: grouped GEMM with device-side arguments is CK's MoE
+building block (``device_grouped_gemm_fixed_nk.hpp`` SetDeviceKernelArgs,
+``device_grouped_gemm_tile_loop.hpp`` — SURVEY.md §2.3 "fixed-NK +
+tile-loop ≈ continuous-batching building block"). Here the token->expert
+dispatch sorts tokens by expert and runs ONE ragged grouped GEMM per
+projection (``ops.gemm.ragged``), the TPU-native equivalent of the
+persistent tile-loop kernel.
+
+Expert parallelism (absent in the single-GPU reference): experts shard
+over an 'ep' mesh axis inside shard_map — each device computes its local
+experts' contribution for ALL tokens (gating weights for remote experts
+are zero locally) and a single psum combines. Top-k routing with
+softmax-renormalized gate weights (Mixtral convention).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from composable_kernel_tpu.ops.gemm.api import grouped_gemm
+from composable_kernel_tpu.ops.gemm.config import GemmConfig
+
+__all__ = ["MoEConfig", "init_moe_weights", "moe_block", "moe_block_ragged"]
+
+
+@dataclass(frozen=True)
+class MoEConfig:
+    dim: int = 256
+    ffn_dim: int = 512
+    n_experts: int = 8
+    top_k: int = 2
+    dtype: str = "bfloat16"
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def init_moe_weights(cfg: MoEConfig, key):
+    kr, kg, ku, kd = jax.random.split(key, 4)
+    std = cfg.dim ** -0.5
+    mk = lambda k, shape: (jax.random.normal(k, shape, jnp.float32) * std).astype(
+        cfg.jdtype
+    )
+    return {
+        "router": mk(kr, (cfg.dim, cfg.n_experts)),
+        "w_gate": mk(kg, (cfg.n_experts, cfg.dim, cfg.ffn_dim)),
+        "w_up": mk(ku, (cfg.n_experts, cfg.dim, cfg.ffn_dim)),
+        "w_down": mk(kd, (cfg.n_experts, cfg.ffn_dim, cfg.dim)),
+    }
+
+
+def _route(x2, router, top_k):
+    """Returns (weights [T, k], experts [T, k]) with renormalized softmax."""
+    logits = jnp.matmul(x2.astype(jnp.float32), router.astype(jnp.float32))
+    w, idx = jax.lax.top_k(logits, top_k)
+    w = jax.nn.softmax(w, axis=-1)
+    return w, idx
+
+
+def moe_block(x, weights, cfg: MoEConfig, *, ep_axis=None):
+    """Dense-dispatch MoE: y[T, D] = sum_k w_k * expert_{e_k}(x).
+
+    Einsum formulation — every token visits its top-k experts via one-hot
+    combine arrays. O(T * E / top_k) overhead vs ragged dispatch, but
+    shard_map/psum-friendly: under ``ep_axis`` each device holds its
+    expert shard of the (E, ...) weights and contributes partial sums.
+    """
+    t, d = x.shape
+    n_local = weights["w_gate"].shape[0]
+    w, idx = _route(x, weights["router"], cfg.top_k)
+    if ep_axis is not None:
+        # global expert id -> local slot (or out of range = contribute 0)
+        offset = jax.lax.axis_index(ep_axis) * n_local
+        idx = idx - offset
+        valid = (idx >= 0) & (idx < n_local)
+        w = jnp.where(valid, w, 0.0)
+        idx = jnp.clip(idx, 0, n_local - 1)
+    # combine [T, k, E_local]
+    onehot = jax.nn.one_hot(idx, n_local, dtype=jnp.float32) * w[..., None]
+    combine = onehot.sum(axis=1)  # [T, E_local]
+    xf = x.astype(jnp.float32)
+    g = jnp.einsum("td,edf->tef", xf, weights["w_gate"].astype(jnp.float32))
+    u = jnp.einsum("td,edf->tef", xf, weights["w_up"].astype(jnp.float32))
+    h = jax.nn.silu(g) * u
+    y = jnp.einsum("tef,efd->ted", h, weights["w_down"].astype(jnp.float32))
+    out = jnp.einsum("ted,te->td", y, combine)
+    if ep_axis is not None:
+        out = jax.lax.psum(out, ep_axis)
+    return out.astype(x.dtype)
+
+
+def moe_block_ragged(x, weights, cfg: MoEConfig, *, block_m: int = 16,
+                     interpret=None):
+    """Sorted-dispatch MoE on the ragged grouped GEMM (single device).
+
+    Tokens sort by expert; each of gate/up/down runs as ONE ragged grouped
+    GEMM over per-expert row blocks (CK tile-loop analog). Token counts
+    per expert are rounded up to ``block_m`` rows with zero padding (the
+    fixed-NK contract of ops/gemm/ragged.py).
+    """
+    t, d = x.shape
+    e = cfg.n_experts
+    w, idx = _route(x, weights["router"], cfg.top_k)
+    # flatten (token, k) pairs -> rows
+    flat_expert = idx.reshape(-1)  # [T*k]
+    flat_w = w.reshape(-1)
+    flat_tok = jnp.repeat(jnp.arange(t), cfg.top_k)
+    order = jnp.argsort(flat_expert)
+    flat_expert = flat_expert[order]
+    flat_tok = flat_tok[order]
+    flat_w = flat_w[order]
+
+    counts = jnp.bincount(flat_expert, length=e)
+    padded = -(-counts // block_m) * block_m  # per-expert padded row counts
+    starts = jnp.cumsum(padded) - padded
+    # scatter each sorted row into its expert's padded block
+    within = jnp.arange(t * cfg.top_k) - (jnp.cumsum(counts) - counts)[flat_expert]
+    rows = starts[flat_expert] + within
+    total = t * cfg.top_k + e * (block_m - 1)
+    total = -(-total // block_m) * block_m
+    a = jnp.zeros((total, d), x.dtype).at[rows].set(x[flat_tok])
+
+    cfg_g = GemmConfig(block_m=block_m, block_n=512, block_k=512)
+
+    def run(wstack, a_in):
+        return grouped_gemm(
+            padded, a_in, wstack, out_dtype=jnp.float32, config=cfg_g,
+            interpret=interpret,
+        )
+
+    g = run(weights["w_gate"], a)
+    u = run(weights["w_up"], a)
+    h = (jax.nn.silu(g) * u).astype(x.dtype)
+    y = run(weights["w_down"], h)
+    # gather back + weighted combine
+    contrib = y[rows] * flat_w[:, None]
+    out = jnp.zeros((t, d), jnp.float32).at[flat_tok].add(contrib)
+    return out.astype(x.dtype)

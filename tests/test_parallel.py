@@ -109,3 +109,31 @@ def test_ring_attention(causal):
     got = f(q, k, v)
     want = ref_attention(q, k, v, causal=causal)
     check_err(got, want, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("n_stages,n_mb", [(4, 2), (2, 4)])
+def test_pipeline_parallel(n_stages, n_mb):
+    """'pp' pipelined forward == plain forward."""
+    from composable_kernel_tpu.parallel.pipeline import make_pp_mesh, pp_forward
+
+    cfg = llama.tiny_config(quant="bf16", n_layers=4)
+    params = llama.init_weights(cfg, jax.random.PRNGKey(3))
+    toks = jax.random.randint(jax.random.PRNGKey(4), (4, 16), 0, cfg.vocab_size)
+    mesh = make_pp_mesh(n_stages)
+    got = pp_forward(params, toks, cfg, mesh, n_microbatches=n_mb)
+    want = llama.forward(params, toks, cfg, kernels=False)
+    check_err(got, want, rtol=6e-2, atol=6e-2)
+
+
+def test_pipeline_parallel_quantized():
+    from composable_kernel_tpu.parallel.pipeline import make_pp_mesh, pp_forward
+
+    cfg = llama.tiny_config(quant="w4a16", n_layers=4)
+    params = llama.quantize_weights(
+        llama.init_weights(cfg, jax.random.PRNGKey(3)), cfg
+    )
+    toks = jax.random.randint(jax.random.PRNGKey(4), (2, 16), 0, cfg.vocab_size)
+    mesh = make_pp_mesh(2)
+    got = pp_forward(params, toks, cfg, mesh, n_microbatches=2)
+    want = llama.forward(params, toks, cfg, kernels=False)
+    check_err(got, want, rtol=6e-2, atol=6e-2)
