@@ -62,6 +62,15 @@ def gemm(
                     out_dtype=out_dtype, interpret=interpret,
                 ),
                 flops=2.0 * m * n * k,
+                chain_args=(
+                    lambda cfg: (
+                        lambda a_, b_: pallas_gemm(
+                            a_, b_, ds, config=cfg, a_op=a_op, b_op=b_op,
+                            c_op=c_op, out_dtype=out_dtype, interpret=interpret,
+                        )
+                    ),
+                    (a, b),
+                ),
             )
         else:
             config = _heuristic_config(m, n, k)

@@ -84,6 +84,17 @@ def wo_quant_gemm(
                     out_dtype=out_dtype, interpret=interpret,
                 ),
                 flops=2.0 * m * n * k,
+                chain_args=(
+                    lambda cfg: (
+                        lambda a_, b_, s_: dequant_gemm(
+                            a_, b_, s_, ds, group_size=group_size,
+                            packed_int4=packed_int4, pack_blocks=pack_blocks,
+                            config=cfg, c_op=c_op, out_dtype=out_dtype,
+                            interpret=interpret,
+                        )
+                    ),
+                    (a, b_q, scales),
+                ),
             )
         else:
             config = _heuristic_config(m, n, k)

@@ -20,7 +20,7 @@ from pathlib import Path
 import jax
 
 from composable_kernel_tpu.utils import env
-from composable_kernel_tpu.utils.timing import benchmark
+from composable_kernel_tpu.utils.timing import benchmark, benchmark_chained
 
 
 def _default_cache_path() -> Path:
@@ -70,11 +70,16 @@ def autotune(
     cache: TuneCache | None = None,
     verify_against=None,
     check=None,
+    chain_args=None,
 ):
     """Pick the fastest config for this problem.
 
     ``run_with_config(cfg)`` must execute the op end-to-end and return the
     output (used for optional verification — CK profiler's verify step).
+    ``chain_args``: optional (fn_of_cfg, arrays) pair for tunnel-honest
+    chained-slope timing on TPU — ``fn_of_cfg(cfg)`` returns a callable
+    ``f(*arrays)``; without it, wall-clock benchmark() is used (fine on a
+    local host, noisy through a proxied runtime).
     Returns (best_config, results dict). Uses/updates the persistent cache.
     """
     cache = cache or _cache
@@ -98,7 +103,14 @@ def autotune(
             out = run_with_config(cfg)
             if verify_against is not None and check is not None:
                 check(out, verify_against)
-            r = benchmark(lambda: run_with_config(cfg), warmup=warmup, iters=iters, flops=flops)
+            if chain_args is not None:
+                fn_of_cfg, arrays = chain_args
+                r = benchmark_chained(fn_of_cfg(cfg), *arrays, flops=flops)
+            else:
+                r = benchmark(
+                    lambda: run_with_config(cfg), warmup=warmup, iters=iters,
+                    flops=flops,
+                )
         except Exception as e:  # unsupported at runtime — skip (CK: IsSupported reject)
             env.log(f"autotune {key}: {cfg.name()} failed: {e}")
             continue
