@@ -44,6 +44,27 @@ _NEG_INF = -1e30  # large-negative instead of -inf: keeps exp() NaN-free
 _LANES = 128
 
 
+def _tile_random_bits(shape, tile_seed, interpret_mode):
+    """uint32 random bits per tile; hardware PRNG on TPU, a counter hash in
+    interpret mode (pltpu.prng_* has no CPU lowering). Both deterministic
+    per (seed, tile)."""
+    if not interpret_mode:
+        pltpu.prng_seed(tile_seed)
+        return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = (r * jnp.uint32(0x9E3779B9) ^ c * jnp.uint32(0x85EBCA6B)) + (
+        jnp.uint32(1) * tile_seed.astype(jnp.uint32)
+        if hasattr(tile_seed, "astype")
+        else jnp.uint32(tile_seed)
+    )
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
 def _fa_kernel(
     lens_ref,  # scalar prefetch: [2, B] int32 — row 0: kv lens, row 1: causal offsets
     *refs,
@@ -53,6 +74,9 @@ def _fa_kernel(
     scale: float,
     causal: bool,
     window: int | None,
+    dropout_rate: float,
+    dropout_seed: int,
+    interpret_mode: bool,
     n_k_steps: int,
     bq: int,
     bk: int,
@@ -120,8 +144,23 @@ def _fa_kernel(
     l_new = l_scr[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
     m_scr[...] = m_new
     l_scr[...] = l_new
+    p_v = p
+    if dropout_rate > 0.0:
+        # attention dropout AFTER softmax (torch semantics): the denominator
+        # l uses undropped p; only the PV path is masked + rescaled.
+        # Deterministic per-tile seed so backward can regenerate the mask
+        # (ck_tile block_dropout.hpp analog, philox -> TPU PRNG).
+        tile_seed = (
+            dropout_seed
+            + (bh * pl.num_programs(1) + q_blk) * pl.num_programs(2)
+            + kv_idx
+        )
+        bits = _tile_random_bits(p.shape, tile_seed, interpret_mode)
+        threshold = jnp.uint32(int(dropout_rate * (2**32 - 1)))
+        keep = bits >= threshold
+        p_v = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
     acc_scr[...] = acc_scr[...] * corr[:, :1] + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        p_v.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -152,6 +191,8 @@ def flash_attention(
     causal_offset=None,
     k_scale=None,
     v_scale=None,
+    dropout_rate: float = 0.0,
+    dropout_seed: int = 0,
     config: AttentionConfig | None = None,
     return_lse: bool = False,
     out_dtype=None,
@@ -270,6 +311,9 @@ def flash_attention(
         scale=scale,
         causal=causal,
         window=window,
+        dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed,
+        interpret_mode=interpret,
         n_k_steps=n_k_steps,
         bq=bq,
         bk=bk,

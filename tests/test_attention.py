@@ -199,3 +199,33 @@ class TestFlashBackward:
         )
         for g, w, name in zip(got, want, "qkv"):
             check_err(g, w, rtol=5e-2, atol=5e-2, msg=f"d{name}")
+
+
+class TestDropout:
+    def test_rate_zero_is_identity(self):
+        q, k, v = _qkv(1, 2, 2, 128, 128, 64)
+        base = flash_attention(q, k, v)
+        got = flash_attention(q, k, v, dropout_rate=0.0)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(got))
+
+    def test_dropout_statistics(self):
+        # with rate p, the PV path keeps ~(1-p) entries rescaled by 1/(1-p):
+        # the output mean is preserved and outputs differ from baseline
+        q, k, v = _qkv(1, 2, 2, 256, 256, 64)
+        base = flash_attention(q, k, v).astype(jnp.float32)
+        drop = flash_attention(q, k, v, dropout_rate=0.3, dropout_seed=7).astype(
+            jnp.float32
+        )
+        assert not jnp.allclose(base, drop)
+        # mean over many outputs ~ preserved (loose statistical bound)
+        rel = float(jnp.abs(jnp.mean(drop) - jnp.mean(base)) /
+                    (jnp.abs(jnp.mean(base)) + 1e-3))
+        assert rel < 1.0
+
+    def test_deterministic_per_seed(self):
+        q, k, v = _qkv(1, 2, 2, 128, 128, 64)
+        a = flash_attention(q, k, v, dropout_rate=0.5, dropout_seed=3)
+        b = flash_attention(q, k, v, dropout_rate=0.5, dropout_seed=3)
+        c = flash_attention(q, k, v, dropout_rate=0.5, dropout_seed=4)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not jnp.allclose(a.astype(jnp.float32), c.astype(jnp.float32))
