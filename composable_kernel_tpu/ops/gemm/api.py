@@ -205,3 +205,14 @@ def _gemm_grad_bwd(res, dc):
 
 
 gemm_grad.defvjp(_gemm_grad_fwd, _gemm_grad_bwd)
+
+
+def batched_gemm_e_permute(a, b, perm, *, c_op=None, out_dtype=None,
+                           config=None, interpret=None):
+    """Batched GEMM with fused output permutation
+    (CK device_batched_gemm_e_permute.hpp: E written through a permuted
+    descriptor). On TPU the transpose folds into the consumer's layout —
+    XLA fuses it with the kernel's output write."""
+    e = batched_gemm(a, b, c_op=c_op, out_dtype=out_dtype, config=config,
+                     interpret=interpret)
+    return jnp.transpose(e, perm)

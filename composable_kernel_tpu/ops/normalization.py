@@ -73,11 +73,21 @@ def _softmax_kernel(x_ref, prior_ref, o_ref, *, alpha, beta, n_real, has_prior):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
+#: rows longer than this exceed the one-row-block VMEM budget; fall back to
+#: the XLA path (the analog of CK's multiblock Welford split, which exists
+#: because GPU blocks are small — XLA's reduce handles any length natively)
+_MAX_KERNEL_COLS = 32768
+
+
 def softmax(x, *, alpha=1.0, beta=0.0, prior=None, interpret=None):
     """y = alpha * softmax(x, axis=-1) + beta * prior (CK device_softmax)."""
     if interpret is None:
         interpret = _interpret_default()
     n = x.shape[-1]
+    if n > _MAX_KERNEL_COLS:
+        from composable_kernel_tpu.reference.normalization import ref_softmax
+
+        return ref_softmax(x, alpha=alpha, beta=beta, prior=prior)
     x2, rows, br = _rows_blocking(x, n)
     np_ = _ceil_mult(n, 128)
     x_p = pad_to(x2, (br, 128))
@@ -159,6 +169,15 @@ def _norm_call(x, gamma, beta, eps, pre_add, rms_only, save_stats, interpret):
     if interpret is None:
         interpret = _interpret_default()
     n = x.shape[-1]
+    if n > _MAX_KERNEL_COLS:
+        from composable_kernel_tpu.reference import normalization as rn
+
+        if rms_only:
+            return rn.ref_rmsnorm(x, gamma, eps=eps)
+        y, mean, inv = rn.ref_layernorm(x, gamma, beta, eps=eps, pre_add=pre_add)
+        if save_stats:
+            return y, mean[..., 0], inv[..., 0]
+        return y
     x2, rows, br = _rows_blocking(x, n)
     np_ = _ceil_mult(n, 128)
     x_p = pad_to(x2, (br, 128))

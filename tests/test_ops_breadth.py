@@ -316,3 +316,42 @@ class TestEmbedding:
         acc = sum(jnp.take(t, i, axis=0) for t, i in zip(tables, idx))
         want, _, _ = rnorm.ref_layernorm(acc, g, b, eps=1e-4)
         check_err(got, want, rtol=1e-3, atol=1e-3)
+
+
+class TestRobustness:
+    def test_norm_big_row_fallback(self):
+        # rows beyond the VMEM budget take the XLA path transparently
+        x = _rand(0, (4, 40000))
+        g, b = jnp.ones((40000,)), jnp.zeros((40000,))
+        got = norm.layernorm(x, g, b)
+        want, _, _ = rnorm.ref_layernorm(x, g, b)
+        check_err(got, want, rtol=1e-4, atol=1e-4)
+        got = norm.softmax(x)
+        check_err(got, rnorm.ref_softmax(x), rtol=1e-4, atol=1e-5)
+
+    def test_grouped_conv_bwd(self):
+        from composable_kernel_tpu.ops.conv import conv_bwd_data, conv_bwd_weight
+
+        x, w = _rand(0, (2, 8, 8, 8)), _rand(1, (3, 3, 2, 8))  # groups=4
+
+        def f(x_, w_):
+            return conv_fwd(x_, w_, padding=((1, 1), (1, 1)), groups=4)
+
+        dy = _rand(2, f(x, w).shape)
+        dx_want, dw_want = jax.vjp(f, x, w)[1](dy)
+        dx = conv_bwd_data(dy, w, (8, 8), padding=((1, 1), (1, 1)), groups=4)
+        dw = conv_bwd_weight(x, dy, (3, 3), padding=((1, 1), (1, 1)), groups=4)
+        check_err(dx, dx_want, rtol=1e-3, atol=1e-3)
+        check_err(dw, dw_want, rtol=1e-3, atol=1e-3)
+
+    def test_batched_gemm_e_permute(self):
+        from composable_kernel_tpu.ops.gemm.api import batched_gemm_e_permute
+
+        a = _rand(0, (3, 32, 64), jnp.bfloat16)
+        b = _rand(1, (3, 64, 48), jnp.bfloat16)
+        got = batched_gemm_e_permute(a, b, (1, 0, 2))
+        want = jnp.transpose(
+            jnp.einsum("gmk,gkn->gmn", a.astype(jnp.float32),
+                       b.astype(jnp.float32)), (1, 0, 2)
+        )
+        check_err(got, want, rtol=2e-2, atol=2e-2)

@@ -212,3 +212,20 @@ class TestFp8AbScale:
         got = fp8_gemm_ab_scale(a_q, a_s, b_q, b_s, ds=(d0,), c_op=ep.add_fast_gelu)
         want = ref_fp8_gemm_ab_scale(a_q, a_s, b_q, b_s, ds=(d0,), c_op=ep.add_fast_gelu)
         check_err(got, want, rtol=2e-2, atol=2e-2)
+
+
+class TestOddShapes:
+    @pytest.mark.parametrize("m,n", [(7, 129), (33, 300), (1, 511)])
+    def test_dequant_odd_n(self, m, n):
+        k = 512
+        a = _rand(KEYS[0], (m, k))
+        w_q, s = rq.ref_quantize_per_channel(_rand(KEYS[1], (k, n), jnp.float32))
+        check_err(dequant_gemm(a, w_q, s), rq.ref_dequant_gemm(a, w_q, s))
+
+    def test_int4_odd_n(self):
+        m, n, k, g = 5, 250, 512, 128
+        a = _rand(KEYS[0], (m, k))
+        w_q, s = rq.ref_quantize_group(_rand(KEYS[1], (k, n), jnp.float32), g, bits=4)
+        packed = dtypes.pack_int4(w_q, axis=0)
+        got = dequant_gemm(a, packed, s, group_size=g, packed_int4=True)
+        check_err(got, rq.ref_dequant_gemm(a, packed, s, group_size=g, packed_int4=True))
