@@ -107,62 +107,77 @@ def _fa_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # [bq, D]
-    k = k_ref[0]  # [bk, D]
-    v = v_ref[0]  # [bk, Dv]
-    if has_kv_scale:
-        k = (k.astype(jnp.float32) * k_scale_ref[0, 0, 0]).astype(q.dtype)
-        v = (v.astype(jnp.float32) * v_scale_ref[0, 0, 0]).astype(q.dtype)
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bq, bk]
-    s = s * scale
-    if has_bias:
-        s = s + bias_ref[0].astype(jnp.float32)
-
-    # ---- masking ----
-    q_pos = (
-        q_blk * bq
-        + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        + lens_ref[1, batch]  # causal alignment offset (may be traced)
-    )
-    k_pos = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    mask = k_pos < lens_ref[0, batch]  # varlen + Sk padding
+    # ---- block liveness: skip fully-masked KV tiles entirely ----------
+    # causal: a KV block whose first key is beyond the block's last query
+    # (plus alignment offset) is all-masked — half the blocks in causal
+    # prefill. window: blocks wholly before the window are dead too. The
+    # varlen clamp already redirects the DMA of dead blocks; this skips
+    # their compute (CK analog: MaskingSpecialization block-level early-out,
+    # gridwise_..._v1 loop bounds).
+    live = kv_idx * bk < lens_ref[0, batch]
     if causal:
-        mask &= k_pos <= q_pos
+        live &= kv_idx * bk <= (q_blk + 1) * bq - 1 + lens_ref[1, batch]
     if window is not None:
-        mask &= k_pos > q_pos - window
-    s = jnp.where(mask, s, _NEG_INF)
+        live &= kv_idx * bk + bk - 1 > q_blk * bq + lens_ref[1, batch] - window
 
-    # ---- online softmax (Dao et al.) ----
-    m_prev = m_scr[...]  # [bq, LANES] broadcast storage
-    row_max = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
-    m_new = jnp.maximum(m_prev, row_max)  # broadcast -> [bq, LANES]
-    corr = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new[:, :1])  # [bq, bk]
-    l_new = l_scr[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
-    m_scr[...] = m_new
-    l_scr[...] = l_new
-    p_v = p
-    if dropout_rate > 0.0:
-        # attention dropout AFTER softmax (torch semantics): the denominator
-        # l uses undropped p; only the PV path is masked + rescaled.
-        # Deterministic per-tile seed so backward can regenerate the mask
-        # (ck_tile block_dropout.hpp analog, philox -> TPU PRNG).
-        tile_seed = (
-            dropout_seed
-            + (bh * pl.num_programs(1) + q_blk) * pl.num_programs(2)
-            + kv_idx
+    @pl.when(live)
+    def _step():
+        q = q_ref[0]  # [bq, D]
+        k = k_ref[0]  # [bk, D]
+        v = v_ref[0]  # [bk, Dv]
+        if has_kv_scale:
+            k = (k.astype(jnp.float32) * k_scale_ref[0, 0, 0]).astype(q.dtype)
+            v = (v.astype(jnp.float32) * v_scale_ref[0, 0, 0]).astype(q.dtype)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        s = s * scale
+        if has_bias:
+            s = s + bias_ref[0].astype(jnp.float32)
+
+        # ---- masking ----
+        q_pos = (
+            q_blk * bq
+            + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            + lens_ref[1, batch]  # causal alignment offset (may be traced)
         )
-        bits = _tile_random_bits(p.shape, tile_seed, interpret_mode)
-        threshold = jnp.uint32(int(dropout_rate * (2**32 - 1)))
-        keep = bits >= threshold
-        p_v = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
-    acc_scr[...] = acc_scr[...] * corr[:, :1] + jax.lax.dot_general(
-        p_v.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        k_pos = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        mask = k_pos < lens_ref[0, batch]  # varlen + Sk padding
+        if causal:
+            mask &= k_pos <= q_pos
+        if window is not None:
+            mask &= k_pos > q_pos - window
+        s = jnp.where(mask, s, _NEG_INF)
+
+        # ---- online softmax (Dao et al.) ----
+        m_prev = m_scr[...]  # [bq, LANES] broadcast storage
+        row_max = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
+        m_new = jnp.maximum(m_prev, row_max)  # broadcast -> [bq, LANES]
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, :1])  # [bq, bk]
+        l_new = l_scr[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_new
+        l_scr[...] = l_new
+        p_v = p
+        if dropout_rate > 0.0:
+            # attention dropout AFTER softmax (torch semantics): the
+            # denominator l uses undropped p; only the PV path is masked +
+            # rescaled. Deterministic per-tile seed so backward can
+            # regenerate the mask (ck_tile block_dropout.hpp analog).
+            tile_seed = (
+                dropout_seed
+                + (bh * pl.num_programs(1) + q_blk) * pl.num_programs(2)
+                + kv_idx
+            )
+            bits = _tile_random_bits(p.shape, tile_seed, interpret_mode)
+            threshold = jnp.uint32(int(dropout_rate * (2**32 - 1)))
+            keep = bits >= threshold
+            p_v = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
+        acc_scr[...] = acc_scr[...] * corr[:, :1] + jax.lax.dot_general(
+            p_v.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(kv_idx == n_k_steps - 1)
     def _finish():
