@@ -615,3 +615,112 @@ def decode_step_batched(
     x = rmsnorm(x, params["norm"], cfg.norm_eps)
     logits = _linear(x.reshape(b * s, -1), params["lm_head"], cfg, interpret, kernels)
     return logits.reshape(b, s, -1), new_cache
+
+
+def prefill_chunk_step(
+    params,
+    cache,
+    tokens,
+    pos,
+    cfg: LlamaConfig,
+    *,
+    interpret=None,
+    kernels: bool = True,
+    calibrate_scales: bool = False,
+):
+    """Process a prompt chunk [B, C] at positions [pos, pos+C) against the
+    cache (chunked prefill: long prompts stream through fixed-size steps so
+    decode slots are never starved — the serving-side continuous-batching
+    complement; reference has no serving layer to compare).
+
+    Causality: chunk query i attends cache keys < pos + i + 1, expressed
+    via the flash kernel's dynamic causal_offset (= pos). Returns
+    (logits [B, C, V], updated cache).
+    """
+    b, c = tokens.shape
+    x = jnp.take(params["embed"], tokens, axis=0)
+    positions = pos + jnp.arange(c)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    lens = jnp.full((b,), pos + c, jnp.int32)
+    offs = jnp.full((b,), pos, jnp.int32)
+
+    new_cache = []
+    for layer, kv in zip(params["layers"], cache):
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+        x2 = h.reshape(b * c, -1)
+        hd = cfg.head_dim
+        if "wqkv" in layer:
+            qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
+            n_q, n_kv = cfg.n_heads * hd, cfg.n_kv_heads * hd
+            q, k, v = (
+                qkv[:, :n_q], qkv[:, n_q : n_q + n_kv], qkv[:, n_q + n_kv :]
+            )
+        else:
+            q = _linear(x2, layer["wq"], cfg, interpret, kernels)
+            k = _linear(x2, layer["wk"], cfg, interpret, kernels)
+            v = _linear(x2, layer["wv"], cfg, interpret, kernels)
+        nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
+        q = q.reshape(b, c, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, c, nkv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, c, nkv, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        is_i8 = "ks" in kv
+        kv = dict(kv)
+        if is_i8 and calibrate_scales:
+            # first chunk: calibrate per-head scales from its absmax (the
+            # static-quant calibration seed_kv_cache does for full prefill)
+            kv["ks"] = jnp.maximum(
+                jnp.max(jnp.abs(k.astype(jnp.float32)), axis=(2, 3)) / 127.0,
+                1e-6,
+            )
+            kv["vs"] = jnp.maximum(
+                jnp.max(jnp.abs(v.astype(jnp.float32)), axis=(2, 3)) / 127.0,
+                1e-6,
+            )
+        k_in = _quantize_kv(k, kv["ks"]) if is_i8 else k
+        v_in = _quantize_kv(v, kv["vs"]) if is_i8 else v
+        kv["k"] = jax.lax.dynamic_update_slice(
+            kv["k"], k_in.astype(kv["k"].dtype), (0, 0, pos, 0)
+        )
+        kv["v"] = jax.lax.dynamic_update_slice(
+            kv["v"], v_in.astype(kv["v"].dtype), (0, 0, pos, 0)
+        )
+        scales = {"k_scale": kv["ks"], "v_scale": kv["vs"]} if is_i8 else {}
+        if kernels:
+            o = flash_attention(
+                q, kv["k"], kv["v"], causal=True, kv_seq_len=lens,
+                causal_offset=offs, interpret=interpret, **scales,
+            )
+        else:
+            # inline reference: chunk query i attends keys <= pos + i
+            # (ref_attention's fixed bottom-right alignment can't express
+            # the mid-cache offset)
+            kf, vf = kv["k"], kv["v"]
+            if is_i8:
+                kf = (kf.astype(jnp.float32) * kv["ks"][:, :, None, None])
+                vf = (vf.astype(jnp.float32) * kv["vs"][:, :, None, None])
+            rep = nh // nkv
+            kf = jnp.repeat(kf.astype(jnp.float32), rep, axis=1)
+            vf = jnp.repeat(vf.astype(jnp.float32), rep, axis=1)
+            import math as _math
+
+            att = jnp.einsum(
+                "bhqd,bhkd->bhqk", q.astype(jnp.float32), kf
+            ) / _math.sqrt(hd)
+            kpos = jnp.arange(kf.shape[2])[None, None, None, :]
+            qpos = pos + jnp.arange(c)[None, None, :, None]
+            att = jnp.where(kpos <= qpos, att, -1e30)
+            p_att = jax.nn.softmax(att, axis=-1)
+            o = jnp.einsum("bhqk,bhkd->bhqd", p_att, vf).astype(q.dtype)
+        o = o.transpose(0, 2, 1, 3).reshape(b * c, nh * hd)
+        o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
+        x = x + o.reshape(b, c, -1)
+        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps)
+        x = x + _ffn_block(h, layer, cfg, interpret=interpret, kernels=kernels)
+        new_cache.append(kv)
+
+    x = rmsnorm(x, params["norm"], cfg.norm_eps)
+    logits = _linear(x.reshape(b * c, -1), params["lm_head"], cfg, interpret, kernels)
+    return logits.reshape(b, c, -1), new_cache

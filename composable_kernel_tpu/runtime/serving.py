@@ -52,12 +52,17 @@ class ServingEngine:
     """
 
     def __init__(self, params, cfg: llama.LlamaConfig, batch_slots: int = 8,
-                 kernels: bool = True, interpret=None):
+                 kernels: bool = True, interpret=None,
+                 prefill_chunk: int | None = None):
         self.params = params
         self.cfg = cfg
         self.b = batch_slots
         self.kernels = kernels
         self.interpret = interpret
+        # chunked prefill: prompts longer than this stream through
+        # fixed-size chunk steps (models.llama.prefill_chunk_step) instead
+        # of one monolithic forward — bounds prefill latency spikes
+        self.prefill_chunk = prefill_chunk
         self.cache = llama.init_kv_cache(cfg, batch_slots)
         self.positions = np.zeros(batch_slots, np.int32)  # next decode pos
         self.slot_req: list[Request | None] = [None] * batch_slots
@@ -87,11 +92,16 @@ class ServingEngine:
     def _prefill_into(self, slot: int, req: Request):
         prompt = jnp.asarray([req.prompt], jnp.int32)
         s = prompt.shape[1]
-        logits, seeds = llama.forward(
-            self.params, prompt, self.cfg, kernels=self.kernels,
-            interpret=self.interpret, return_cache=True,
-        )
-        self.cache = llama.seed_kv_cache(self.cache, seeds, self.cfg, slot=slot)
+        if self.prefill_chunk and s > self.prefill_chunk:
+            logits = self._chunked_prefill(slot, prompt)
+        else:
+            logits, seeds = llama.forward(
+                self.params, prompt, self.cfg, kernels=self.kernels,
+                interpret=self.interpret, return_cache=True,
+            )
+            self.cache = llama.seed_kv_cache(
+                self.cache, seeds, self.cfg, slot=slot
+            )
         nxt = int(jnp.argmax(logits[0, -1]))
         req.output.append(nxt)
         # the prefill-produced token can already finish the request
@@ -103,6 +113,40 @@ class ServingEngine:
         self.slot_req[slot] = req
         self.positions[slot] = s
         self.next_token[slot, 0] = nxt
+
+    def _chunked_prefill(self, slot: int, prompt):
+        """Stream the prompt through chunk steps on a temp 1-slot cache,
+        then scatter the rows (and scales) into the engine cache slot."""
+        c = self.prefill_chunk
+        s = prompt.shape[1]
+        tmp = llama.init_kv_cache(self.cfg, 1)
+        logits = None
+        pos = 0
+        while pos < s:
+            chunk = prompt[:, pos : pos + c]
+            if chunk.shape[1] < c and pos > 0:
+                pass  # ragged tail chunk: fine, shapes are per-call static
+            logits, tmp = llama.prefill_chunk_step(
+                self.params, tmp, chunk, pos, self.cfg,
+                kernels=self.kernels, interpret=self.interpret,
+                calibrate_scales=(pos == 0),
+            )
+            pos += chunk.shape[1]
+        new_cache = []
+        for eng, t in zip(self.cache, tmp):
+            e = dict(eng)
+            e["k"] = jax.lax.dynamic_update_slice(
+                eng["k"], t["k"][:, :, :], (slot, 0, 0, 0)
+            )
+            e["v"] = jax.lax.dynamic_update_slice(
+                eng["v"], t["v"][:, :, :], (slot, 0, 0, 0)
+            )
+            if "ks" in eng:
+                e["ks"] = jax.lax.dynamic_update_slice(eng["ks"], t["ks"], (slot, 0))
+                e["vs"] = jax.lax.dynamic_update_slice(eng["vs"], t["vs"], (slot, 0))
+            new_cache.append(e)
+        self.cache = new_cache
+        return logits
 
     # --------------------------------------------------------------- decode
     def pending(self) -> int:

@@ -130,3 +130,52 @@ class TestInt8KVCache:
         )
         assert jnp.isfinite(logits.astype(jnp.float32)).all()
         assert cache2[0]["k"].dtype == jnp.int8
+
+
+class TestChunkedPrefill:
+    def test_chunked_equals_full_prefill(self):
+        """Prompt processed in chunks must produce the same last-position
+        logits and cache-driven next step as one-shot prefill."""
+        cfg = CFG_BF16
+        toks = TOKENS[:, :32]
+        # one-shot
+        full_logits, seeds = llama.forward(
+            PARAMS_BF16, toks, cfg, return_cache=True
+        )
+        full_cache = llama.seed_kv_cache(llama.init_kv_cache(cfg, 2), seeds, cfg)
+        # chunked: 4 chunks of 8
+        cache = llama.init_kv_cache(cfg, 2)
+        for i in range(4):
+            chunk = toks[:, i * 8 : (i + 1) * 8]
+            logits, cache = llama.prefill_chunk_step(
+                PARAMS_BF16, cache, chunk, i * 8, cfg
+            )
+        check_err(logits[:, -1], full_logits[:, -1], rtol=6e-2, atol=6e-2)
+        # caches must agree on the written prefix
+        for kv_c, kv_f in zip(cache, full_cache):
+            check_err(
+                kv_c["k"][:, :, :32].astype(jnp.float32),
+                kv_f["k"][:, :, :32].astype(jnp.float32),
+                rtol=6e-2, atol=6e-2,
+            )
+        # and drive one decode step from each cache: same next logits
+        nxt = TOKENS[:, 32:33]
+        g1, _ = llama.decode_step(PARAMS_BF16, cache, nxt, 32, cfg)
+        g2, _ = llama.decode_step(PARAMS_BF16, full_cache, nxt, 32, cfg)
+        check_err(g1, g2, rtol=6e-2, atol=6e-2)
+
+    def test_chunked_reference_path(self):
+        cfg = CFG_BF16
+        toks = TOKENS[:, :16]
+        cache = llama.init_kv_cache(cfg, 2)
+        lg_k = lg_r = None
+        cache_k = cache_r = cache
+        for i in range(2):
+            chunk = toks[:, i * 8 : (i + 1) * 8]
+            lg_k, cache_k = llama.prefill_chunk_step(
+                PARAMS_BF16, cache_k, chunk, i * 8, cfg, kernels=True
+            )
+            lg_r, cache_r = llama.prefill_chunk_step(
+                PARAMS_BF16, cache_r, chunk, i * 8, cfg, kernels=False
+            )
+        check_err(lg_k, lg_r, rtol=6e-2, atol=6e-2)

@@ -101,3 +101,21 @@ class TestWatchdog:
                      max_retries=1)
         with pytest.raises(RuntimeError):
             w()
+
+
+def test_chunked_prefill_matches_monolithic():
+    eng_a = ServingEngine(PARAMS, CFG, batch_slots=1, kernels=False)
+    eng_b = ServingEngine(PARAMS, CFG, batch_slots=1, kernels=False,
+                          prefill_chunk=8)
+    prompt = list(np.asarray(
+        jax.random.randint(jax.random.PRNGKey(9), (24,), 0, CFG.vocab_size)
+    ))
+    ra = Request(0, prompt, max_new_tokens=5)
+    rb = Request(0, prompt, max_new_tokens=5)
+    eng_a.add(ra)
+    eng_b.add(rb)
+    while eng_a.pending():
+        eng_a.step()
+    while eng_b.pending():
+        eng_b.step()
+    assert ra.output == rb.output, (ra.output, rb.output)
