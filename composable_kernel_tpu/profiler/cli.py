@@ -187,6 +187,14 @@ def profile_attention(ns):
     kk = jax.random.normal(jax.random.PRNGKey(1), (b, hkv, sk, d), jnp.float32).astype(jnp.bfloat16)
     v = jax.random.normal(jax.random.PRNGKey(2), (b, hkv, sk, d), jnp.float32).astype(jnp.bfloat16)
     flops = 4.0 * b * hq * sq * sk * d * (0.5 if ns.causal else 1.0)
+    want = None
+    if ns.verify:
+        from composable_kernel_tpu.reference.attention import ref_attention
+
+        want = np.asarray(
+            ref_attention(q, kk, v, causal=ns.causal, out_dtype=jnp.float32),
+            np.float64,
+        )
     print(f"attention B{b} Hq{hq} Hkv{hkv} Sq{sq} Sk{sk} D{d} causal={ns.causal}: "
           f"{len(DEFAULT_ATTENTION_CONFIGS)} instances")
     _run_instances(
@@ -197,8 +205,8 @@ def profile_attention(ns):
             )
         ),
         (q, kk, v),
-        None,
-        None,
+        want,
+        _check_rel(0.03),
         flops,
         on_tpu,
     )

@@ -46,6 +46,9 @@ registry = InstanceRegistry()
 
 
 def _register_defaults():
+    from composable_kernel_tpu.ops.attention.config import (
+        DEFAULT_ATTENTION_CONFIGS,
+    )
     from composable_kernel_tpu.ops.gemm.config import (
         DEFAULT_GEMM_CONFIGS,
         is_supported,
@@ -53,6 +56,7 @@ def _register_defaults():
 
     registry.add_instances("gemm", DEFAULT_GEMM_CONFIGS)
     registry.set_predicate("gemm", is_supported)
+    registry.add_instances("attention", DEFAULT_ATTENTION_CONFIGS)
 
 
 _register_defaults()
