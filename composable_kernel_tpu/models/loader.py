@@ -92,6 +92,11 @@ def load_llama(ckpt_dir, cfg: LlamaConfig):
     ckpt_dir = Path(ckpt_dir)
     layers = [dict() for _ in range(cfg.n_layers)]
     top: dict = {"layers": layers}
+    # with cfg.fuse_qkv, q/k/v (and gate/up) must be concatenated along N
+    # BEFORE quantization so the params tree matches quantize_weights();
+    # stage their f32 forms here since shards may split a layer
+    _FUSE = {"wq", "wk", "wv", "w_gate", "w_up"} if cfg.fuse_qkv else set()
+    staging: list[dict] = [dict() for _ in range(cfg.n_layers)]
 
     def as_model_dtype(x):
         return jnp.asarray(native.f32_to_bf16_raw(_to_f32(x))).view(jnp.bfloat16)
@@ -117,7 +122,11 @@ def load_llama(ckpt_dir, cfg: LlamaConfig):
             if i >= cfg.n_layers or sub not in _HF_LAYER_MAP:
                 continue
             key, needs_t = _HF_LAYER_MAP[sub]
-            if key in _QUANT_KEYS:
+            if key in _FUSE:
+                staging[i][key] = (
+                    native.transpose_f32(_to_f32(raw)) if needs_t else _to_f32(raw)
+                )
+            elif key in _QUANT_KEYS:
                 w = native.transpose_f32(_to_f32(raw)) if needs_t else _to_f32(raw)
                 layers[i][key] = _quantize_leaf(
                     w, cfg, row_parallel=key in _ROW_PARALLEL
@@ -125,17 +134,35 @@ def load_llama(ckpt_dir, cfg: LlamaConfig):
             else:
                 layers[i][key] = as_model_dtype(raw)
 
+    if cfg.fuse_qkv:
+        for i, stage in enumerate(staging):
+            missing_fuse = _FUSE - set(stage)
+            if missing_fuse:
+                raise ValueError(
+                    f"layer {i}: fuse_qkv needs {sorted(missing_fuse)}"
+                )
+            layers[i]["wqkv"] = _quantize_leaf(
+                np.concatenate([stage["wq"], stage["wk"], stage["wv"]], axis=1),
+                cfg, row_parallel=False,
+            )
+            layers[i]["w_gateup"] = _quantize_leaf(
+                np.concatenate([stage["w_gate"], stage["w_up"]], axis=1),
+                cfg, row_parallel=False,
+            )
+
     if "lm_head" not in top and "embed" in top:
         # tied embeddings (Llama-3.2 style): lm_head = embed^T
         w = native.transpose_f32(
             np.asarray(top["embed"].astype(jnp.float32))
         )
         top["lm_head"] = _quantize_leaf(w, cfg, False)
+    fused_to = {"wq": "wqkv", "wk": "wqkv", "wv": "wqkv",
+                "w_gate": "w_gateup", "w_up": "w_gateup"} if cfg.fuse_qkv else {}
     missing = [
         (i, k)
         for i, layer in enumerate(layers)
-        for k in _HF_LAYER_MAP.values()
-        if k[0] not in layer
+        for k, _ in _HF_LAYER_MAP.values()
+        if fused_to.get(k, k) not in layer
     ]
     if missing:
         raise ValueError(f"checkpoint missing {missing[:5]} (+{len(missing)} total)")

@@ -61,7 +61,9 @@ def is_supported(cfg: GemmConfig, m: int, n: int, k: int, dtype_bytes: int = 2) 
     """Supported-argument predicate (CK IsSupportedArgument analog,
     device_base.hpp:46). Rejects configs whose VMEM working set cannot fit
     or whose split-K does not divide the K tiling."""
-    if cfg.split_k > 1 and (k // cfg.block_k) % cfg.split_k != 0:
+    # matches pallas_gemm's k_steps_total = ceil(K / block_k) on the padded K;
+    # the kernel raises (never silently degrades) on violation
+    if cfg.split_k > 1 and (-(-k // cfg.block_k)) % cfg.split_k != 0:
         return False
     # A + B + out + acc working set, x2 for double buffering of inputs.
     # Empirically on v5e, (1024,1024,512) (≈10MB by this estimate) OOMs VMEM

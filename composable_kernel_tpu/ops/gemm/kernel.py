@@ -147,7 +147,13 @@ def pallas_gemm(
     split_k = cfg.split_k
     k_steps_total = kp // bk
     if split_k > 1 and k_steps_total % split_k != 0:
-        split_k = 1
+        # Hard error, not a silent split_k=1 reset: an autotuner must never
+        # "select" a config that did not run as specified (VERDICT r1 #9).
+        # config.is_supported() rejects these up front.
+        raise ValueError(
+            f"{cfg.name()}: split_k={split_k} does not divide the "
+            f"{k_steps_total} K-steps of K={kp} at block_k={bk}"
+        )
     n_k_steps = k_steps_total // split_k
     # With split-K the epilogue must run after the cross-split reduction, so
     # the kernel emits raw accumulator partials and we finish outside

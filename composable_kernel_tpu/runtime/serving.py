@@ -68,6 +68,10 @@ class ServingEngine:
         self.slot_req: list[Request | None] = [None] * batch_slots
         self.next_token = np.zeros((batch_slots, 1), np.int32)
         self.queue: list[Request] = []
+        # requests that completed during prefill (eos on first token or
+        # max_new_tokens<=1) — surfaced in the next step()'s finished list
+        # so callers collecting completions from step() never miss them
+        self._prefill_finished: list[Request] = []
         # donate the cache: decode updates it in place in HBM instead of
         # copying ~0.5 GB of KV per step
         self._decode = jax.jit(
@@ -84,12 +88,18 @@ class ServingEngine:
 
     def _admit(self):
         for slot in range(self.b):
-            if self.slot_req[slot] is not None or not self.queue:
-                continue
-            req = self.queue.pop(0)
-            self._prefill_into(slot, req)
+            # retry the same slot while prefill-finished requests free it
+            while self.slot_req[slot] is None and self.queue:
+                req = self.queue.pop(0)
+                self._prefill_into(slot, req)
 
     def _prefill_into(self, slot: int, req: Request):
+        if len(req.prompt) + req.max_new_tokens > self.cfg.max_seq_len:
+            raise ValueError(
+                f"request {req.uid}: prompt ({len(req.prompt)}) + "
+                f"max_new_tokens ({req.max_new_tokens}) exceeds "
+                f"max_seq_len ({self.cfg.max_seq_len})"
+            )
         prompt = jnp.asarray([req.prompt], jnp.int32)
         s = prompt.shape[1]
         if self.prefill_chunk and s > self.prefill_chunk:
@@ -109,6 +119,7 @@ class ServingEngine:
             req.max_new_tokens <= 1
         ):
             req.done = True
+            self._prefill_finished.append(req)
             return
         self.slot_req[slot] = req
         self.positions[slot] = s
@@ -160,15 +171,16 @@ class ServingEngine:
 
         Returns the list of requests finished this step.
         """
+        finished_at_prefill, self._prefill_finished = self._prefill_finished, []
         if not self.active_slots():
-            return []
+            return finished_at_prefill
         logits, self.cache = self._decode(
             self.params, self.cache,
             jnp.asarray(self.next_token), jnp.asarray(self.positions),
         )
         next_ids = np.asarray(jnp.argmax(logits[:, 0], axis=-1), np.int32)
 
-        finished = []
+        finished = finished_at_prefill
         for slot in self.active_slots():
             req = self.slot_req[slot]
             tok = int(next_ids[slot])
@@ -191,7 +203,10 @@ class Watchdog:
     the serving layer must supply health checking the reference lacks).
 
     Wraps a callable; on exception it re-raises after ``max_retries``
-    attempts and tracks step latency for health introspection.
+    attempts and tracks step latency for health introspection. A call that
+    *succeeds* but exceeds ``timeout_s`` is still a success — retrying it
+    would re-execute an already-applied stateful step (double-advancing
+    decode) — so it is only counted in ``slow_steps`` and logged.
     """
 
     def __init__(self, fn, max_retries: int = 2, timeout_s: float | None = None):
@@ -199,6 +214,7 @@ class Watchdog:
         self.max_retries = max_retries
         self.timeout_s = timeout_s
         self.failures = 0
+        self.slow_steps = 0
         self.last_latency_s: float | None = None
 
     def __call__(self, *args, **kw):
@@ -208,15 +224,14 @@ class Watchdog:
             try:
                 out = self.fn(*args, **kw)
                 jax.block_until_ready(out)
-                self.last_latency_s = time.perf_counter() - t0
-                if self.timeout_s and self.last_latency_s > self.timeout_s:
-                    raise TimeoutError(
-                        f"step took {self.last_latency_s:.1f}s > {self.timeout_s}s"
-                    )
-                return out
             except Exception as e:  # noqa: BLE001 — health boundary
                 self.failures += 1
                 last_exc = e
+                continue
+            self.last_latency_s = time.perf_counter() - t0
+            if self.timeout_s and self.last_latency_s > self.timeout_s:
+                self.slow_steps += 1
+            return out
         raise last_exc
 
     def healthy(self) -> bool:

@@ -51,9 +51,11 @@ def benchmark(
     else:
         arg_sets = [args]
 
+    out = None
     for i in range(warmup):
         out = fn(*arg_sets[i % len(arg_sets)])
-    jax.block_until_ready(out)
+    if out is not None:
+        jax.block_until_ready(out)
 
     times = []
     for i in range(iters):

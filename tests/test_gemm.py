@@ -63,6 +63,19 @@ def test_gemm_split_k():
     check_err(out, ref_gemm(a, b), atol=5e-5)
 
 
+def test_gemm_split_k_indivisible_rejected():
+    """A split_k that does not divide the K-steps must be REJECTED by
+    is_supported and raise in the kernel — never silently reset to 1
+    (an autotuner must not 'select' a config that never ran as specified)."""
+    from composable_kernel_tpu.ops.gemm.config import is_supported
+
+    a, b = _mk(16, 128, 384, seed=3)  # 3 K-steps at block_k=128
+    cfg = GemmConfig(block_m=16, block_n=128, block_k=128, split_k=2)
+    assert not is_supported(cfg, 16, 128, 384)
+    with pytest.raises(ValueError, match="split_k"):
+        gemm(a, b, config=cfg)
+
+
 def test_gemm_epilogue_bias_add_add_fastgelu():
     a, b = _mk(32, 128, 64, seed=4)
     keys = jax.random.split(jax.random.PRNGKey(5), 2)

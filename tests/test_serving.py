@@ -82,6 +82,34 @@ class TestServing:
         assert len(r.output) == 1 and r.output[0] == first
 
 
+    def test_prefill_finished_surfaced_and_slot_reused(self):
+        # max_new_tokens=1 requests finish during prefill; they must still
+        # appear in step()'s finished list, and the slot they never occupied
+        # must admit the next queued request in the same _admit pass
+        eng = ServingEngine(PARAMS, CFG, batch_slots=1, kernels=False)
+        r0 = Request(0, [3, 4], max_new_tokens=1)
+        r1 = Request(1, [5, 6], max_new_tokens=1)
+        r2 = Request(2, [1, 2, 3], max_new_tokens=3)
+        for r in (r0, r1, r2):
+            eng.add(r)
+        finished = []
+        steps = 0
+        while eng.pending() or eng._prefill_finished:
+            finished.extend(eng.step())
+            steps += 1
+            assert steps < 50
+        assert r0.done and r1.done and r2.done
+        assert {r.uid for r in finished} == {0, 1, 2}
+        assert r0.output == _isolated_greedy([3, 4], 1)
+        assert r2.output == _isolated_greedy([1, 2, 3], 3)
+
+    def test_overlong_prompt_rejected(self):
+        eng = ServingEngine(PARAMS, CFG, batch_slots=1, kernels=False)
+        too_long = list(range(CFG.max_seq_len))
+        with pytest.raises(ValueError, match="max_seq_len"):
+            eng.add(Request(0, too_long, max_new_tokens=8))
+
+
 class TestWatchdog:
     def test_retry_then_succeed(self):
         calls = {"n": 0}
@@ -101,6 +129,21 @@ class TestWatchdog:
                      max_retries=1)
         with pytest.raises(RuntimeError):
             w()
+
+    def test_slow_success_not_retried(self):
+        # a slow-but-successful stateful step must NOT be re-executed (it
+        # would double-advance decode); it only counts as a slow step
+        calls = {"n": 0}
+
+        def slow():
+            calls["n"] += 1
+            return jnp.ones(())
+
+        w = Watchdog(slow, max_retries=3, timeout_s=1e-9)
+        out = w()
+        assert float(out) == 1.0
+        assert calls["n"] == 1
+        assert w.slow_steps == 1 and w.failures == 0 and w.healthy()
 
 
 def test_chunked_prefill_matches_monolithic():
