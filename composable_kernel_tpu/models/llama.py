@@ -215,7 +215,16 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
     return pallas_gemm_api(x, w, interpret=interpret)
 
 
-def rmsnorm(x, gamma, eps):
+def rmsnorm(x, gamma, eps, kernels=True, interpret=None):
+    """RMSNorm. ``kernels=True`` routes to the Pallas fwd/bwd kernel pair
+    (ops.normalization.rmsnorm, custom VJP) so the E2E decode/prefill and
+    train_step paths exercise the normalization kernels (CK
+    device_normalization_fwd/_bwd parity); ``kernels=False`` is the
+    inline-jnp reference path used by CPU parity tests."""
+    if kernels:
+        from composable_kernel_tpu.ops import normalization as norm_ops
+
+        return norm_ops.rmsnorm(x, gamma, eps=eps, interpret=interpret)
     xf = x.astype(jnp.float32)
     ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
     return (xf * jax.lax.rsqrt(ms + eps) * gamma.astype(jnp.float32)).astype(x.dtype)
@@ -365,20 +374,20 @@ def forward(
 
     caches = []
     for layer in params["layers"]:
-        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
         attn_out, kv = _attn_block(
             h, layer, cfg, cos, sin, kv_seq_len=kv_seq_len, tp_axis=tp_axis,
             interpret=interpret, kernels=kernels,
         )
         x = x + attn_out
-        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps)
+        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
         x = x + _ffn_block(
             h, layer, cfg, tp_axis=tp_axis, interpret=interpret, kernels=kernels
         )
         if return_cache:
             caches.append(kv)
 
-    x = rmsnorm(x, params["norm"], cfg.norm_eps)
+    x = rmsnorm(x, params["norm"], cfg.norm_eps, kernels, interpret)
     logits = _linear(x.reshape(b * s, -1), params["lm_head"], cfg, interpret, kernels)
     logits = logits.reshape(b, s, -1)
     if return_cache:
@@ -480,19 +489,19 @@ def decode_step(
 
     new_cache = []
     for layer, kv in zip(params["layers"], cache):
-        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
         attn_out, kv = _attn_block(
             h, layer, cfg, cos, sin, cache=kv, pos=pos, tp_axis=tp_axis,
             interpret=interpret, kernels=kernels,
         )
         x = x + attn_out
-        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps)
+        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
         x = x + _ffn_block(
             h, layer, cfg, tp_axis=tp_axis, interpret=interpret, kernels=kernels
         )
         new_cache.append(kv)
 
-    x = rmsnorm(x, params["norm"], cfg.norm_eps)
+    x = rmsnorm(x, params["norm"], cfg.norm_eps, kernels, interpret)
     logits = _linear(x.reshape(b * s, -1), params["lm_head"], cfg, interpret, kernels)
     return logits.reshape(b, s, -1), new_cache
 
@@ -555,7 +564,7 @@ def decode_step_batched(
 
     new_cache = []
     for layer, kv in zip(params["layers"], cache):
-        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
         x2 = h.reshape(b * s, -1)
         hd = cfg.head_dim
         if "wqkv" in layer:
@@ -606,13 +615,13 @@ def decode_step_batched(
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
         x = x + o.reshape(b, s, -1)
-        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps)
+        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
         x = x + _ffn_block(
             h, layer, cfg, tp_axis=tp_axis, interpret=interpret, kernels=kernels
         )
         new_cache.append(kv)
 
-    x = rmsnorm(x, params["norm"], cfg.norm_eps)
+    x = rmsnorm(x, params["norm"], cfg.norm_eps, kernels, interpret)
     logits = _linear(x.reshape(b * s, -1), params["lm_head"], cfg, interpret, kernels)
     return logits.reshape(b, s, -1), new_cache
 
@@ -646,7 +655,7 @@ def prefill_chunk_step(
 
     new_cache = []
     for layer, kv in zip(params["layers"], cache):
-        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
         x2 = h.reshape(b * c, -1)
         hd = cfg.head_dim
         if "wqkv" in layer:
@@ -717,10 +726,10 @@ def prefill_chunk_step(
         o = o.transpose(0, 2, 1, 3).reshape(b * c, nh * hd)
         o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
         x = x + o.reshape(b, c, -1)
-        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps)
+        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
         x = x + _ffn_block(h, layer, cfg, interpret=interpret, kernels=kernels)
         new_cache.append(kv)
 
-    x = rmsnorm(x, params["norm"], cfg.norm_eps)
+    x = rmsnorm(x, params["norm"], cfg.norm_eps, kernels, interpret)
     logits = _linear(x.reshape(b * c, -1), params["lm_head"], cfg, interpret, kernels)
     return logits.reshape(b, c, -1), new_cache

@@ -40,7 +40,10 @@ from composable_kernel_tpu.ops.gemm.api import (
     grouped_gemm,
 )
 from composable_kernel_tpu.ops.normalization import (
+    batchnorm_bwd,
     batchnorm_infer,
+    batchnorm_train,
+    norm_bwd,
     groupnorm,
     layernorm,
     rmsnorm,
@@ -71,7 +74,8 @@ __all__ = [
     "sparse_embedding_layernorm",
     "batched_gemm", "batched_gemm_gemm", "gemm", "gemm_layernorm",
     "gemm_reduce", "grouped_gemm",
-    "batchnorm_infer", "groupnorm", "layernorm", "rmsnorm", "softmax",
+    "batchnorm_infer", "batchnorm_train", "batchnorm_bwd", "norm_bwd",
+    "groupnorm", "layernorm", "rmsnorm", "softmax",
     "avg_pool", "avg_pool_bwd", "max_pool", "max_pool_bwd",
     "dequant_gemm", "int8_gemm", "wo_quant_gemm",
     "multiple_reduce", "reduce",
