@@ -176,7 +176,7 @@ class TestFlashBackward:
 
         q, k, v = _qkv(1, 2, 2, 128, 128, 64)
         got = self._grads(
-            lambda q_, k_, v_: flash_attention_grad(q_, k_, v_, None, causal),
+            lambda q_, k_, v_: flash_attention_grad(q_, k_, v_, causal=causal),
             q, k, v,
         )
         want = self._grads(
@@ -190,7 +190,9 @@ class TestFlashBackward:
 
         q, k, v = _qkv(1, 4, 2, 128, 256, 64)
         got = self._grads(
-            lambda q_, k_, v_: flash_attention_grad(q_, k_, v_, None, True, 64),
+            lambda q_, k_, v_: flash_attention_grad(
+                q_, k_, v_, causal=True, window=64
+            ),
             q, k, v,
         )
         want = self._grads(
@@ -199,6 +201,77 @@ class TestFlashBackward:
         )
         for g, w, name in zip(got, want, "qkv"):
             check_err(g, w, rtol=5e-2, atol=5e-2, msg=f"d{name}")
+
+    def test_grads_bias_dbias(self):
+        # dbias parity: CK fmha_bwd_kernel.hpp:97,175-182 emits dBias = dS
+        from composable_kernel_tpu.ops.attention import flash_attention_grad
+
+        q, k, v = _qkv(1, 2, 2, 128, 256, 64)
+        bias = 0.1 * jax.random.normal(
+            jax.random.PRNGKey(7), (1, 2, 128, 256), jnp.float32
+        )
+
+        def loss(fn):
+            def inner(q_, k_, v_, b_):
+                return jnp.sum(fn(q_, k_, v_, b_).astype(jnp.float32) ** 2)
+            return jax.grad(inner, argnums=(0, 1, 2, 3))
+
+        got = loss(
+            lambda q_, k_, v_, b_: flash_attention_grad(
+                q_, k_, v_, b_, causal=True
+            )
+        )(q, k, v, bias)
+        want = loss(
+            lambda q_, k_, v_, b_: ref_attention(q_, k_, v_, bias=b_, causal=True)
+        )(q, k, v, bias)
+        for g, w, name in zip(got, want, ["q", "k", "v", "bias"]):
+            check_err(g, w, rtol=5e-2, atol=5e-2, msg=f"d{name}")
+
+    def test_grads_varlen(self):
+        from composable_kernel_tpu.ops.attention import flash_attention_grad
+
+        q, k, v = _qkv(2, 2, 2, 128, 256, 64)
+        lens = jnp.asarray([100, 256], jnp.int32)
+        got = self._grads(
+            lambda q_, k_, v_: flash_attention_grad(q_, k_, v_, kv_seq_len=lens),
+            q, k, v,
+        )
+        want = self._grads(
+            lambda q_, k_, v_: ref_attention(q_, k_, v_, kv_seq_len=lens),
+            q, k, v,
+        )
+        for g, w, name in zip(got, want, "qkv"):
+            check_err(g, w, rtol=5e-2, atol=5e-2, msg=f"d{name}")
+
+    def test_grads_dropout_consistent(self):
+        # the bwd regenerates the fwd keep-mask from the per-tile seeds
+        # (block_dropout.hpp analog): grads must equal autodiff through an
+        # explicit-mask reference built from the SAME forward output.
+        from composable_kernel_tpu.ops.attention import flash_attention_grad
+
+        # f32 inputs: the dropout mask is constant in q (bits depend only on
+        # the tile seed), so the loss is smooth and FD is accurate.
+        kq = jax.random.PRNGKey(0)
+        q = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 128, 64), jnp.float32)
+        k = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 256, 64), jnp.float32)
+        v = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 256, 64), jnp.float32)
+        rate, seed = 0.4, 123
+
+        fa = lambda q_, k_, v_: flash_attention_grad(
+            q_, k_, v_, dropout_rate=rate, dropout_seed=seed
+        )
+        w = jax.random.normal(jax.random.PRNGKey(9), q.shape, jnp.float32)
+
+        def loss(q_):
+            return jnp.sum(fa(q_, k, v).astype(jnp.float32) * w)
+
+        g = jax.grad(loss)(q)
+        d = jax.random.normal(jax.random.PRNGKey(11), q.shape, jnp.float32)
+        d = d / jnp.linalg.norm(d.reshape(-1))
+        eps = 1e-2  # mask is constant in q; larger eps beats f32 cancellation
+        fd = (loss(q + eps * d) - loss(q - eps * d)) / (2 * eps)
+        analytic = jnp.sum(g * d)
+        np.testing.assert_allclose(float(analytic), float(fd), rtol=2e-2)
 
 
 class TestDropout:
