@@ -25,7 +25,10 @@ import jax.numpy as jnp
 from composable_kernel_tpu.ops.gemm.api import grouped_gemm
 from composable_kernel_tpu.ops.gemm.config import GemmConfig
 
-__all__ = ["MoEConfig", "init_moe_weights", "moe_block", "moe_block_ragged"]
+__all__ = [
+    "MoEConfig", "init_moe_weights", "moe_block", "moe_block_ragged",
+    "moe_block_ep",
+]
 
 
 @dataclass(frozen=True)
@@ -100,37 +103,28 @@ def moe_block_ragged(x, weights, cfg: MoEConfig, *, block_m: int = 16,
     """Sorted-dispatch MoE on the ragged grouped GEMM (single device).
 
     Tokens sort by expert; each of gate/up/down runs as ONE ragged grouped
-    GEMM over per-expert row blocks (CK tile-loop analog). Token counts
-    per expert are rounded up to ``block_m`` rows with zero padding (the
-    fixed-NK contract of ops/gemm/ragged.py).
+    GEMM over per-expert row blocks (CK tile-loop analog). Group sizes are
+    the raw per-expert counts — no padding, per the arbitrary-size fixed-NK
+    contract of ops/gemm/ragged.py (device_grouped_gemm_fixed_nk.hpp:56).
     """
     t, d = x.shape
     e = cfg.n_experts
     w, idx = _route(x, weights["router"], cfg.top_k)
-    # flatten (token, k) pairs -> rows
+    # flatten (token, k) pairs -> rows, sorted by expert (tightly packed)
     flat_expert = idx.reshape(-1)  # [T*k]
     flat_w = w.reshape(-1)
     flat_tok = jnp.repeat(jnp.arange(t), cfg.top_k)
     order = jnp.argsort(flat_expert)
-    flat_expert = flat_expert[order]
     flat_tok = flat_tok[order]
     flat_w = flat_w[order]
-
     counts = jnp.bincount(flat_expert, length=e)
-    padded = -(-counts // block_m) * block_m  # per-expert padded row counts
-    starts = jnp.cumsum(padded) - padded
-    # scatter each sorted row into its expert's padded block
-    within = jnp.arange(t * cfg.top_k) - (jnp.cumsum(counts) - counts)[flat_expert]
-    rows = starts[flat_expert] + within
-    total = t * cfg.top_k + e * (block_m - 1)
-    total = -(-total // block_m) * block_m
-    a = jnp.zeros((total, d), x.dtype).at[rows].set(x[flat_tok])
+    a = x[flat_tok]
 
     cfg_g = GemmConfig(block_m=block_m, block_n=512, block_k=512)
 
     def run(wstack, a_in):
         return grouped_gemm(
-            padded, a_in, wstack, out_dtype=jnp.float32, config=cfg_g,
+            counts, a_in, wstack, out_dtype=jnp.float32, config=cfg_g,
             interpret=interpret,
         )
 
@@ -138,7 +132,87 @@ def moe_block_ragged(x, weights, cfg: MoEConfig, *, block_m: int = 16,
     u = run(weights["w_up"], a)
     h = (jax.nn.silu(g) * u).astype(x.dtype)
     y = run(weights["w_down"], h)
-    # gather back + weighted combine
-    contrib = y[rows] * flat_w[:, None]
+    # weighted combine back to token order
+    contrib = y * flat_w[:, None]
     out = jnp.zeros((t, d), jnp.float32).at[flat_tok].add(contrib)
+    return out.astype(x.dtype)
+
+
+def moe_block_ep(x, weights, cfg: MoEConfig, *, ep_axis, capacity=None,
+                 block_m: int = 16, interpret=None):
+    """Token-sharded expert parallelism with capacity-bucketed all-to-all.
+
+    The real EP dispatch (replacing the replicated-token psum of
+    ``moe_block(ep_axis=...)``): each device holds ``T_local`` tokens and
+    ``E/ep`` experts. (token, k) pairs route to the device owning their
+    expert through one ``all_to_all`` of a ``[ep, capacity, D]`` send
+    buffer, compute locally via the ragged grouped GEMM (sorted by local
+    expert — CK grouped-GEMM-fixed-NK with device-side sizes), and return
+    through a second ``all_to_all``; gate weighting happens on the source
+    device. Traffic scales with ``capacity`` (defaults to the no-drop bound
+    ``T_local * top_k``), NOT with device count.
+
+    Call inside ``shard_map`` with x row-sharded and expert weights
+    sharded on dim 0 over ``ep_axis`` (router replicated).
+    """
+    t, d = x.shape
+    n_local = weights["w_gate"].shape[0]
+    ep = jax.lax.psum(1, ep_axis)
+    w, idx = _route(x, weights["router"], cfg.top_k)
+    p = t * cfg.top_k
+    flat_e = idx.reshape(-1)
+    flat_w = w.reshape(-1)
+    flat_tok = jnp.repeat(jnp.arange(t), cfg.top_k)
+    td = flat_e // n_local  # target device per pair
+    cap = capacity or p  # default: no token ever drops
+
+    # rank of each pair within its (source -> target) bucket
+    onehot_td = jax.nn.one_hot(td, ep, dtype=jnp.int32)
+    pos = jnp.take_along_axis(
+        jnp.cumsum(onehot_td, axis=0) - 1, td[:, None], axis=1
+    )[:, 0]
+    keep = pos < cap
+    slot = jnp.where(keep, pos, cap)  # cap = out-of-range -> dropped scatter
+
+    send_x = jnp.zeros((ep, cap, d), x.dtype).at[td, slot].set(
+        x[flat_tok], mode="drop"
+    )
+    send_e = jnp.full((ep, cap), n_local, jnp.int32).at[td, slot].set(
+        flat_e % n_local, mode="drop"
+    )  # n_local = "empty slot" sentinel (parks after real experts when sorted)
+
+    a2a = lambda v: jax.lax.all_to_all(
+        v, ep_axis, split_axis=0, concat_axis=0, tiled=True
+    )
+    recv_x = a2a(send_x)
+    recv_e = a2a(send_e)
+
+    rows = recv_x.reshape(ep * cap, d)
+    e_rows = recv_e.reshape(ep * cap)
+    order = jnp.argsort(e_rows)  # empty slots (id n_local) sort last
+    a = rows[order]
+    counts = jnp.bincount(e_rows, length=n_local + 1)[:n_local]
+
+    cfg_g = GemmConfig(block_m=block_m, block_n=512, block_k=512)
+
+    def run(wstack, a_in):
+        return grouped_gemm(
+            counts, a_in, wstack, out_dtype=jnp.float32, config=cfg_g,
+            interpret=interpret,
+        )
+
+    g = run(weights["w_gate"], a)
+    u = run(weights["w_up"], a)
+    h = (jax.nn.silu(g) * u).astype(x.dtype)
+    y = run(weights["w_down"], h).astype(x.dtype)
+    # unsort back to slot order, return to sources
+    y_slots = jnp.zeros_like(y).at[order].set(y).reshape(ep, cap, d)
+    back = a2a(y_slots)
+
+    # weighted combine on the source device (dropped pairs contribute 0)
+    gathered = back[td, jnp.minimum(slot, cap - 1)]
+    wgt = jnp.where(keep, flat_w, 0.0)
+    out = jnp.zeros((t, d), jnp.float32).at[flat_tok].add(
+        gathered.astype(jnp.float32) * wgt[:, None]
+    )
     return out.astype(x.dtype)

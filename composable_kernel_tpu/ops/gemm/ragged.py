@@ -2,20 +2,25 @@
 
 TPU re-design of CK's grouped GEMM with device-side arguments:
 ``device_grouped_gemm_fixed_nk.hpp`` (SetDeviceKernelArgs:56-57 — per-group
-sizes live in a device buffer) and the persistent-kernel
-``device_grouped_gemm_tile_loop.hpp:26-95`` (grid is a flat tile loop; each
-tile reads its group's args on device, so the host never sees group sizes).
+sizes live in a device buffer, arbitrary at launch time) and the
+persistent-kernel ``device_grouped_gemm_tile_loop.hpp:26-95`` (grid is a
+flat tile loop; each tile reads its group's args on device, so the host
+never sees group sizes).
 
-Here the same idea maps to Pallas scalar prefetch: ``group_sizes`` is turned
-into a per-m-tile group-id table on device; BlockSpec index maps read it to
-select which expert's B matrix streams into VMEM for each tile. The grid is
-static (sum_M tiles); group boundaries are dynamic.
+Here the same idea maps to Pallas scalar prefetch. ``group_sizes`` is
+ARBITRARY (device-side values, no alignment contract — matching CK's
+fixed-NK): the host traces a static worst-case step count
+(m_tiles + G - 1), and a device-computed step table assigns each grid step
+a (m_tile, group, row_lo, row_hi) quadruple. An m-tile that straddles a
+group boundary is visited once per group with disjoint row masks; the
+masked stores merge in the tile's VMEM output block, which Pallas flushes
+only when the grid moves to the next tile (steps are ordered so every
+output block is visited contiguously).
 
-Layout contract (fixed-NK, like CK's fixed_nk variant): every group shares
-one K and N; each group's rows start at an offset that is a multiple of
-``block_m`` (callers pad each group's token block — the MoE dispatch and
-continuous-batching schedulers in runtime/ arrange this). Padding rows
-produce garbage output rows that callers drop.
+Layout contract (fixed-NK): every group shares one K and N; group g's rows
+occupy A[starts[g] : starts[g]+group_sizes[g]] with no padding between
+groups. Rows past ``sum(group_sizes)`` are computed against the last group
+(harmless — callers slice).
 """
 
 from __future__ import annotations
@@ -36,23 +41,72 @@ from composable_kernel_tpu.ops.gemm.kernel import (
 )
 
 
-def _ragged_kernel(gid_ref, a_ref, b_ref, out_ref, acc_ref, *, n_k_steps, c_op):
+def _ragged_kernel(tbl_ref, a_ref, b_ref, out_ref, acc_ref, *, n_k_steps,
+                   c_op, bm, bn):
+    s = pl.program_id(1)
     k_idx = pl.program_id(2)
+    live = tbl_ref[2, s] < tbl_ref[3, s]
 
     @pl.when(k_idx == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    acc_ref[...] += jnp.dot(
-        a_ref[...], b_ref[0], preferred_element_type=acc_ref.dtype
-    )
+    @pl.when(live)
+    def _step():
+        acc_ref[...] += jnp.dot(
+            a_ref[...], b_ref[0], preferred_element_type=acc_ref.dtype
+        )
 
     @pl.when(k_idx == n_k_steps - 1)
     def _finish():
         acc = acc_ref[...]
         if c_op is not None:
             acc = c_op(acc)
-        out_ref[...] = acc.astype(out_ref.dtype)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+        mask = (rows >= tbl_ref[2, s]) & (rows < tbl_ref[3, s])
+        out_ref[...] = jnp.where(mask, acc.astype(out_ref.dtype), out_ref[...])
+
+
+def _step_table(group_sizes, n_m_tiles, bm, g, mp):
+    """Device-side step table (CK GroupedGemmKernelArgument analog).
+
+    Returns int32 [4, n_steps]: m-tile index, group id, within-tile row
+    range [lo, hi) owned by that group. Steps are sorted by (tile, group) so
+    each output tile is visited by consecutive steps. Padding steps (past
+    the true count) have lo == hi == 0 (dead).
+    """
+    sizes = jnp.asarray(group_sizes, jnp.int32)
+    ends = jnp.cumsum(sizes)
+    starts = ends - sizes
+    # trailing rows (sum < M) ride with the last group, old-contract compat
+    ends = ends.at[g - 1].set(jnp.maximum(ends[g - 1], mp))
+
+    first_tile = starts // bm
+    last_tile = jnp.maximum((ends - 1) // bm, first_tile - 1)  # empty: count 0
+    counts = jnp.maximum(last_tile - first_tile + 1, 0)
+    off = jnp.cumsum(counts) - counts  # exclusive prefix: step offset per grp
+
+    n_steps = n_m_tiles + g - 1
+    s_idx = jnp.arange(n_steps, dtype=jnp.int32)
+    gid = jnp.clip(
+        jnp.searchsorted(off, s_idx, side="right").astype(jnp.int32) - 1,
+        0, g - 1,
+    )
+    # steps beyond the true total are dead: park them on the LAST tile and
+    # group so the resident output block's index never changes after the
+    # final live step (a dead step re-targeting an earlier tile would flush
+    # stale VMEM over that tile's finished rows).
+    total = off[g - 1] + counts[g - 1]
+    alive = s_idx < total
+    tile = first_tile[gid] + (s_idx - off[gid])
+    tile = jnp.where(alive, jnp.clip(tile, 0, n_m_tiles - 1), n_m_tiles - 1)
+    lo = jnp.clip(starts[gid] - tile * bm, 0, bm)
+    hi = jnp.clip(ends[gid] - tile * bm, 0, bm)
+    lo = jnp.where(alive, lo, 0)
+    hi = jnp.where(alive, hi, 0)
+    return jnp.stack(
+        [tile, jnp.where(alive, gid, g - 1), lo, hi]
+    ).astype(jnp.int32)
 
 
 def ragged_gemm(
@@ -67,8 +121,9 @@ def ragged_gemm(
 ):
     """out[sum_M, N] — each row block of A hits its group's B[g].
 
-    group_sizes: [G] int32, each a multiple of block_m (see module contract);
-    sum(group_sizes) may be < a.shape[0] (trailing rows use the last group).
+    group_sizes: [G] int32, ARBITRARY device-side values (CK fixed-NK
+    contract, device_grouped_gemm_fixed_nk.hpp:56). Group g's rows are
+    A[sum(sizes[:g]) : sum(sizes[:g+1])], tightly packed.
     """
     m, k = a.shape
     g, k2, n = b.shape
@@ -80,7 +135,7 @@ def ragged_gemm(
 
     cfg = config or GemmConfig(block_m=128, block_n=min(512, _ceil_mult(n, 128)), block_k=512)
     m_align = max(sublane_align(a.dtype), sublane_align(out_dtype))
-    bm = max(m_align, min(cfg.block_m, _ceil_mult(m, m_align)))
+    bm = max(m_align, min(_ceil_mult(cfg.block_m, m_align), _ceil_mult(m, m_align)))
     bn = max(128, min(cfg.block_n, _ceil_mult(n, 128)))
     bk = max(128, min(cfg.block_k, _ceil_mult(k, max(sublane_align(b.dtype), 128))))
 
@@ -91,34 +146,35 @@ def ragged_gemm(
     n_k_steps = kp // bk
     n_m_tiles = mp // bm
 
-    # Per-m-tile group id (device-side "kernel args" table, cf. CK
-    # GroupedGemmKernelArgument). tile i -> group of its first row.
-    starts = jnp.cumsum(group_sizes) - group_sizes
-    tile_rows = jnp.arange(n_m_tiles, dtype=jnp.int32) * bm
-    gids = (
-        jnp.searchsorted(starts, tile_rows, side="right").astype(jnp.int32) - 1
-    ).clip(0, g - 1)
+    tbl = _step_table(group_sizes, n_m_tiles, bm, g, mp)
+    n_steps = tbl.shape[1]
 
-    kernel = functools.partial(_ragged_kernel, n_k_steps=n_k_steps, c_op=c_op)
+    kernel = functools.partial(
+        _ragged_kernel, n_k_steps=n_k_steps, c_op=c_op, bm=bm, bn=bn
+    )
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # gids
-            grid=(n_m_tiles, np_ // bn, n_k_steps),
+            num_scalar_prefetch=1,  # the step table
+            # j outermost so each output tile sees its straddling steps
+            # back-to-back and stays resident in VMEM between them
+            grid=(np_ // bn, n_steps, n_k_steps),
             in_specs=[
                 pl.BlockSpec(
-                    (bm, bk), lambda i, j, kk, gids: (i, kk), memory_space=pltpu.VMEM
+                    (bm, bk), lambda j, s, kk, tbl: (tbl[0, s], kk),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
                     (1, bk, bn),
-                    lambda i, j, kk, gids: (gids[i], kk, j),
+                    lambda j, s, kk, tbl: (tbl[1, s], kk, j),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (bm, bn), lambda i, j, kk, gids: (i, j), memory_space=pltpu.VMEM
+                (bm, bn), lambda j, s, kk, tbl: (tbl[0, s], j),
+                memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         ),
@@ -126,6 +182,6 @@ def ragged_gemm(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(gids, a_p, b_p)
+    )(tbl, a_p, b_p)
 
     return out[:m, :n]

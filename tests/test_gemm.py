@@ -111,20 +111,45 @@ def test_batched_gemm():
     check_err(out, expect, atol=5e-5)
 
 
-def test_grouped_gemm_ragged():
-    bm = 16
-    cfg = GemmConfig(block_m=bm, block_n=128, block_k=128)
-    g, k, n = 3, 64, 128
-    sizes = [32, 16, 48]  # multiples of block_m
-    m = sum(sizes)
+def _check_grouped(sizes, g, k, n, cfg, m=None):
+    m = sum(sizes) if m is None else m
     keys = jax.random.split(jax.random.PRNGKey(10), 2)
     a = make_tensor(keys[0], (m, k), jnp.float32)
     b = make_tensor(keys[1], (g, k, n), jnp.float32)
     out = grouped_gemm(jnp.asarray(sizes, jnp.int32), a, b, config=cfg)
-    offs = np.cumsum([0] + sizes)
+    offs = np.cumsum([0] + list(sizes))
     for gi in range(g):
         seg = np.asarray(a)[offs[gi]:offs[gi + 1]] @ np.asarray(b)[gi]
-        check_err(np.asarray(out)[offs[gi]:offs[gi + 1]], seg, atol=5e-5, msg=f"group {gi}")
+        check_err(np.asarray(out)[offs[gi]:offs[gi + 1]], seg, atol=5e-5,
+                  msg=f"group {gi}")
+    return np.asarray(out), np.asarray(a), np.asarray(b), offs
+
+
+def test_grouped_gemm_ragged():
+    cfg = GemmConfig(block_m=16, block_n=128, block_k=128)
+    _check_grouped([32, 16, 48], 3, 64, 128, cfg)
+
+
+def test_grouped_gemm_arbitrary_sizes():
+    # CK fixed-NK contract (device_grouped_gemm_fixed_nk.hpp:56): group
+    # sizes need NO tile alignment — tiles straddling boundaries merge via
+    # masked row stores.
+    cfg = GemmConfig(block_m=16, block_n=128, block_k=128)
+    _check_grouped([5, 27, 1, 63], 4, 64, 128, cfg)
+
+
+def test_grouped_gemm_empty_and_tiny_groups():
+    cfg = GemmConfig(block_m=16, block_n=128, block_k=128)
+    _check_grouped([0, 7, 0, 3, 29], 5, 64, 128, cfg)
+
+
+def test_grouped_gemm_trailing_rows_use_last_group():
+    cfg = GemmConfig(block_m=16, block_n=128, block_k=128)
+    sizes = [10, 20]
+    out, a, b, offs = _check_grouped(sizes, 2, 64, 128, cfg, m=48)
+    # rows past sum(sizes) compute against the last group
+    tail = a[30:] @ b[1]
+    check_err(out[30:], tail, atol=5e-5, msg="trailing rows")
 
 
 def test_gemm_out_dtype_override():

@@ -13,6 +13,7 @@ from composable_kernel_tpu.models.moe import (
     MoEConfig,
     init_moe_weights,
     moe_block,
+    moe_block_ep,
     moe_block_ragged,
 )
 from composable_kernel_tpu.utils.check_err import check_err
@@ -77,3 +78,59 @@ class TestMoE:
         got = f(X, W)
         want = moe_block(X, W, CFG)
         check_err(got, want, rtol=5e-2, atol=5e-2)
+
+    def test_expert_parallel_all_to_all(self):
+        # the real EP path: token-sharded x, capacity-bucketed all_to_all
+        # dispatch, ragged local compute — must match the dense block when
+        # capacity is the no-drop bound.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from composable_kernel_tpu.parallel import make_mesh
+
+        mesh = make_mesh(tp=4, dp=1)  # 'tp' plays the ep axis here
+        specs = {
+            "router": P(),
+            "w_gate": P("tp", None, None),
+            "w_up": P("tp", None, None),
+            "w_down": P("tp", None, None),
+        }
+        f = shard_map(
+            lambda x_, w_: moe_block_ep(x_, w_, CFG, ep_axis="tp"),
+            mesh=mesh,
+            in_specs=(P("tp"), specs),
+            out_specs=P("tp"),
+            check_rep=False,
+        )
+        got = f(X, W)
+        want = moe_block(X, W, CFG)
+        check_err(got, want, rtol=5e-2, atol=5e-2)
+
+    def test_ep_capacity_drops(self):
+        # with a tiny capacity some pairs drop; the kept ones must still be
+        # exact, and output magnitudes shrink, never corrupt.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from composable_kernel_tpu.parallel import make_mesh
+
+        mesh = make_mesh(tp=4, dp=1)
+        specs = {
+            "router": P(),
+            "w_gate": P("tp", None, None),
+            "w_up": P("tp", None, None),
+            "w_down": P("tp", None, None),
+        }
+        f = shard_map(
+            lambda x_, w_: moe_block_ep(x_, w_, CFG, ep_axis="tp", capacity=4),
+            mesh=mesh,
+            in_specs=(P("tp"), specs),
+            out_specs=P("tp"),
+            check_rep=False,
+        )
+        got = np.asarray(f(X, W))
+        assert np.all(np.isfinite(got))
+        # every finite row is either 0 (dropped both experts) or bounded by
+        # the dense result's scale
+        dense = np.asarray(moe_block(X, W, CFG), np.float32)
+        assert np.abs(got).max() <= np.abs(dense).max() * 4 + 1.0
