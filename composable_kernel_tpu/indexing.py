@@ -1,0 +1,147 @@
+"""Block-index algebra: the reusable index-map math shared by kernels.
+
+CK analog: ``include/ck/tensor_description/`` — TensorDescriptor transforms
+(multi_index_transform.hpp: Merge/UnMerge/Embed) compose into the index
+arithmetic every gridwise kernel needs. On TPU the *lowering* belongs to
+XLA/Mosaic, but the block-level index algebra (which block does grid step s
+touch, which scale rows cover tile kk, where does logical row l live in a
+packed layout) is still real math that multiple kernels share. This module
+is that small library (SURVEY.md §2.1), with direct unit tests in
+tests/test_indexing.py.
+
+Contents:
+  - clamped_block:        live-prefix KV DMA clamp (attention kernels)
+  - split_halves_*:       the segmented int4 split-halves pack algebra
+                          (quant GEMM lo/hi A-block maps + scale rows)
+  - group_scale_row_table: group-scale row expansion for sublane-aligned
+                          per-K-step scale blocks
+  - ragged_step_table:    (m-tile, group, row-range) walk for arbitrary
+                          group sizes (grouped GEMM)
+
+A CK FastNumericArrayConverter analog (offset-binary nibbles + magic-or
+bitcast unpack, element/unary_element_wise_operation.hpp:1061-1094) was
+built, verified bit-exact, and measured SLOWER than the i32-widen chain on
+v5e (495-545 -> 300-345 GB/s at decode shapes): every pltpu.bitcast that
+changes element width is a sublane relayout, and the widen chain is already
+at the VPU roof. Record + probes: scripts/probe_magic_unpack.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "clamped_block",
+    "split_halves_a_block",
+    "split_halves_scale_starts",
+    "group_scale_row_table",
+    "ragged_step_table",
+]
+
+
+# ------------------------------------------------------------------ clamps
+
+
+def clamped_block(kk, live_len, block):
+    """Clamp block index ``kk`` to the live prefix of a ragged sequence.
+
+    Blocks wholly past ``live_len`` re-read block 0's worth of data at the
+    last live block instead of streaming dead rows from HBM (they are fully
+    masked in-kernel, so only DMA traffic changes). Used by the attention
+    K/V BlockSpec index maps (ops/attention/kernel.py).
+    """
+    n_live = jax.lax.div(live_len + (block - 1), block)
+    return jnp.minimum(kk, jnp.maximum(n_live - 1, 0))
+
+
+# ------------------------------------------ split-halves int4 pack algebra
+#
+# dtypes.pack_int4 stores logical K-rows (k, k + K/2) in one byte (lo, hi
+# nibble); with ``pack_blocks`` > 1 the K axis splits into B independent
+# segments (the tensor-parallel layout). One kernel K-step consumes ``bpk``
+# packed rows; its lo nibbles cover logical rows [seg_base + off, ...+bpk)
+# and its hi nibbles the same range shifted by half_seg.
+
+
+def split_halves_a_block(kk, bpk, half_seg, hi):
+    """A-matrix K-block index for packed step ``kk`` (lo or hi nibbles).
+
+    half_seg: packed rows per segment (K // (2 * pack_blocks)).
+    Returns the block index in units of ``bpk`` logical columns.
+    """
+    p0 = kk * bpk
+    seg_base = (p0 // half_seg) * (2 * half_seg)
+    off = p0 % half_seg
+    if hi:
+        off = off + half_seg
+    return (seg_base + off) // bpk
+
+
+def split_halves_scale_starts(n_k_steps, bpk, half_seg, group_size):
+    """Host-side logical scale-row starts for each packed K-step (lo, hi)."""
+    lo_rows, hi_rows = [], []
+    for i in range(n_k_steps):
+        p0 = i * bpk
+        seg, off = p0 // half_seg, p0 % half_seg
+        lo_rows.append((seg * 2 * half_seg + off) // group_size)
+        hi_rows.append((seg * 2 * half_seg + half_seg + off) // group_size)
+    return lo_rows, hi_rows
+
+
+def group_scale_row_table(row_starts, s_rows, sublanes=8):
+    """[G, N] scale rows -> gather index list giving one ``srb``-row
+    (sublane-aligned) block per K-step; pad rows repeat row 0 (never read).
+
+    Returns (index array, srb).
+    """
+    srb = -(-max(s_rows, 1) // sublanes) * sublanes
+    idx = []
+    for r0 in row_starts:
+        rows = list(range(r0, r0 + s_rows))
+        rows += [0] * (srb - s_rows)
+        idx.extend(rows)
+    return np.asarray(idx, np.int32), srb
+
+
+# ------------------------------------------------------ ragged group walk
+
+
+def ragged_step_table(group_sizes, n_m_tiles, bm, g, mp):
+    """Device-side step table (CK GroupedGemmKernelArgument analog).
+
+    Returns int32 [4, n_steps]: m-tile index, group id, within-tile row
+    range [lo, hi) owned by that group. Steps are sorted by (tile, group) so
+    each output tile is visited by consecutive steps. Padding steps (past
+    the true count) are parked on the LAST tile/group with lo == hi == 0 so
+    the resident output block's index never changes after the final live
+    step. Trailing rows (sum(sizes) < mp) ride with the last group.
+    """
+    sizes = jnp.asarray(group_sizes, jnp.int32)
+    ends = jnp.cumsum(sizes)
+    starts = ends - sizes
+    ends = ends.at[g - 1].set(jnp.maximum(ends[g - 1], mp))
+
+    first_tile = starts // bm
+    last_tile = jnp.maximum((ends - 1) // bm, first_tile - 1)  # empty: 0
+    counts = jnp.maximum(last_tile - first_tile + 1, 0)
+    off = jnp.cumsum(counts) - counts
+
+    n_steps = n_m_tiles + g - 1
+    s_idx = jnp.arange(n_steps, dtype=jnp.int32)
+    gid = jnp.clip(
+        jnp.searchsorted(off, s_idx, side="right").astype(jnp.int32) - 1,
+        0, g - 1,
+    )
+    total = off[g - 1] + counts[g - 1]
+    alive = s_idx < total
+    tile = first_tile[gid] + (s_idx - off[gid])
+    tile = jnp.where(alive, jnp.clip(tile, 0, n_m_tiles - 1), n_m_tiles - 1)
+    lo = jnp.clip(starts[gid] - tile * bm, 0, bm)
+    hi = jnp.clip(ends[gid] - tile * bm, 0, bm)
+    lo = jnp.where(alive, lo, 0)
+    hi = jnp.where(alive, hi, 0)
+    return jnp.stack(
+        [tile, jnp.where(alive, gid, g - 1), lo, hi]
+    ).astype(jnp.int32)

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from composable_kernel_tpu import indexing
 from composable_kernel_tpu.ops.attention.config import AttentionConfig
 from composable_kernel_tpu.ops.gemm.kernel import _ceil_mult, _interpret_default, pad_to
 
@@ -280,8 +281,7 @@ def flash_attention(
         # empty). scalars[0] is the [2, B] lens/offset payload.
         kk_live = kk
         if scalars:
-            n_live = jax.lax.div(scalars[0][0, bh // hq] + (bk - 1), bk)
-            kk_live = jnp.minimum(kk, jnp.maximum(n_live - 1, 0))
+            kk_live = indexing.clamped_block(kk, scalars[0][0, bh // hq], bk)
         return ((bh // hq) * hkv + (bh % hq) // group, kk_live, 0)
 
     in_specs = [

@@ -67,46 +67,8 @@ def _ragged_kernel(tbl_ref, a_ref, b_ref, out_ref, acc_ref, *, n_k_steps,
         out_ref[...] = jnp.where(mask, acc.astype(out_ref.dtype), out_ref[...])
 
 
-def _step_table(group_sizes, n_m_tiles, bm, g, mp):
-    """Device-side step table (CK GroupedGemmKernelArgument analog).
-
-    Returns int32 [4, n_steps]: m-tile index, group id, within-tile row
-    range [lo, hi) owned by that group. Steps are sorted by (tile, group) so
-    each output tile is visited by consecutive steps. Padding steps (past
-    the true count) have lo == hi == 0 (dead).
-    """
-    sizes = jnp.asarray(group_sizes, jnp.int32)
-    ends = jnp.cumsum(sizes)
-    starts = ends - sizes
-    # trailing rows (sum < M) ride with the last group, old-contract compat
-    ends = ends.at[g - 1].set(jnp.maximum(ends[g - 1], mp))
-
-    first_tile = starts // bm
-    last_tile = jnp.maximum((ends - 1) // bm, first_tile - 1)  # empty: count 0
-    counts = jnp.maximum(last_tile - first_tile + 1, 0)
-    off = jnp.cumsum(counts) - counts  # exclusive prefix: step offset per grp
-
-    n_steps = n_m_tiles + g - 1
-    s_idx = jnp.arange(n_steps, dtype=jnp.int32)
-    gid = jnp.clip(
-        jnp.searchsorted(off, s_idx, side="right").astype(jnp.int32) - 1,
-        0, g - 1,
-    )
-    # steps beyond the true total are dead: park them on the LAST tile and
-    # group so the resident output block's index never changes after the
-    # final live step (a dead step re-targeting an earlier tile would flush
-    # stale VMEM over that tile's finished rows).
-    total = off[g - 1] + counts[g - 1]
-    alive = s_idx < total
-    tile = first_tile[gid] + (s_idx - off[gid])
-    tile = jnp.where(alive, jnp.clip(tile, 0, n_m_tiles - 1), n_m_tiles - 1)
-    lo = jnp.clip(starts[gid] - tile * bm, 0, bm)
-    hi = jnp.clip(ends[gid] - tile * bm, 0, bm)
-    lo = jnp.where(alive, lo, 0)
-    hi = jnp.where(alive, hi, 0)
-    return jnp.stack(
-        [tile, jnp.where(alive, gid, g - 1), lo, hi]
-    ).astype(jnp.int32)
+# step-table construction lives in the shared block-index algebra library
+from composable_kernel_tpu.indexing import ragged_step_table as _step_table
 
 
 def ragged_gemm(

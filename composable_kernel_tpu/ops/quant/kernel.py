@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from composable_kernel_tpu import indexing
 from composable_kernel_tpu.ops.gemm.config import GemmConfig
 from composable_kernel_tpu.ops.gemm.kernel import (
     _ceil_mult,
@@ -81,13 +82,10 @@ def _expand_group_scales(scales_p, row_starts, s_rows):
     Row block ``i`` holds scale rows [row_starts[i], row_starts[i]+s_rows);
     pad rows repeat row 0 (never read — the kernel slices [:s_rows]).
     """
-    srb = -(-max(s_rows, 1) // _SCALE_SUBLANES) * _SCALE_SUBLANES
-    idx = []
-    for r0 in row_starts:
-        rows = list(range(r0, r0 + s_rows))
-        rows += [0] * (srb - s_rows)
-        idx.extend(rows)
-    return jnp.take(scales_p, jnp.asarray(idx, jnp.int32), axis=0), srb
+    idx, srb = indexing.group_scale_row_table(
+        row_starts, s_rows, sublanes=_SCALE_SUBLANES
+    )
+    return jnp.take(scales_p, jnp.asarray(idx), axis=0), srb
 
 
 def _kernel_i8(
@@ -267,20 +265,13 @@ def dequant_gemm(
         blk = bpk if packed_int4 else bk
         s_rows = max(1, blk // gsz)
         if packed_int4:
-            # logical row starts for each step's lo/hi nibbles, honoring the
+            # scale-row starts for each step's lo/hi nibbles, honoring the
             # segmented (tensor-parallel) pack layout
-            lo_rows, hi_rows = [], []
-            for i in range(n_k_steps):
-                p0 = i * bpk
-                seg, off = p0 // half_seg, p0 % half_seg
-                lo_rows.append(seg * 2 * half_seg + off)
-                hi_rows.append(seg * 2 * half_seg + half_seg + off)
-            s_lo, srb = _expand_group_scales(
-                s_p, [r // gsz for r in lo_rows], s_rows
+            lo_starts, hi_starts = indexing.split_halves_scale_starts(
+                n_k_steps, bpk, half_seg, gsz
             )
-            s_hi, _ = _expand_group_scales(
-                s_p, [r // gsz for r in hi_rows], s_rows
-            )
+            s_lo, srb = _expand_group_scales(s_p, lo_starts, s_rows)
+            s_hi, _ = _expand_group_scales(s_p, hi_starts, s_rows)
         else:
             lo_starts = [(i * blk) // gsz for i in range(n_k_steps)]
             s_lo, srb = _expand_group_scales(s_p, lo_starts, s_rows)
@@ -358,23 +349,25 @@ def dequant_gemm(
                 num_scalar_prefetch=0,
                 grid=grid,
                 in_specs=[
-                    # A columns for the step's lo nibbles: segment-aware
+                    # A columns for the step's lo / hi nibbles: segment-aware
+                    # (indexing.split_halves_a_block, unit-tested directly)
                     pl.BlockSpec(
                         (bm, bpk),
                         lambda i, j, kk: (
                             i,
-                            ((kk * bpk) // half_seg) * (2 * half_seg) // bpk
-                            + ((kk * bpk) % half_seg) // bpk,
+                            indexing.split_halves_a_block(
+                                kk, bpk, half_seg, hi=False
+                            ),
                         ),
                         memory_space=pltpu.VMEM,
                     ),
-                    # A columns for the hi nibbles: + half_seg within segment
                     pl.BlockSpec(
                         (bm, bpk),
                         lambda i, j, kk: (
                             i,
-                            ((kk * bpk) // half_seg) * (2 * half_seg) // bpk
-                            + (half_seg + (kk * bpk) % half_seg) // bpk,
+                            indexing.split_halves_a_block(
+                                kk, bpk, half_seg, hi=True
+                            ),
                         ),
                         memory_space=pltpu.VMEM,
                     ),
