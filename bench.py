@@ -1,14 +1,38 @@
-"""Headline benchmark: W4A16 dequant GEMM at the reference's headline shape.
+"""Driver-recorded benchmark: every BASELINE.json config, one JSON line each.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "TFlops", "vs_baseline": N}
+Lines are printed together at the end, HEADLINE LAST (a last-line parser
+records the headline; the full set lands in the captured tail):
 
-Baseline = 119.136 TFlops: the reference's published fp16 GEMM sample
-(M=3840 N=4096 K=4096 on gfx908/90a, docs/tutorial/tutorial_hello_world.rst:113-118
-— see BASELINE.md). We run the *harder* op at the same shape: bf16 x int4
-(g=128) weight-only dequant GEMM, dequant fused in-kernel, per SURVEY.md's
-north star. Timing uses the chained-iteration slope method (constant
-dispatch/tunnel overhead cancels).
+  1. w8a16_gemm_1024_perchannel — BF16xINT8 per-channel weight-only GEMM at
+     M=N=K=1024, verified against the jnp host reference before timing
+     (BASELINE config 1). vs_baseline: ratio to the reference's published
+     119.136 TFlops fp16 GEMM sample (docs/tutorial/tutorial_hello_world.rst).
+  2. w4a16_decode_weight_stream — FP16-class (bf16) x INT4 g=128 fpAintB GEMM
+     at Llama-7B decode shapes, M in {1, 8, 32, 64}, K=4096 N=11008
+     (BASELINE config 2). value = geomean weight-stream GB/s across M;
+     vs_baseline: fraction of the chip's ~819 GB/s HBM speed-of-light.
+  3. int8_requant_add_add_fastgelu — INT8xINT8 GEMM, int32 MXU accumulate,
+     fused bias+residual+fastgelu+requant epilogue, int8 out (BASELINE
+     config 3). value = TOPS; vs_baseline: fraction of v5e's ~394 TOPS int8
+     MXU peak.
+  4. int8kv_attention_4k — flash attention, INT8 KV cache with per-head
+     scales, causal, seq 4096, GQA 32/8 heads D=128 (BASELINE config 4).
+     value = effective TFlops (causal = half the full-matrix flops);
+     vs_baseline: fraction of the 197 TF bf16 MXU peak.
+  5. llama8b_w4a16_decode_tok_s — Llama-3-8B W4A16 end-to-end batched decode
+     on this chip, steps chained in one jit (BASELINE config 5; the 2-host
+     half of that config can't run here — one chip behind the tunnel).
+     value = total tok/s at B=8 (b1_tok_s also reported); vs_baseline:
+     fraction of the weight-stream speed-of-light floor (5.04 GB / 819 GB/s
+     = 6.2 ms/step -> 1290 tok/s at B=8).
+  6. (headline, unchanged metric name round-over-round)
+     w4a16_dequant_gemm_3840x4096x4096_g128_tflops — the north-star W4A16
+     dequant GEMM at the reference's headline shape. vs_baseline: ratio to
+     the reference's 119.136 TFlops fp16 sample on MI100-class hardware.
+
+Timing: chained-iteration slope (utils.timing.benchmark_chained) — constant
+dispatch/tunnel overhead cancels. On CPU every config runs tiny shapes in
+interpret mode purely as a smoke test.
 """
 
 from __future__ import annotations
@@ -17,10 +41,241 @@ import json
 import sys
 
 
-def main() -> None:
+def _stderr(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_w8a16_verify(on_tpu):
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    from composable_kernel_tpu.ops.quant import dequant_gemm
+    from composable_kernel_tpu.reference.quant import (
+        ref_dequant_gemm,
+        ref_quantize_per_channel,
+    )
+    from composable_kernel_tpu.utils.check_err import check_err
+    from composable_kernel_tpu.utils.timing import benchmark_chained
+
+    m = n = k = 1024 if on_tpu else 256
+    a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
+    w_q, scales = ref_quantize_per_channel(w, bits=8)
+
+    def fn(a_, b_, s_):
+        return dequant_gemm(a_, b_, s_, interpret=not on_tpu)
+
+    got = fn(a, w_q, scales)
+    want = ref_dequant_gemm(a, w_q, scales)
+    check_err(got, want)  # raises on mismatch: the verification gate
+    lo, hi = (40, 200) if on_tpu else (2, 4)
+    r = benchmark_chained(fn, a, w_q, scales, iters_lo=lo, iters_hi=hi,
+                          flops=2.0 * m * n * k)
+    return {
+        "metric": f"w8a16_gemm_{m}_perchannel_tflops",
+        "value": round(r.tflops, 2),
+        "unit": "TFlops",
+        "vs_baseline": round(r.tflops / 119.136, 3),
+        "verified": True,
+    }
+
+
+def bench_w4a16_decode(on_tpu):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from composable_kernel_tpu import dtypes
+    from composable_kernel_tpu.ops.quant import wo_quant_gemm
+    from composable_kernel_tpu.reference.quant import ref_quantize_group
+    from composable_kernel_tpu.utils.timing import benchmark_chained
+
+    k, n, g = (4096, 11008, 128) if on_tpu else (512, 512, 128)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
+    w_q, scales = ref_quantize_group(w, group_size=g, bits=4)
+    packed = dtypes.pack_int4(w_q, axis=0)
+    weight_bytes = packed.size + scales.size * 4
+
+    per_m = {}
+    for m in ((1, 8, 32, 64) if on_tpu else (1, 8)):
+        a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32).astype(
+            jnp.bfloat16
+        )
+
+        def fn(a_, b_, s_):
+            return wo_quant_gemm(a_, b_, s_, group_size=g, packed_int4=True,
+                                 interpret=not on_tpu)
+
+        lo, hi = (50, 250) if on_tpu else (2, 4)
+        r = benchmark_chained(fn, a, packed, scales, iters_lo=lo, iters_hi=hi,
+                              bytes_accessed=float(weight_bytes))
+        per_m[m] = round(r.gbps, 1)
+        _stderr(f"# decode M={m}: {r.gbps:.1f} GB/s weight stream")
+    geomean = float(np.exp(np.mean(np.log(np.maximum(list(per_m.values()), 1e-9)))))
+    return {
+        "metric": f"w4a16_decode_weight_stream_k{k}_n{n}_gbps",
+        "value": round(geomean, 1),
+        "unit": "GB/s",
+        "vs_baseline": round(geomean / 819.0, 3),
+        "per_m": per_m,
+    }
+
+
+def bench_int8_requant(on_tpu):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from composable_kernel_tpu.ops import epilogues as ep
+    from composable_kernel_tpu.ops.quant import int8_gemm
+    from composable_kernel_tpu.reference.quant import ref_int8_gemm_requant
+    from composable_kernel_tpu.utils.timing import benchmark_chained
+
+    m, n, k = (2048, 4096, 4096) if on_tpu else (64, 128, 128)
+    rng = np.random.default_rng(0)
+    a_q = jnp.asarray(rng.integers(-128, 128, (m, k)), jnp.int8)
+    b_q = jnp.asarray(rng.integers(-128, 128, (k, n)), jnp.int8)
+    bias = jnp.asarray(rng.integers(-1000, 1000, (n,)), jnp.int32)
+    resid = jnp.asarray(rng.integers(-1000, 1000, (m, n)), jnp.int32)
+    op = ep.add_add_mul_activation_mul_clamp(ep.fast_gelu, 0.0005, 17.0)
+
+    def fn(a_, b_):
+        return int8_gemm(a_, b_, op, ds=(resid, bias), interpret=not on_tpu)
+
+    # bit-exact integer-path verification (check_err.hpp:178-210 contract)
+    sl = min(m, 64)
+    got = np.asarray(fn(a_q, b_q)[:sl])
+    want = np.asarray(ref_int8_gemm_requant(a_q[:sl], b_q, op,
+                                            ds=(resid[:sl], bias)))
+    np.testing.assert_array_equal(got, want)
+
+    lo, hi = (40, 200) if on_tpu else (2, 4)
+    r = benchmark_chained(fn, a_q, b_q, iters_lo=lo, iters_hi=hi,
+                          flops=2.0 * m * n * k)
+    return {
+        "metric": f"int8_requant_add_add_fastgelu_{m}x{n}x{k}_tops",
+        "value": round(r.tflops, 2),  # int ops/s, same 1e12 scale
+        "unit": "TOPS",
+        "vs_baseline": round(r.tflops / 394.0, 3),
+        "verified": True,
+    }
+
+
+def bench_int8kv_attention(on_tpu):
+    import jax
+    import jax.numpy as jnp
+
+    from composable_kernel_tpu.ops.attention import flash_attention
+    from composable_kernel_tpu.utils.timing import benchmark_chained
+
+    b, hq, hkv, s, d = (2, 32, 8, 4096, 128) if on_tpu else (1, 4, 2, 256, 64)
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, hq, s, d), jnp.float32).astype(jnp.bfloat16)
+
+    def q8(key, shape):
+        x = jax.random.normal(key, shape, jnp.float32)
+        absmax = jnp.max(jnp.abs(x), axis=(2, 3))
+        scale = jnp.maximum(absmax / 127.0, 1e-8)
+        xq = jnp.clip(jnp.round(x / scale[:, :, None, None]), -127, 127)
+        return xq.astype(jnp.int8), scale
+
+    kq, k_scale = q8(ks[1], (b, hkv, s, d))
+    vq, v_scale = q8(ks[2], (b, hkv, s, d))
+
+    def fn(q_, k_, v_):
+        return flash_attention(q_, k_, v_, k_scale=k_scale, v_scale=v_scale,
+                               causal=True, interpret=not on_tpu)
+
+    # causal: half the full-matrix work is live
+    flops = 2.0 * b * hq * s * s * (d + d) / 2.0
+    lo, hi = (20, 100) if on_tpu else (2, 4)
+    r = benchmark_chained(fn, q, kq, vq, iters_lo=lo, iters_hi=hi, flops=flops)
+    return {
+        "metric": f"int8kv_attention_causal_s{s}_tflops_eff",
+        "value": round(r.tflops, 2),
+        "unit": "TFlops",
+        "vs_baseline": round(r.tflops / 197.0, 3),
+    }
+
+
+def bench_llama_e2e(on_tpu):
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from composable_kernel_tpu.models import llama
+
+    if on_tpu:
+        cfg = llama.llama3_8b(max_seq_len=2048, quant="w4a16", group_size=128,
+                              fuse_qkv=True)
+    else:
+        cfg = llama.tiny_config(quant="w4a16", group_size=64, fuse_qkv=False,
+                                max_seq_len=128)
+    params = jax.jit(lambda k: llama.random_quantized_params(cfg, k))(
+        jax.random.PRNGKey(0)
+    )
+    jax.block_until_ready(params)
+
+    tok_s = {}
+    for batch in (1, 8):
+        cache = llama.init_kv_cache(cfg, batch)
+        toks = jnp.ones((batch, 1), jnp.int32)
+        pos0 = jnp.full((batch,), min(1024, cfg.max_seq_len // 2), jnp.int32)
+
+        def make_body(n):
+            @jax.jit
+            def body(params, cache, toks, pos0):
+                def one(carry, i):
+                    cache, toks = carry
+                    logits, cache = llama.decode_step_batched(
+                        params, cache, toks, pos0 + i, cfg
+                    )
+                    nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                    return (cache, nxt), ()
+
+                (cache, toks), _ = jax.lax.scan(
+                    one, (cache, toks), jnp.arange(n)
+                )
+                return toks
+
+            return body
+
+        lo_n, hi_n = (8, 40) if on_tpu else (1, 2)
+        bodies = {n: make_body(n) for n in (lo_n, hi_n)}
+        np.asarray(bodies[lo_n](params, cache, toks, pos0))
+        np.asarray(bodies[hi_n](params, cache, toks, pos0))
+
+        def t(n):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(bodies[n](params, cache, toks, pos0))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        dt = (t(hi_n) - t(lo_n)) / (hi_n - lo_n)
+        tok_s[batch] = batch / dt
+        _stderr(f"# e2e decode B={batch}: {dt*1e3:.2f} ms/step, "
+                f"{batch/dt:.1f} tok/s")
+        del cache
+    sol_b8 = 8.0 / (5.04 / 819.0)  # weight-stream floor at B=8
+    return {
+        "metric": "llama8b_w4a16_decode_tok_s",
+        "value": round(tok_s[8], 1),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s[8] / sol_b8, 3) if on_tpu else 0.0,
+        "b1_tok_s": round(tok_s[1], 1),
+    }
+
+
+def bench_headline(on_tpu):
+    import jax
+    import jax.numpy as jnp
 
     from composable_kernel_tpu import dtypes
     from composable_kernel_tpu.ops.gemm.config import GemmConfig
@@ -28,63 +283,89 @@ def main() -> None:
     from composable_kernel_tpu.reference.quant import ref_quantize_group
     from composable_kernel_tpu.utils.timing import benchmark_chained
 
-    on_tpu = jax.default_backend() == "tpu"
     m, n, k, g = (3840, 4096, 4096, 128) if on_tpu else (256, 256, 512, 128)
-
-    key = jax.random.PRNGKey(0)
-    a = jax.random.normal(key, (m, k), jnp.float32).astype(jnp.bfloat16)
+    a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32).astype(
+        jnp.bfloat16
+    )
     w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
     w_q, scales = ref_quantize_group(w, group_size=g, bits=4)
     packed = dtypes.pack_int4(w_q, axis=0)
-
     flops = 2.0 * m * n * k
+
+    # top instances from the round-2 on-chip sweep
+    # (scripts/sweep_w4a16_prefill.py): exact-fit block_m for M=3840 —
+    # block_m=512 pads M to 4096 and wastes 6.7% of the MXU work.
     candidates = (
         [
-            GemmConfig(256, 512, 512),
-            GemmConfig(512, 512, 512),
-            GemmConfig(256, 1024, 512),
-            GemmConfig(512, 1024, 1024),
-            GemmConfig(256, 512, 1024),
+            GemmConfig(960, 1024, 1024),
+            GemmConfig(768, 2048, 512),
+            GemmConfig(480, 2048, 1024),
         ]
         if on_tpu
         else [GemmConfig(256, 256, 256)]
     )
 
-    def run(cfg):
-        def fn(a_, b_, s_):
-            return dequant_gemm(
-                a_, b_, s_, group_size=g, packed_int4=True, config=cfg,
-                interpret=not on_tpu,
-            )
-
-        lo, hi = (20, 120) if on_tpu else (2, 4)
-        return benchmark_chained(
-            fn, a, packed, scales, iters_lo=lo, iters_hi=hi, flops=flops
-        )
-
     best = None
     for cfg in candidates:
+        def fn(a_, b_, s_):
+            return dequant_gemm(a_, b_, s_, group_size=g, packed_int4=True,
+                                config=cfg, interpret=not on_tpu)
+
+        lo, hi = (20, 120) if on_tpu else (2, 4)
         try:
-            r = run(cfg)
-        except Exception as e:  # unsupported config on this chip
-            print(f"# config {cfg.name()} failed: {e}", file=sys.stderr)
+            r = benchmark_chained(fn, a, packed, scales, iters_lo=lo,
+                                  iters_hi=hi, flops=flops)
+        except Exception as e:
+            _stderr(f"# config {cfg.name()} failed: {e}")
             continue
-        print(f"# {cfg.name()}: {r.tflops:.1f} TFlops ({r.avg_ms:.3f} ms)",
-              file=sys.stderr)
+        _stderr(f"# {cfg.name()}: {r.tflops:.1f} TFlops ({r.avg_ms:.3f} ms)")
         if best is None or r.tflops > best.tflops:
             best = r
 
-    baseline_tflops = 119.136  # reference fp16 GEMM headline (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": f"w4a16_dequant_gemm_{m}x{n}x{k}_g{g}_tflops",
-                "value": round(best.tflops, 2),
-                "unit": "TFlops",
-                "vs_baseline": round(best.tflops / baseline_tflops, 3),
-            }
-        )
-    )
+    return {
+        "metric": f"w4a16_dequant_gemm_{m}x{n}x{k}_g{g}_tflops",
+        "value": round(best.tflops, 2),
+        "unit": "TFlops",
+        "vs_baseline": round(best.tflops / 119.136, 3),
+    }
+
+
+def main() -> None:
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the environment's sitecustomize pins the TPU plugin via jax.config,
+        # so the env var alone does not win — honor it explicitly
+        jax.config.update("jax_platforms", "cpu")
+    on_tpu = jax.default_backend() == "tpu"
+    benches = [
+        ("w8a16 verify", bench_w8a16_verify),
+        ("w4a16 decode", bench_w4a16_decode),
+        ("int8 requant", bench_int8_requant),
+        ("int8kv attention", bench_int8kv_attention),
+        ("llama e2e", bench_llama_e2e),
+        ("headline", bench_headline),
+    ]
+    lines = []
+    for name, fn in benches:
+        _stderr(f"# === {name} ===")
+        try:
+            lines.append(fn(on_tpu))
+        except Exception as e:  # one failure must not hide the rest
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            lines.append({
+                "metric": f"{name.replace(' ', '_')}_FAILED",
+                "value": 0.0,
+                "unit": "",
+                "vs_baseline": 0.0,
+                "error": f"{type(e).__name__}: {e}"[:200],
+            })
+    for line in lines:
+        print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

@@ -125,6 +125,51 @@ def init_weights(cfg: LlamaConfig, key) -> dict:
     }
 
 
+def random_quantized_params(cfg: LlamaConfig, key) -> dict:
+    """Generate the quantized pytree directly on device (benchmarking).
+
+    No bf16 intermediate: a full bf16 8B copy would not fit on HBM next to
+    the quantized one. Weight *values* are irrelevant to bandwidth/compute
+    benchmarks; only shapes/dtypes matter. One jit call so per-tensor
+    dispatches through a proxied runtime don't dominate.
+    """
+    assert cfg.quant == "w4a16", cfg.quant
+    d, f, v, g = cfg.dim, cfg.ffn_dim, cfg.vocab_size, cfg.group_size
+    hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    keys = iter(jax.random.split(key, cfg.n_layers * 7 + 3))
+
+    def qlin(k_, kk, nn):
+        packed = jax.random.randint(k_, (kk // 2, nn), -128, 128, jnp.int8)
+        scales = jnp.full((kk // g, nn), 0.004, jnp.float32)
+        return {"q": packed, "s": scales}
+
+    layers = []
+    for _ in range(cfg.n_layers):
+        layer = {
+            "attn_norm": jnp.ones((d,), cfg.jdtype),
+            "wo": qlin(next(keys), nh * hd, d),
+            "ffn_norm": jnp.ones((d,), cfg.jdtype),
+            "w_down": qlin(next(keys), f, d),
+        }
+        if cfg.fuse_qkv:
+            layer["wqkv"] = qlin(next(keys), d, (nh + 2 * nkv) * hd)
+            layer["w_gateup"] = qlin(next(keys), d, 2 * f)
+        else:
+            layer["wq"] = qlin(next(keys), d, nh * hd)
+            layer["wk"] = qlin(next(keys), d, nkv * hd)
+            layer["wv"] = qlin(next(keys), d, nkv * hd)
+            layer["w_gate"] = qlin(next(keys), d, f)
+            layer["w_up"] = qlin(next(keys), d, f)
+        layers.append(layer)
+    std = 0.02
+    return {
+        "embed": (jax.random.normal(next(keys), (v, d), jnp.float32) * std).astype(cfg.jdtype),
+        "layers": layers,
+        "norm": jnp.ones((d,), cfg.jdtype),
+        "lm_head": qlin(next(keys), d, v),
+    }
+
+
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 #: row-parallel (K-sharded) linears under TP — need segmented int4 packing
 _ROW_PARALLEL = ("wo", "w_down")

@@ -221,3 +221,26 @@ def add_mul_activation_mul_clamp(activation, scale_gemm, scale_requant):
         scale_requant
         * activation(scale_gemm * (acc.astype(jnp.float32) + bias.astype(jnp.float32)))
     )
+
+
+def add_add_mul_activation_mul_clamp(activation, scale_gemm, scale_requant):
+    """Two-D requant: y = clamp(s2 * act(s1 * (acc + d0 + d1))).
+
+    The int8 analog of the bf16 add_add_fastgelu fusion (CK
+    ``device_gemm_multiple_d`` AddAddFastGelu,
+    ``element/binary_element_wise_operation.hpp:461``) composed with the
+    requant tail of ``Add_Mul_Activation_Mul_Clamp``
+    (``quantization_operation.hpp:207``): bias + residual enter the int32
+    accumulator before the scale/activation/clamp chain.
+    """
+    return lambda acc, d0, d1: _clamp_i8(
+        scale_requant
+        * activation(
+            scale_gemm
+            * (
+                acc.astype(jnp.float32)
+                + d0.astype(jnp.float32)
+                + d1.astype(jnp.float32)
+            )
+        )
+    )

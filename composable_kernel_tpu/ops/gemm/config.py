@@ -32,12 +32,19 @@ class GemmConfig:
     # number of pipeline buffers Mosaic should use for input streaming
     # (CK's blockwise pipeline v1..v5 depth analog); None = compiler default.
     dimension_order: str = "mnk"  # grid iteration order
+    # Mosaic scoped-VMEM budget override in MiB. None = the 16 MiB compiler
+    # default. Measured on v5e: raising it is REQUIRED for wide decode
+    # blocks (whole-N dequant tiles >16 MiB -> 590 GB/s vs 300 split), but
+    # raising it on MXU-bound prefill shapes costs ~10% (176.5 -> 161 TF at
+    # the headline shape) — so it is strictly opt-in per instance.
+    vmem_limit_mb: int | None = None
 
     def name(self) -> str:
         # cf. CK GetTypeString() (device_base.hpp:47)
+        vm = f"_vm{self.vmem_limit_mb}" if self.vmem_limit_mb else ""
         return (
             f"gemm_{self.block_m}x{self.block_n}x{self.block_k}"
-            f"_sk{self.split_k}_{self.dimension_order}"
+            f"_sk{self.split_k}_{self.dimension_order}{vm}"
         )
 
     def replace(self, **kw) -> "GemmConfig":
@@ -67,12 +74,15 @@ def is_supported(cfg: GemmConfig, m: int, n: int, k: int, dtype_bytes: int = 2) 
         return False
     # A + B + out + acc working set, x2 for double buffering of inputs.
     # Empirically on v5e, (1024,1024,512) (≈10MB by this estimate) OOMs VMEM
-    # while (512,1024,1024) (≈9MB) fits, so the usable bound is ~9.5MB.
+    # while (512,1024,1024) (≈9MB) fits under Mosaic's default 16 MiB scoped
+    # budget, so the usable fraction is ~0.6 of the budget. Configs may
+    # raise the budget (vmem_limit_mb) up to the chip's 128 MiB.
     vmem = (
         2 * (cfg.block_m * cfg.block_k + cfg.block_k * cfg.block_n) * dtype_bytes
         + cfg.block_m * cfg.block_n * (dtype_bytes + 4)
     )
-    return vmem <= int(9.5 * 1024 * 1024)
+    budget = (cfg.vmem_limit_mb or 16) * 1024 * 1024
+    return vmem <= int(0.6 * budget)
 
 
 # Default instance list (CK instance-library analog). Ordered by preference

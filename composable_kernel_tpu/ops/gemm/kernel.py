@@ -235,6 +235,10 @@ def pallas_gemm(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # opt-in scoped-VMEM raise (see GemmConfig.vmem_limit_mb)
+            vmem_limit_bytes=(
+                cfg.vmem_limit_mb * 1024 * 1024 if cfg.vmem_limit_mb else None
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0

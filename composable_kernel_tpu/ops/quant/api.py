@@ -23,29 +23,45 @@ __all__ = ["wo_quant_gemm", "int8_gemm", "dequant_gemm"]
 
 
 def _decode_bn(n: int) -> int:
-    """Widest N block <= 4096 with minimal padding waste.
+    """Decode N blocking: whole-N when the dequant tile fits VMEM.
 
-    Measured on v5e (M=8 Llama shapes): decode throughput is maximized by
-    very wide N blocks with block_k=1024; a block that pads N badly (e.g.
-    4096 over N=14336 -> 16384) loses ~40%. Pick the fewest column blocks
-    whose rounded width stays <= 4096.
+    Measured on v5e (M=8, bk=1024, int4 g=128): a SINGLE whole-N block is
+    ~2x a split one (N=11008: 590 vs 302 GB/s; N=6144: 571; N=4096: 552) —
+    with one N block the k-loop is the only grid dimension that moves, so
+    Mosaic streams B contiguously with full double-buffering. Past
+    N~12k the whole-N dequant tile (bk*N*2B > 24 MiB) degrades (N=14336:
+    500 whole vs 541 split; N=28672: 508 whole vs 563 at bn=7168), so split
+    into even chunks of <= 7168.
     """
-    for nb in range(1, 64):
+    if n <= 12288:
+        return max(-(-n // 128) * 128, 128)
+    for nb in range(2, 64):
         bn = -(-n // nb // 128) * 128
-        if bn <= 4096:
-            return max(bn, 128)
-    return 4096
+        if bn <= 7168:
+            return bn
+    return 7168
 
 
 def _heuristic_config(m: int, n: int, k: int) -> GemmConfig:
-    if m <= 32:
-        # decode: HBM-bound; wide N + deep K keeps the weight stream at
-        # ~70% of HBM SOL (int4) / ~91% (int8) on v5e
-        return GemmConfig(block_m=32, block_n=_decode_bn(n), block_k=1024)
+    if m <= 64:
+        # decode: HBM-bound; whole-N blocks + bk=1024 sustain 540-590 GB/s
+        # (int4) / ~91% HBM SOL (int8) on v5e. The wide dequant tile needs
+        # the scoped-VMEM raise (harmless in this bandwidth-bound regime).
+        return GemmConfig(
+            block_m=32 if m <= 32 else 64,
+            block_n=_decode_bn(n),
+            block_k=1024,
+            vmem_limit_mb=80,
+        )
     if m <= 128:
         return GemmConfig(block_m=128, block_n=512, block_k=512)
-    # prefill: measured v5e sweep (M=2048 Llama shapes): 512x1024x1024 at
-    # ~173 TF vs 128 TF for 256x512x512
+    # prefill: measured v5e sweeps — exact-fit block_m matters (M=3840:
+    # 960x1024x1024 at 176.5 TF vs 160.6 for 512x1024x1024 which pads M to
+    # 4096); for generic M, 512x1024x1024 ~173 TF at M=2048 Llama shapes.
+    if m % 960 == 0:
+        return GemmConfig(block_m=960, block_n=1024, block_k=1024)
+    if m % 768 == 0:
+        return GemmConfig(block_m=768, block_n=1024, block_k=1024)
     return GemmConfig(block_m=512, block_n=1024, block_k=1024)
 
 

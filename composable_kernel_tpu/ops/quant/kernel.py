@@ -306,7 +306,12 @@ def dequant_gemm(
     )
     cost = pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed, transcendentals=0)
     cparams = pltpu.CompilerParams(
-        dimension_semantics=("parallel", "parallel", "arbitrary")
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        # opt-in scoped-VMEM raise (see GemmConfig.vmem_limit_mb: required
+        # for whole-N decode blocks, harmful on MXU-bound prefill shapes)
+        vmem_limit_bytes=(
+            cfg.vmem_limit_mb * 1024 * 1024 if cfg.vmem_limit_mb else None
+        ),
     )
 
     if not packed_int4:

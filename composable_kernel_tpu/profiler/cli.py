@@ -22,6 +22,57 @@ import sys
 
 OPERATIONS = {}
 
+#: rows collected during this invocation, written by --csv/--json. This is
+#: the per-round regression-tracking output (CK analog: the SQL-backed perf
+#: CI fed by script/process_perf_data.py:239) — diff two rounds' files to
+#: see per-instance movement.
+RESULTS: list[dict] = []
+_CONTEXT: dict = {}
+
+
+def set_context(**kw):
+    _CONTEXT.clear()
+    _CONTEXT.update(kw)
+
+
+def record(instance, r, ok=True, **extra):
+    """Append one machine-readable perf row (and return it)."""
+    row = {
+        **_CONTEXT,
+        "instance": instance,
+        "avg_ms": round(r.avg_ms, 5),
+        "tflops": round(r.tflops, 3),
+        "gbps": round(r.gbps, 2),
+        "verified": bool(ok),
+        **extra,
+    }
+    RESULTS.append(row)
+    return row
+
+
+def write_results(csv_path=None, json_path=None):
+    if not RESULTS:
+        return
+    keys = ["op", "instance", "m", "n", "k", "dtype", "avg_ms", "tflops",
+            "gbps", "verified"]
+    extra_keys = sorted({k for row in RESULTS for k in row} - set(keys))
+    keys += extra_keys
+    if csv_path:
+        import csv as _csv
+
+        with open(csv_path, "a", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=keys, restval="")
+            if f.tell() == 0:
+                w.writeheader()
+            for row in RESULTS:
+                w.writerow(row)
+    if json_path:
+        import json as _json
+
+        with open(json_path, "a") as f:
+            for row in RESULTS:
+                f.write(_json.dumps(row) + "\n")
+
 
 def register(name):
     def deco(fn):
@@ -32,9 +83,15 @@ def register(name):
 
 
 def _env():
+    import os
+
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the environment's sitecustomize pins the TPU plugin via
+        # jax.config, so the env var alone does not win — honor it
+        jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.default_backend() == "tpu"
     return jax, jnp, on_tpu
 
@@ -51,6 +108,7 @@ def _report(rows, best):
     for name, r, ok in rows:
         flag = "OK " if ok else "FAIL"
         print(f"  [{flag}] {name:40s} {r.avg_ms:9.4f} ms  {r.tflops:8.2f} TFlops")
+        record(name, r, ok)
     if best:
         name, r, _ = best
         print(f"Best Perf: {r.avg_ms:.4f} ms, {r.tflops:.2f} TFlops, {name}")
@@ -260,8 +318,14 @@ def main(argv=None):
     p.add_argument("--kv-heads", type=int, default=None, dest="kv_heads")
     p.add_argument("--causal", action="store_true")
     p.add_argument("--no-verify", dest="verify", action="store_false")
+    p.add_argument("--csv", default=None,
+                   help="append per-instance rows to this CSV (perf-CI log)")
+    p.add_argument("--json", default=None, dest="json_out",
+                   help="append per-instance rows to this JSONL file")
     ns = p.parse_args(argv)
+    set_context(op=ns.op, m=ns.m, n=ns.n, k=ns.k, dtype=ns.dtype)
     OPERATIONS[ns.op](ns)
+    write_results(ns.csv, ns.json_out)
 
 
 if __name__ == "__main__":

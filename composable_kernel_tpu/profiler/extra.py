@@ -83,3 +83,187 @@ def profile_pool(ns):
     gb = x.size * 4 / 1e9
     print(f"max_pool2x2 {n}x{hw}x{hw}x{c}: {r.avg_ms:.4f} ms, "
           f"{gb / (r.avg_ms / 1e3):.1f} GB/s")
+
+
+@register("attention_bwd")
+def profile_attention_bwd(ns):
+    """fmha backward engine (CK profile analog: fmha_bwd dq/dk/dv kernels)."""
+    jax, jnp, on_tpu = _env()
+    from composable_kernel_tpu.ops.attention.backward import flash_attention_grad
+    from composable_kernel_tpu.profiler.cli import record
+
+    b, hq, hkv, sq, sk, d = ns.batch, ns.heads, ns.kv_heads or ns.heads, ns.m, ns.n, ns.k
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (b, hq, sq, d), jnp.float32).astype(jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, hkv, sk, d), jnp.float32).astype(jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, hkv, sk, d), jnp.float32).astype(jnp.bfloat16)
+    do = jax.random.normal(ks[3], (b, hq, sq, d), jnp.float32).astype(jnp.bfloat16)
+
+    fwd = lambda q_, k_, v_: flash_attention_grad(
+        q_, k_, v_, causal=ns.causal, interpret=not on_tpu
+    )
+    _, f_vjp = jax.vjp(fwd, q, k, v)
+    bwd = lambda do_: f_vjp(do_)[0]
+    # bwd recomputes QK^T + P and runs 4 more matmuls: ~2.5x the fwd work
+    flops = 2.5 * 4.0 * b * hq * sq * sk * d * (0.5 if ns.causal else 1.0)
+    r = _time(bwd, do, flops=flops, on_tpu=on_tpu)
+    record("fmha_bwd_default", r)
+    print(f"attention_bwd B{b} Hq{hq} Hkv{hkv} Sq{sq} Sk{sk} D{d} "
+          f"causal={ns.causal}: {r.avg_ms:.4f} ms {r.tflops:.2f} TFlops")
+
+
+@register("int8_gemm")
+def profile_int8_gemm(ns):
+    """int8 x int8 requant engine (CK profile_gemm int8 / quantization ops)."""
+    jax, jnp, on_tpu = _env()
+    from composable_kernel_tpu.ops import epilogues as ep
+    from composable_kernel_tpu.ops.quant import int8_gemm
+    from composable_kernel_tpu.profiler.cli import record
+    from composable_kernel_tpu.reference.quant import ref_int8_gemm_requant
+
+    m, n, k = ns.m, ns.n, ns.k
+    rng = np.random.default_rng(0)
+    a_q = jnp.asarray(rng.integers(-128, 128, (m, k)), jnp.int8)
+    b_q = jnp.asarray(rng.integers(-128, 128, (k, n)), jnp.int8)
+    op = ep.activation_mul_clamp(ep.relu, 0.013)
+    fn = lambda a_, b_: int8_gemm(a_, b_, op, interpret=not on_tpu)
+    ok = True
+    if ns.verify:
+        sl = min(m, 64)
+        got = np.asarray(fn(a_q, b_q)[:sl])
+        want = np.asarray(ref_int8_gemm_requant(a_q[:sl], b_q, op))
+        ok = bool((got == want).all())  # integer path: bit-exact
+    r = _time(fn, a_q, b_q, flops=2.0 * m * n * k, on_tpu=on_tpu)
+    record("int8_requant_relu", r, ok)
+    print(f"int8_gemm {m}x{n}x{k}: {r.avg_ms:.4f} ms {r.tflops:.2f} TOPS "
+          f"(bit-exact={ok})")
+
+
+@register("fp8_gemm")
+def profile_fp8_gemm(ns):
+    """fp8 blockwise ab-scale engine (CK gemm_multiply_multiply fp8 ab-scale)."""
+    jax, jnp, on_tpu = _env()
+    from composable_kernel_tpu.ops.quant.fp8 import SCALE_K, fp8_gemm_ab_scale
+    from composable_kernel_tpu.profiler.cli import record
+
+    m, n, k = ns.m, ns.n, ns.k
+    assert k % SCALE_K == 0 and n % SCALE_K == 0, "fp8 needs K,N % 128 == 0"
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    a = jax.random.normal(ks[0], (m, k), jnp.float32).astype(jnp.float8_e4m3fn)
+    b = jax.random.normal(ks[1], (k, n), jnp.float32).astype(jnp.float8_e4m3fn)
+    a_s = jnp.ones((m, k // SCALE_K), jnp.float32)
+    b_s = jnp.ones((k // SCALE_K, n // SCALE_K), jnp.float32)
+    fn = lambda a_, b_: fp8_gemm_ab_scale(a_, a_s, b_, b_s, interpret=not on_tpu)
+    ok = True
+    if ns.verify:
+        got = np.asarray(fn(a, b), np.float64)
+        want = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+        ok = bool(np.abs(got - want).max() / max(np.abs(want).max(), 1e-9) < 0.05)
+    r = _time(fn, a, b, flops=2.0 * m * n * k, on_tpu=on_tpu)
+    record("fp8_ab_scale", r, ok)
+    print(f"fp8_gemm {m}x{n}x{k}: {r.avg_ms:.4f} ms {r.tflops:.2f} TFlops "
+          f"(ok={ok})")
+
+
+@register("norm_bwd")
+def profile_norm_bwd(ns):
+    """normalization backward engine (CK profile norm bwd-data/bwd-gamma-beta)."""
+    jax, jnp, on_tpu = _env()
+    from composable_kernel_tpu.ops.normalization import layernorm, norm_bwd
+    from composable_kernel_tpu.profiler.cli import record
+
+    rows, cols = ns.m, ns.n
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    x = jax.random.normal(ks[0], (rows, cols), jnp.float32)
+    dy = jax.random.normal(ks[1], (rows, cols), jnp.float32)
+    g = jnp.ones((cols,), jnp.float32)
+    b = jnp.zeros((cols,), jnp.float32)
+    _, mean, inv = layernorm(x, g, b, save_stats=True, interpret=not on_tpu)
+    fn = lambda dy_: norm_bwd(dy_, x, g, mean, inv, interpret=not on_tpu)[0]
+    r = _time(fn, dy, flops=0, on_tpu=on_tpu)
+    gb = 3 * x.size * 4 / 1e9  # dy + x read, dx written
+    r.gbps = gb / (r.avg_ms / 1e3)
+    record("norm_bwd_data_gb", r)
+    print(f"norm_bwd {rows}x{cols}: {r.avg_ms:.4f} ms, {r.gbps:.1f} GB/s")
+
+
+@register("batched_gemm")
+def profile_batched_gemm(ns):
+    jax, jnp, on_tpu = _env()
+    from composable_kernel_tpu.ops.gemm.api import batched_gemm
+    from composable_kernel_tpu.profiler.cli import record
+    from composable_kernel_tpu.tuning.registry import registry
+
+    g = ns.batch
+    m, n, k = ns.m, ns.n, ns.k
+    a = jax.random.normal(jax.random.PRNGKey(0), (g, m, k), jnp.float32).astype(jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (g, k, n), jnp.float32).astype(jnp.bfloat16)
+    ok = True
+    cfgs = registry.get_instances("batched_gemm", m, n, k)[:4]
+    from composable_kernel_tpu.profiler.cli import _run_instances, _check_rel
+    want = None
+    if ns.verify:
+        want = np.einsum("gmk,gkn->gmn", np.asarray(a, np.float64),
+                         np.asarray(b, np.float64))
+    print(f"batched_gemm G{g} {m}x{n}x{k}: {len(cfgs)} instances")
+    _run_instances(
+        cfgs,
+        lambda cfg: (lambda a_, b_: batched_gemm(a_, b_, config=cfg,
+                                                 interpret=not on_tpu)),
+        (a, b),
+        want,
+        _check_rel(0.02),
+        2.0 * g * m * n * k,
+        on_tpu,
+    )
+
+
+@register("contraction")
+def profile_contraction(ns):
+    """multi-dim M/N/K contraction engine (CK profile_contraction)."""
+    jax, jnp, on_tpu = _env()
+    from composable_kernel_tpu.ops.contraction import contraction
+    from composable_kernel_tpu.profiler.cli import record
+
+    m0, m1, n0, n1, k0 = (32, ns.m // 32, 32, ns.n // 32, ns.k)
+    a = jax.random.normal(jax.random.PRNGKey(0), (m0, m1, k0), jnp.float32).astype(jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (k0, n0, n1), jnp.float32).astype(jnp.bfloat16)
+    fn = lambda a_, b_: contraction(a_, b_, (0, 1), (1, 2), ((2, 0),),
+                                    interpret=not on_tpu)
+    ok = True
+    if ns.verify:
+        got = np.asarray(fn(a, b), np.float64)
+        want = np.einsum("abk,kcd->abcd", np.asarray(a, np.float64),
+                         np.asarray(b, np.float64))
+        ok = bool(np.abs(got - want).max() / max(np.abs(want).max(), 1e-9) < 0.02)
+    r = _time(fn, a, b, flops=2.0 * m0 * m1 * n0 * n1 * k0, on_tpu=on_tpu)
+    record("contraction_2x2x1", r, ok)
+    print(f"contraction [{m0}x{m1}]x[{n0}x{n1}]x{k0}: {r.avg_ms:.4f} ms "
+          f"{r.tflops:.2f} TFlops (ok={ok})")
+
+
+@register("decode")
+def profile_decode(ns):
+    """W4A16 decode-shape weight-stream sweep (BASELINE config 2;
+    CK analog: script/profile_mixed_gemm.sh decode shapes)."""
+    jax, jnp, on_tpu = _env()
+    from composable_kernel_tpu import dtypes
+    from composable_kernel_tpu.ops.quant import wo_quant_gemm
+    from composable_kernel_tpu.profiler.cli import record
+    from composable_kernel_tpu.reference.quant import ref_quantize_group
+
+    n, k, g = ns.n, ns.k, ns.group or 128
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
+    w_q, s = ref_quantize_group(w, group_size=g, bits=4)
+    packed = dtypes.pack_int4(w_q, axis=0)
+    wb = float(packed.size + s.size * 4)
+    for m in (1, 8, 16, 32, 64):
+        a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32).astype(jnp.bfloat16)
+        fn = lambda a_, b_, s_: wo_quant_gemm(a_, b_, s_, group_size=g,
+                                              packed_int4=True,
+                                              interpret=not on_tpu)
+        r = _time(fn, a, packed, s, flops=2.0 * m * n * k, on_tpu=on_tpu)
+        r.gbps = wb / 1e9 / (r.avg_ms / 1e3)
+        record(f"decode_m{m}", r)
+        print(f"decode M={m} {k}x{n} g={g}: {r.avg_ms*1e3:.1f} us, "
+              f"{r.gbps:.1f} GB/s weight stream")

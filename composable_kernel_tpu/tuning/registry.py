@@ -51,12 +51,50 @@ def _register_defaults():
     )
     from composable_kernel_tpu.ops.gemm.config import (
         DEFAULT_GEMM_CONFIGS,
+        GemmConfig,
         is_supported,
     )
 
     registry.add_instances("gemm", DEFAULT_GEMM_CONFIGS)
     registry.set_predicate("gemm", is_supported)
     registry.add_instances("attention", DEFAULT_ATTENTION_CONFIGS)
+
+    # GEMM-shaped families share the block-config space and predicate (CK
+    # likewise instantiates batched/grouped/contraction from the same
+    # tile-shape lists, e.g. library/src/.../gpu/batched_gemm/*.cpp).
+    for fam in ("batched_gemm", "grouped_gemm", "contraction", "wo_quant_gemm",
+                "int8_gemm"):
+        registry.add_instances(fam, DEFAULT_GEMM_CONFIGS)
+        registry.set_predicate(fam, is_supported)
+
+    # decode-shape instances for the weight-only path: wide-N single-block
+    # configs measured fastest on v5e (whole-N at N<=12k: ~590 GB/s vs ~300
+    # for split-N; needs the scoped-VMEM raise; see docs/performance.md)
+    registry.add_instances(
+        "wo_quant_decode",
+        [
+            GemmConfig(32, 4096, 1024, vmem_limit_mb=80),
+            GemmConfig(32, 6144, 1024, vmem_limit_mb=80),
+            GemmConfig(32, 11008, 1024, vmem_limit_mb=80),
+            GemmConfig(32, 3584, 1024, vmem_limit_mb=80),
+            GemmConfig(32, 7168, 1024, vmem_limit_mb=80),
+            GemmConfig(64, 4096, 1024, vmem_limit_mb=80),
+        ],
+    )
+
+    # fp8 ab-scale GEMM: blockwise-scale kernel has its own VMEM profile
+    registry.add_instances(
+        "fp8_gemm",
+        [
+            GemmConfig(256, 512, 1024),
+            GemmConfig(256, 1024, 512),
+            GemmConfig(512, 512, 512),
+        ],
+    )
+
+    # normalization/softmax row-block instances (rows per grid step)
+    registry.add_instances("norm", [256, 512, 1024])
+    registry.add_instances("softmax", [256, 512, 1024])
 
 
 _register_defaults()

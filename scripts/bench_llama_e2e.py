@@ -23,46 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from composable_kernel_tpu.models import llama
-
-
-def random_quantized_params(cfg: llama.LlamaConfig, key):
-    """Generate the quantized pytree directly (no bf16 intermediate —
-    a full bf16 8B copy would not fit next to the quantized one).
-    One jit call: per-tensor dispatches through a proxied runtime are slow."""
-    d, f, v, g = cfg.dim, cfg.ffn_dim, cfg.vocab_size, cfg.group_size
-    hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
-    keys = iter(jax.random.split(key, cfg.n_layers * 7 + 3))
-
-    def qlin(k_, kk, nn):
-        packed = jax.random.randint(k_, (kk // 2, nn), -128, 128, jnp.int8)
-        scales = jnp.full((kk // g, nn), 0.004, jnp.float32)
-        return {"q": packed, "s": scales}
-
-    layers = []
-    for _ in range(cfg.n_layers):
-        layer = {
-            "attn_norm": jnp.ones((d,), cfg.jdtype),
-            "wo": qlin(next(keys), nh * hd, d),
-            "ffn_norm": jnp.ones((d,), cfg.jdtype),
-            "w_down": qlin(next(keys), f, d),
-        }
-        if cfg.fuse_qkv:
-            layer["wqkv"] = qlin(next(keys), d, (nh + 2 * nkv) * hd)
-            layer["w_gateup"] = qlin(next(keys), d, 2 * f)
-        else:
-            layer["wq"] = qlin(next(keys), d, nh * hd)
-            layer["wk"] = qlin(next(keys), d, nkv * hd)
-            layer["wv"] = qlin(next(keys), d, nkv * hd)
-            layer["w_gate"] = qlin(next(keys), d, f)
-            layer["w_up"] = qlin(next(keys), d, f)
-        layers.append(layer)
-    std = 0.02
-    return {
-        "embed": (jax.random.normal(next(keys), (v, d), jnp.float32) * std).astype(cfg.jdtype),
-        "layers": layers,
-        "norm": jnp.ones((d,), cfg.jdtype),
-        "lm_head": qlin(next(keys), d, v),
-    }
+from composable_kernel_tpu.models.llama import random_quantized_params
 
 
 def main():

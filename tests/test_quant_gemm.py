@@ -142,6 +142,19 @@ class TestInt8Requant:
         want = rq.ref_int8_gemm_requant(a_q, b_q, op, ds=(bias,))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    def test_add_add_fastgelu_requant(self):
+        # BASELINE config 3: int8 GEMM, bias + residual adds, fastgelu
+        # activation, requant to int8 — all fused on the accumulator tile.
+        m, n, k = 16, 128, 128
+        a_q = jnp.array(np.random.randint(-128, 128, (m, k)), jnp.int8)
+        b_q = jnp.array(np.random.randint(-128, 128, (k, n)), jnp.int8)
+        bias = jnp.array(np.random.randint(-1000, 1000, (n,)), jnp.int32)
+        resid = jnp.array(np.random.randint(-1000, 1000, (m, n)), jnp.int32)
+        op = ep.add_add_mul_activation_mul_clamp(ep.fast_gelu, 0.002, 31.0)
+        got = int8_gemm(a_q, b_q, op, ds=(resid, bias))
+        want = rq.ref_int8_gemm_requant(a_q, b_q, op, ds=(resid, bias))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
 
 class TestInt4Segmented:
     def test_pack_blocks_roundtrip(self):
