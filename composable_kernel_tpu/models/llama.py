@@ -573,6 +573,93 @@ def generate_greedy(params, prompt, n_steps, cfg: LlamaConfig, *, interpret=None
     return tokens
 
 
+def _decode_layer(
+    x,
+    layer,
+    kv,
+    positions,
+    cos_b,
+    sin_b,
+    cfg: LlamaConfig,
+    *,
+    tp_axis=None,
+    interpret=None,
+    kernels: bool = True,
+):
+    """One transformer block at decode time: x [B, 1, D] -> (x, updated kv).
+
+    Shared by ``decode_step_batched`` and the pipeline-parallel decode ring
+    (parallel/pipeline.py), which applies it per stage via lax.scan.
+    """
+    b, s = x.shape[:2]
+    lens = positions + 1
+
+    def upd(c, new):
+        # per-slot dynamic row update at positions[b]
+        return jax.vmap(
+            lambda cb, nb, p: jax.lax.dynamic_update_slice(
+                cb, nb.astype(cb.dtype), (0, p, 0)
+            )
+        )(c, new, positions)
+
+    h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
+    x2 = h.reshape(b * s, -1)
+    hd = cfg.head_dim
+    if "wqkv" in layer:
+        qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
+        n_q = cfg.n_heads * hd
+        n_kv = cfg.n_kv_heads * hd
+        q, k, v = (
+            qkv[:, :n_q], qkv[:, n_q : n_q + n_kv], qkv[:, n_q + n_kv :]
+        )
+    else:
+        q = _linear(x2, layer["wq"], cfg, interpret, kernels)
+        k = _linear(x2, layer["wk"], cfg, interpret, kernels)
+        v = _linear(x2, layer["wv"], cfg, interpret, kernels)
+    nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
+    q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    q = jnp.concatenate(
+        [q[..., : hd // 2] * cos_b - q[..., hd // 2 :] * sin_b,
+         q[..., hd // 2 :] * cos_b + q[..., : hd // 2] * sin_b], axis=-1
+    ).astype(q.dtype)
+    k = jnp.concatenate(
+        [k[..., : hd // 2] * cos_b - k[..., hd // 2 :] * sin_b,
+         k[..., hd // 2 :] * cos_b + k[..., : hd // 2] * sin_b], axis=-1
+    ).astype(k.dtype)
+    is_i8 = "ks" in kv
+    k_in = _quantize_kv(k, kv["ks"]) if is_i8 else k
+    v_in = _quantize_kv(v, kv["vs"]) if is_i8 else v
+    kv = dict(kv)
+    kv["k"] = upd(kv["k"], k_in)
+    kv["v"] = upd(kv["v"], v_in)
+    scales = {"k_scale": kv["ks"], "v_scale": kv["vs"]} if is_i8 else {}
+    if kernels:
+        o = flash_decode(
+            q, kv["k"], kv["v"], kv_seq_len=lens, interpret=interpret,
+            **scales,
+        )
+    else:
+        from composable_kernel_tpu.reference.attention import ref_attention
+
+        kf, vf = kv["k"], kv["v"]
+        if is_i8:
+            kf = (kf.astype(jnp.float32) * kv["ks"][:, :, None, None]).astype(q.dtype)
+            vf = (vf.astype(jnp.float32) * kv["vs"][:, :, None, None]).astype(q.dtype)
+        o = ref_attention(q, kf, vf, kv_seq_len=lens)
+    o = o.transpose(0, 2, 1, 3).reshape(b * s, nh * hd)
+    o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
+    if tp_axis is not None:
+        o = jax.lax.psum(o, tp_axis)
+    x = x + o.reshape(b, s, -1)
+    h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
+    x = x + _ffn_block(
+        h, layer, cfg, tp_axis=tp_axis, interpret=interpret, kernels=kernels
+    )
+    return x, kv
+
+
 def decode_step_batched(
     params,
     cache,
@@ -597,72 +684,12 @@ def decode_step_batched(
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)  # [B, d/2]
     cos_b = cos[:, None, None, :]  # [B, 1, 1, d/2] broadcastable over (H, S)
     sin_b = sin[:, None, None, :]
-    lens = positions + 1
-
-    def upd(c, new):
-        # per-slot dynamic row update at positions[b]
-        return jax.vmap(
-            lambda cb, nb, p: jax.lax.dynamic_update_slice(
-                cb, nb.astype(cb.dtype), (0, p, 0)
-            )
-        )(c, new, positions)
 
     new_cache = []
     for layer, kv in zip(params["layers"], cache):
-        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
-        x2 = h.reshape(b * s, -1)
-        hd = cfg.head_dim
-        if "wqkv" in layer:
-            qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
-            n_q = cfg.n_heads * hd
-            n_kv = cfg.n_kv_heads * hd
-            q, k, v = (
-                qkv[:, :n_q], qkv[:, n_q : n_q + n_kv], qkv[:, n_q + n_kv :]
-            )
-        else:
-            q = _linear(x2, layer["wq"], cfg, interpret, kernels)
-            k = _linear(x2, layer["wk"], cfg, interpret, kernels)
-            v = _linear(x2, layer["wv"], cfg, interpret, kernels)
-        nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
-        q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
-        q = jnp.concatenate(
-            [q[..., : hd // 2] * cos_b - q[..., hd // 2 :] * sin_b,
-             q[..., hd // 2 :] * cos_b + q[..., : hd // 2] * sin_b], axis=-1
-        ).astype(q.dtype)
-        k = jnp.concatenate(
-            [k[..., : hd // 2] * cos_b - k[..., hd // 2 :] * sin_b,
-             k[..., hd // 2 :] * cos_b + k[..., : hd // 2] * sin_b], axis=-1
-        ).astype(k.dtype)
-        is_i8 = "ks" in kv
-        k_in = _quantize_kv(k, kv["ks"]) if is_i8 else k
-        v_in = _quantize_kv(v, kv["vs"]) if is_i8 else v
-        kv = dict(kv)
-        kv["k"] = upd(kv["k"], k_in)
-        kv["v"] = upd(kv["v"], v_in)
-        scales = {"k_scale": kv["ks"], "v_scale": kv["vs"]} if is_i8 else {}
-        if kernels:
-            o = flash_decode(
-                q, kv["k"], kv["v"], kv_seq_len=lens, interpret=interpret,
-                **scales,
-            )
-        else:
-            from composable_kernel_tpu.reference.attention import ref_attention
-
-            kf, vf = kv["k"], kv["v"]
-            if is_i8:
-                kf = (kf.astype(jnp.float32) * kv["ks"][:, :, None, None]).astype(q.dtype)
-                vf = (vf.astype(jnp.float32) * kv["vs"][:, :, None, None]).astype(q.dtype)
-            o = ref_attention(q, kf, vf, kv_seq_len=lens)
-        o = o.transpose(0, 2, 1, 3).reshape(b * s, nh * hd)
-        o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
-        if tp_axis is not None:
-            o = jax.lax.psum(o, tp_axis)
-        x = x + o.reshape(b, s, -1)
-        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
-        x = x + _ffn_block(
-            h, layer, cfg, tp_axis=tp_axis, interpret=interpret, kernels=kernels
+        x, kv = _decode_layer(
+            x, layer, kv, positions, cos_b, sin_b, cfg,
+            tp_axis=tp_axis, interpret=interpret, kernels=kernels,
         )
         new_cache.append(kv)
 

@@ -82,6 +82,7 @@ def _fa_kernel(
     bq: int,
     bk: int,
     heads_q: int,
+    static_quant: tuple[float, float, float] | None = None,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1

@@ -1,4 +1,4 @@
-from composable_kernel_tpu.parallel.pipeline import make_pp_mesh, pp_forward
+from composable_kernel_tpu.parallel.pipeline import make_pp_mesh, pp_decode, pp_forward
 from composable_kernel_tpu.parallel.ring_attention import ring_attention
 from composable_kernel_tpu.parallel.api import (
     init_opt_state,
@@ -8,10 +8,17 @@ from composable_kernel_tpu.parallel.api import (
     tp_forward,
     train_step,
 )
+from composable_kernel_tpu.parallel.distributed import (
+    MeshPlan,
+    auto_mesh_plan,
+    init_distributed,
+    make_hybrid_mesh,
+)
 
 __all__ = [
     "init_opt_state",
     "make_pp_mesh",
+    "pp_decode",
     "pp_forward",
     "ring_attention",
     "make_mesh",
@@ -19,4 +26,8 @@ __all__ = [
     "tp_decode_step",
     "tp_forward",
     "train_step",
+    "MeshPlan",
+    "auto_mesh_plan",
+    "init_distributed",
+    "make_hybrid_mesh",
 ]

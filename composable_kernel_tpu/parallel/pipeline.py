@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from composable_kernel_tpu.models import llama
 
-__all__ = ["make_pp_mesh", "stack_stage_params", "pp_forward"]
+__all__ = ["make_pp_mesh", "stack_stage_params", "pp_forward", "pp_decode"]
 
 
 def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
@@ -137,3 +137,166 @@ def pp_forward(
         x.reshape(b * s, -1), shared["lm_head"], cfg, None, kernels
     )
     return logits.reshape(b, s, -1)
+
+
+def pp_decode(
+    params,
+    tokens0,
+    positions0,
+    cfg,
+    mesh: Mesh,
+    *,
+    n_steps: int,
+    n_microbatches: int = None,
+    kernels: bool = False,
+):
+    """Token-level pipelined greedy decode over the 'pp' ring.
+
+    The reference has no multi-device execution at all; this is the
+    TPU-native decode-side pipeline schedule the GPipe prefill
+    (``pp_forward``) lacks: M = P microbatches of requests circulate the
+    stage ring so that in steady state every stage decodes a *different*
+    microbatch's token each tick — no fill/drain bubble per token, only one
+    P-tick fill at the start and drain at the end (T = M*n_steps + P - 1
+    ticks total). M must equal P: a microbatch leaving the last stage
+    re-enters stage 0 on the next tick, so the circuit period is exactly P
+    — M = P is also full utilization (every stage busy every tick).
+
+    Per tick, uniformly on every device: the resident microbatch's hidden
+    state is advanced through this stage's layers (stage-local KV caches,
+    per-slot positions), the last stage samples greedily and re-embeds, and
+    the ring ``ppermute`` hands the activation to the next stage — token
+    feedback rides the same rotation that carries activations, so the
+    schedule stays a single fori_loop of identical SPMD programs.
+
+    tokens0:    [M, mb_b] int32 — first token to decode per microbatch
+                (e.g. the last prompt token from prefill).
+    positions0: [M, mb_b] int32 — its position (KV prefix length).
+    Returns tokens [M, n_steps, mb_b] (greedy), including the step-0 output.
+    """
+    n_stages = mesh.shape["pp"]
+    stacked, shared = stack_stage_params(params, n_stages)
+    m_mb, mb_b = tokens0.shape
+    if n_microbatches is None:
+        n_microbatches = m_mb
+    assert m_mb == n_microbatches
+    assert m_mb == n_stages, (
+        f"decode ring needs n_microbatches == n_stages, got {m_mb} vs "
+        f"{n_stages}: a microbatch re-enters stage 0 one tick after leaving "
+        f"the last stage, so the circuit period is exactly the stage count"
+    )
+    d = cfg.dim
+
+    # stage-local KV caches for every microbatch: [per_layer, M, ...]
+    def stage_cache():
+        per = len(params["layers"]) // n_stages
+        one = llama.init_kv_cache(cfg, mb_b)[:1][0]  # template dict
+        return jax.tree.map(
+            lambda v: jnp.zeros((per, m_mb) + v.shape, v.dtype), one
+        )
+
+    n_ticks = m_mb * n_steps + n_stages - 1
+    shift = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    def inner(stage_layers, tokens0, positions0):
+        stage_layers = jax.tree.map(lambda v: v[0], stage_layers)
+        stage = jax.lax.axis_index("pp")
+        cache0 = stage_cache()
+        pos0 = positions0  # stage-local copy: advances as mbs pass through
+        embed = shared["embed"]
+
+        def apply_stage(h, cache_mb, pos_mb):
+            cos, sin = llama.rope_cos_sin(pos_mb, cfg.head_dim, cfg.rope_theta)
+            cos_b = cos[:, None, None, :]
+            sin_b = sin[:, None, None, :]
+
+            def body(carry, inp):
+                h = carry
+                layer, kv = inp
+                h, kv = llama._decode_layer(
+                    h, layer, kv, pos_mb, cos_b, sin_b, cfg, kernels=kernels
+                )
+                return h, kv
+
+            h, cache_mb = jax.lax.scan(body, h, (stage_layers, cache_mb))
+            return h, cache_mb
+
+        def tick(t, state):
+            buf, cache, pos, out = state
+            mb = (t - stage) % m_mb
+            # fill phase: stage 0 feeds microbatch t's first token
+            first_feed = jnp.take(embed, tokens0[jnp.clip(t, 0, m_mb - 1)], axis=0)
+            h_in = jnp.where(
+                (stage == 0) & (t < m_mb), first_feed[:, None, :], buf
+            )
+            cache_mb = jax.tree.map(
+                lambda c: jax.lax.dynamic_index_in_dim(c, mb, 1, keepdims=False),
+                cache,
+            )
+            pos_mb = jax.lax.dynamic_index_in_dim(pos, mb, 0, keepdims=False)
+            h, cache_mb_new = apply_stage(h_in, cache_mb, pos_mb)
+
+            # last stage: sample greedily, record, re-embed for stage 0
+            x = llama.rmsnorm(h, shared["norm"], cfg.norm_eps, kernels=kernels)
+            logits = llama._linear(
+                x.reshape(mb_b, -1), shared["lm_head"], cfg, None, kernels
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [mb_b]
+            h_fed = jnp.take(embed, nxt, axis=0)[:, None, :]
+            is_last = stage == n_stages - 1
+            h_out = jnp.where(is_last, h_fed.astype(h.dtype), h)
+
+            step = (t - (n_stages - 1)) // m_mb
+            valid = (t >= stage) & (t < stage + m_mb * n_steps)
+            write = is_last & (t >= n_stages - 1)
+            out = jnp.where(
+                write,
+                jax.lax.dynamic_update_slice(
+                    out, nxt[None, None], (mb, jnp.maximum(step, 0), 0)
+                ),
+                out,
+            )
+            # commit cache/position advance only for valid ticks
+            cache = jax.tree.map(
+                lambda c, new: jnp.where(
+                    valid,
+                    jax.lax.dynamic_update_index_in_dim(c, new, mb, 1),
+                    c,
+                ),
+                cache,
+                cache_mb_new,
+            )
+            pos = jnp.where(
+                valid,
+                jax.lax.dynamic_update_index_in_dim(pos, pos_mb + 1, mb, 0),
+                pos,
+            )
+            buf = jax.lax.ppermute(h_out, "pp", shift)
+            return (buf, cache, pos, out)
+
+        buf0 = jnp.zeros((mb_b, 1, d), cfg.jdtype)
+        out0 = jnp.zeros((m_mb, n_steps, mb_b), jnp.int32)
+        _, _, _, out = jax.lax.fori_loop(
+            0, n_ticks, tick, (buf0, cache0, pos0, out0)
+        )
+        # only the last stage holds real outputs
+        return jax.lax.psum(
+            jnp.where(stage == n_stages - 1, out, jnp.zeros_like(out)), "pp"
+        )
+
+    stacked_sharded = jax.tree.map(
+        lambda v: jax.device_put(
+            v, NamedSharding(mesh, P("pp", *([None] * (v.ndim - 1))))
+        ),
+        stacked,
+    )
+    layer_specs = jax.tree.map(
+        lambda v: P("pp", *([None] * (v.ndim - 1))), stacked
+    )
+    return shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(layer_specs, P(), P()),
+        out_specs=P(),
+        check_rep=False,
+    )(stacked_sharded, tokens0, positions0)

@@ -137,3 +137,72 @@ def test_pipeline_parallel_quantized():
     got = pp_forward(params, toks, cfg, mesh, n_microbatches=2)
     want = llama.forward(params, toks, cfg, kernels=False)
     check_err(got, want, rtol=6e-2, atol=6e-2)
+
+
+def test_pp_decode_parity():
+    """Token-level pipelined decode == sequential batched decode.
+
+    f32 weights: greedy argmax ties in bf16 tiny models break differently
+    under jit vs eager (see test_serving.py note).
+    """
+    from composable_kernel_tpu.parallel.pipeline import make_pp_mesh, pp_decode
+
+    cfg = llama.tiny_config(quant="bf16", n_layers=4, dtype="float32")
+    params = llama.init_weights(cfg, jax.random.PRNGKey(3))
+    m_mb, mb_b, n_steps = 2, 2, 4
+    toks0 = jax.random.randint(
+        jax.random.PRNGKey(5), (m_mb, mb_b), 0, cfg.vocab_size
+    )
+    pos0 = jnp.zeros((m_mb, mb_b), jnp.int32)
+    mesh = make_pp_mesh(2)
+    got = pp_decode(params, toks0, pos0, cfg, mesh, n_steps=n_steps)
+    assert got.shape == (m_mb, n_steps, mb_b)
+
+    # sequential reference: same decode from empty caches, flattened batch
+    b = m_mb * mb_b
+    cache = llama.init_kv_cache(cfg, b)
+    tok = toks0.reshape(b, 1)
+    want = []
+    for i in range(n_steps):
+        logits, cache = llama.decode_step_batched(
+            params, cache, tok, jnp.full((b,), i, jnp.int32), cfg,
+            kernels=False,
+        )
+        tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+        want.append(tok[:, 0])
+    want = jnp.stack(want, axis=0).reshape(n_steps, m_mb, mb_b).transpose(1, 0, 2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_hybrid_mesh_single_process():
+    from composable_kernel_tpu.parallel import (
+        MeshPlan, auto_mesh_plan, init_distributed, make_hybrid_mesh,
+    )
+
+    # single process: init is a no-op
+    assert init_distributed() is False
+
+    plan = MeshPlan(dcn={"dp": 2}, ici={"tp": 4})
+    assert plan.axis_names == ("dp", "tp")
+    assert plan.n_devices == 8
+    mesh = make_hybrid_mesh(plan)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    # DCN axis leads (slowest-varying): tp rows are contiguous device ids
+    ids = np.array([[d.id for d in row] for row in mesh.devices])
+    assert (np.diff(ids, axis=1) == 1).all()
+
+    auto = auto_mesh_plan()
+    assert auto.n_devices == len(jax.devices())
+    # single-process default: all devices on the ICI (tp) axis
+    assert auto.ici["tp"] == len(jax.devices())
+
+
+def test_hybrid_mesh_runs_tp():
+    """A hybrid-built mesh drives the same TP shard_map path."""
+    from composable_kernel_tpu.parallel import MeshPlan, make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(MeshPlan(dcn={"dp": 2}, ici={"tp": 4}))
+    sharded = shard_params(PARAMS, CFG, mesh)
+    got = tp_forward(sharded, TOKENS, CFG, mesh, kernels=False)
+    want = llama.forward(PARAMS, TOKENS, CFG, kernels=False)
+    check_err(got, want, rtol=6e-2, atol=6e-2)
