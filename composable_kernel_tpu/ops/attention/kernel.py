@@ -127,14 +127,26 @@ def _fa_kernel(
         q = q_ref[0]  # [bq, D]
         k = k_ref[0]  # [bk, D]
         v = v_ref[0]  # [bk, Dv]
-        if has_kv_scale:
-            k = (k.astype(jnp.float32) * k_scale_ref[0, 0, 0]).astype(q.dtype)
-            v = (v.astype(jnp.float32) * v_scale_ref[0, 0, 0]).astype(q.dtype)
+        if static_quant is not None:
+            # CK fp8 static-quant pipeline structure
+            # (block_fmha_pipeline_qr_ks_vs_fp8.hpp:241,316,452,504) on
+            # v5e-native int8: QK^T on the int8 MXU with int32 acc, the
+            # combined descale folded into the softmax scale (scale_s *
+            # descale_qk analog).
+            sq_s, sk_s, _ = static_quant
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (scale * sq_s * sk_s)
+        else:
+            if has_kv_scale:
+                k = (k.astype(jnp.float32) * k_scale_ref[0, 0, 0]).astype(q.dtype)
+                v = (v.astype(jnp.float32) * v_scale_ref[0, 0, 0]).astype(q.dtype)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk]
-        s = s * scale
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [bq, bk]
+            s = s * scale
         if has_bias:
             s = s + bias_ref[0].astype(jnp.float32)
 
@@ -176,10 +188,22 @@ def _fa_kernel(
             threshold = jnp.uint32(int(dropout_rate * (2**32 - 1)))
             keep = bits >= threshold
             p_v = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
-        acc_scr[...] = acc_scr[...] * corr[:, :1] + jax.lax.dot_general(
-            p_v.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if static_quant is not None:
+            # requantize P to int8 (cast_tile<PDataType> analog :452): p in
+            # [0,1] maps to 0..127, PV rides the int8 MXU, descale_sv
+            # (v_scale/127) applied on the int32 partial (:504). Dropout's
+            # 1/(1-rate) upscale can push p past 1 — saturate like fp8 would.
+            p_q = jnp.clip(jnp.round(p_v * 127.0), 0, 127).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p_q, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (static_quant[2] / 127.0)
+        else:
+            pv = jax.lax.dot_general(
+                p_v.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc_scr[...] = acc_scr[...] * corr[:, :1] + pv
 
     @pl.when(kv_idx == n_k_steps - 1)
     def _finish():
@@ -208,6 +232,7 @@ def flash_attention(
     causal_offset=None,
     k_scale=None,
     v_scale=None,
+    static_quant_scales: tuple[float, float, float] | None = None,
     dropout_rate: float = 0.0,
     dropout_seed: int = 0,
     config: AttentionConfig | None = None,
@@ -220,6 +245,12 @@ def flash_attention(
     q:          [B, Hq, Sq, D]
     k, v:       [B, Hkv, Sk, D] with Hq % Hkv == 0 (GQA/MQA); int8 allowed
                 when ``k_scale``/``v_scale`` ([B, Hkv] f32) are given.
+    static_quant_scales: (q_scale, k_scale, v_scale) per-tensor floats for
+                the fully-quantized pipeline (CK fp8 static-quant analog,
+                ``block_fmha_pipeline_qr_ks_vs_fp8.hpp``): q, k, v must all
+                be int8 (x ≈ x_q · x_scale); both GEMMs run on the int8
+                MXU (int32 acc), P is requantized to int8 between them.
+                Output is bf16 unless ``out_dtype`` overrides.
     bias:       optional [B, Hq, Sq, Sk] additive (alibi / attention bias).
     kv_seq_len: optional [B] int32 — keys at positions >= len are masked
                 (ragged batches; also how Sk padding is neutralized).
@@ -240,15 +271,28 @@ def flash_attention(
         scale = 1.0 / math.sqrt(d)
     if interpret is None:
         interpret = _interpret_default()
+    static_quant = static_quant_scales
+    if static_quant is not None:
+        assert q.dtype == k.dtype == v.dtype == jnp.int8, (
+            "static-quant pipeline takes int8 q/k/v",
+            q.dtype, k.dtype, v.dtype,
+        )
+        assert k_scale is None and v_scale is None
+        static_quant = tuple(float(s) for s in static_quant)
     if out_dtype is None:
-        out_dtype = q.dtype
+        out_dtype = jnp.bfloat16 if static_quant is not None else q.dtype
     has_kv_scale = k_scale is not None
     if has_kv_scale:
         assert v_scale is not None and k_scale.shape == (b, hkv)
     compute_dtype = q.dtype
 
     cfg = config or AttentionConfig()
-    bq = min(_ceil_mult(sq, 16), max(16, _ceil_mult(min(cfg.block_q, sq), 16)))
+    # int8 tiles need 32-row sublane blocks (Mosaic min tile)
+    q_sub = 32 if static_quant is not None else 16
+    bq = min(
+        _ceil_mult(sq, q_sub),
+        max(q_sub, _ceil_mult(min(cfg.block_q, sq), q_sub)),
+    )
     bk = min(_ceil_mult(sk, 128), max(128, _ceil_mult(min(cfg.block_k, sk), 128)))
     dp = _ceil_mult(d, _LANES)
     dvp = _ceil_mult(dv, _LANES)
@@ -334,6 +378,7 @@ def flash_attention(
         bq=bq,
         bk=bk,
         heads_q=hq,
+        static_quant=static_quant,
     )
 
     flops = 4 * b * hq * sq * sk * (d + dv) // 2

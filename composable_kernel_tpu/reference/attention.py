@@ -98,3 +98,51 @@ def ref_attention(
     p = p / jnp.maximum(denom, 1e-30)
     out = jnp.einsum("bhqk,bhkd->bhqd", p, vf, precision=_HI)
     return out.astype(out_dtype or q.dtype)
+
+
+def ref_quantize_per_tensor(x, bits: int = 8):
+    """Symmetric per-tensor int8 quantization: returns (x_q int8, scale).
+
+    The static-quant calibration step of CK's fp8 fmha pipeline (per-tensor
+    ranges, example/ck_tile/01_fmha README squant/range_* flags), with int8
+    as the v5e-native quantized dtype.
+    """
+    qmax = 2 ** (bits - 1) - 1
+    scale = float(jnp.max(jnp.abs(x.astype(jnp.float32)))) / qmax
+    scale = max(scale, 1e-8)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -qmax, qmax)
+    return xq.astype(jnp.int8), scale
+
+
+def ref_quant_attention(
+    q_q, k_q, v_q, q_scale, k_scale, v_scale,
+    scale=None, causal=False, window=None, kv_seq_len=None, out_dtype=None,
+):
+    """Structural reference for the static-quant pipeline: same quantized
+    GEMM domains and P-requantization as the kernel (int32 QK^T, descale
+    folded into the softmax scale, P -> int8 0..127, int32 PV, descale_sv)
+    so comparisons are tight rather than bounded by quantization error.
+
+    CK analog: block_fmha_pipeline_qr_ks_vs_fp8.hpp:241,316,452,504.
+    """
+    b_sz, hq, sq, d = q_q.shape
+    _, hkv, sk, _ = k_q.shape
+    rep = hq // hkv
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    ki = jnp.repeat(k_q.astype(jnp.int32), rep, axis=1)
+    vi = jnp.repeat(v_q.astype(jnp.int32), rep, axis=1)
+    s_i = jnp.einsum("bhqd,bhkd->bhqk", q_q.astype(jnp.int32), ki)
+    s = s_i.astype(jnp.float32) * (scale * q_scale * k_scale)
+    s = s + _mask_bias(sq, sk, causal, window, sk - sq)[None, None]
+    if kv_seq_len is not None:
+        kpos = jnp.arange(sk)[None, None, None, :]
+        s = jnp.where(kpos < kv_seq_len[:, None, None, None], s, -jnp.inf)
+    s_max = jnp.max(s, axis=-1, keepdims=True)
+    s_max = jnp.where(jnp.isfinite(s_max), s_max, 0.0)
+    p = jnp.exp(s - s_max)
+    denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    p_q = jnp.clip(jnp.round(p * 127.0), 0, 127).astype(jnp.int32)
+    pv = jnp.einsum("bhqk,bhkd->bhqd", p_q, vi).astype(jnp.float32)
+    out = pv * (v_scale / 127.0) / denom
+    return out.astype(out_dtype or jnp.bfloat16)

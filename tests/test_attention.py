@@ -302,3 +302,54 @@ class TestDropout:
         c = flash_attention(q, k, v, dropout_rate=0.5, dropout_seed=4)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert not jnp.allclose(a.astype(jnp.float32), c.astype(jnp.float32))
+
+
+class TestStaticQuant:
+    """Fully-quantized pipeline (CK fp8 static-quant analog on int8 MXU)."""
+
+    def _quantize(self, b, hq, hkv, sq, sk, d):
+        from composable_kernel_tpu.reference.attention import (
+            ref_quantize_per_tensor,
+        )
+
+        q, k, v = _qkv(b, hq, hkv, sq, sk, d, dtype=jnp.float32)
+        qq, qs = ref_quantize_per_tensor(q)
+        kq, ks = ref_quantize_per_tensor(k)
+        vq, vs = ref_quantize_per_tensor(v)
+        return (qq, kq, vq), (qs, ks, vs), (q, k, v)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_vs_float_reference(self, causal):
+        (qq, kq, vq), scales, (q, k, v) = self._quantize(2, 4, 4, 128, 256, 64)
+        got = flash_attention(qq, kq, vq, static_quant_scales=scales,
+                              causal=causal)
+        assert got.dtype == jnp.bfloat16
+        want = ref_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), causal=causal,
+        )
+        # bounded by int8 quantization error of q/k/v and the 7-bit P
+        check_err(got, want, rtol=6e-2, atol=6e-2)
+
+    def test_vs_quant_reference(self):
+        from composable_kernel_tpu.reference.attention import (
+            ref_quant_attention,
+        )
+
+        (qq, kq, vq), scales, _ = self._quantize(1, 2, 2, 64, 128, 64)
+        got = flash_attention(qq, kq, vq, static_quant_scales=scales)
+        want = ref_quant_attention(qq, kq, vq, *scales)
+        # same quantized domains; only blockwise-vs-global max placement of
+        # the P rounding differs
+        check_err(got, want, rtol=2e-2, atol=2e-2)
+
+    def test_gqa_varlen(self):
+        (qq, kq, vq), scales, (q, k, v) = self._quantize(2, 4, 2, 64, 256, 64)
+        lens = jnp.asarray([100, 256], jnp.int32)
+        got = flash_attention(qq, kq, vq, static_quant_scales=scales,
+                              kv_seq_len=lens)
+        want = ref_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), kv_seq_len=lens,
+        )
+        check_err(got, want, rtol=6e-2, atol=6e-2)
