@@ -292,14 +292,14 @@ def bench_headline(on_tpu):
     packed = dtypes.pack_int4(w_q, axis=0)
     flops = 2.0 * m * n * k
 
-    # top instances from the round-2 on-chip sweep
-    # (scripts/sweep_w4a16_prefill.py): exact-fit block_m for M=3840 —
-    # block_m=512 pads M to 4096 and wastes 6.7% of the MXU work.
+    # top instances from the round-2 on-chip sweeps: whole-N blocks with the
+    # scoped-VMEM raise convert each packed tile exactly once — 184 TF =
+    # 93% of the 197 TF MXU peak (vs 175-177 split-N, 160 in round 1).
     candidates = (
         [
-            GemmConfig(960, 1024, 1024),
-            GemmConfig(768, 2048, 512),
-            GemmConfig(480, 2048, 1024),
+            GemmConfig(768, 4096, 1024, vmem_limit_mb=64),
+            GemmConfig(1280, 4096, 512, vmem_limit_mb=64),
+            GemmConfig(960, 2048, 512, vmem_limit_mb=32),
         ]
         if on_tpu
         else [GemmConfig(256, 256, 256)]

@@ -55,9 +55,15 @@ def _heuristic_config(m: int, n: int, k: int) -> GemmConfig:
         )
     if m <= 128:
         return GemmConfig(block_m=128, block_n=512, block_k=512)
-    # prefill: measured v5e sweeps — exact-fit block_m matters (M=3840:
-    # 960x1024x1024 at 176.5 TF vs 160.6 for 512x1024x1024 which pads M to
-    # 4096); for generic M, 512x1024x1024 ~173 TF at M=2048 Llama shapes.
+    # prefill: whole-N blocks win here too (no N loop -> each packed/scale
+    # tile converted exactly once; measured M=3840 N=4096: 184 TF = 93% of
+    # the 197 TF MXU peak vs 175-177 for split-N). Needs the scoped-VMEM
+    # raise; bounded to n<=4096 so the f32 acc tile stays within reach.
+    if 1024 <= n <= 4096 and n % 128 == 0:
+        return GemmConfig(block_m=768, block_n=n, block_k=1024,
+                          vmem_limit_mb=64)
+    # wide-N fallbacks: exact-fit block_m matters (M=3840: 960x1024x1024 at
+    # 176.5 TF vs 160.6 for 512x1024x1024 which pads M to 4096)
     if m % 960 == 0:
         return GemmConfig(block_m=960, block_n=1024, block_k=1024)
     if m % 768 == 0:
@@ -142,7 +148,15 @@ def int8_gemm(
     m, k = a_q.shape
     n = b_q.shape[1]
     if config is None:
-        config = _heuristic_config(m, n, k)
+        if m <= 128:
+            config = _heuristic_config(m, n, k)
+        else:
+            # int8-specific prefill config: int32 residual/acc tiles double
+            # the VMEM footprint of the bf16-tuned blocks (a 512x1024x1024
+            # block overflows the 16 MB scoped limit with an int32 D
+            # operand); measured v5e sweep: 512x2048x1024 + scoped raise =
+            # 242 TOPS fused requant (plain kernel ceiling 321 TOPS).
+            config = GemmConfig(512, 2048, 1024, vmem_limit_mb=48)
     return pallas_gemm(
         a_q, b_q, ds,
         config=config, c_op=requant_op, out_dtype=jnp.int8, interpret=interpret,

@@ -67,6 +67,17 @@ def _register_defaults():
         registry.add_instances(fam, DEFAULT_GEMM_CONFIGS)
         registry.set_predicate(fam, is_supported)
 
+    # int8 requant instances: int32 D/acc tiles need the scoped-VMEM raise
+    # at bf16-tuned block shapes (measured v5e: 242 TOPS fused at M=2048)
+    registry.add_instances(
+        "int8_gemm",
+        [
+            GemmConfig(512, 2048, 1024, vmem_limit_mb=48),
+            GemmConfig(512, 1024, 1024, vmem_limit_mb=32),
+            GemmConfig(512, 1024, 512),
+        ],
+    )
+
     # decode-shape instances for the weight-only path: wide-N single-block
     # configs measured fastest on v5e (whole-N at N<=12k: ~590 GB/s vs ~300
     # for split-N; needs the scoped-VMEM raise; see docs/performance.md)
@@ -79,6 +90,17 @@ def _register_defaults():
             GemmConfig(32, 3584, 1024, vmem_limit_mb=80),
             GemmConfig(32, 7168, 1024, vmem_limit_mb=80),
             GemmConfig(64, 4096, 1024, vmem_limit_mb=80),
+        ],
+    )
+
+    # whole-N prefill instances (93% MXU peak on the W4A16 headline shape;
+    # need the scoped-VMEM raise)
+    registry.add_instances(
+        "wo_quant_gemm",
+        [
+            GemmConfig(768, 4096, 1024, vmem_limit_mb=64),
+            GemmConfig(1280, 4096, 512, vmem_limit_mb=64),
+            GemmConfig(768, 2048, 1024, vmem_limit_mb=32),
         ],
     )
 

@@ -1,0 +1,134 @@
+"""Train the tiny byte-level LM that backs the W4A16 accuracy gate.
+
+No network egress exists in this environment, so the "largest obtainable
+checkpoint" (VERDICT round 1, missing #6) is one we train ourselves: a
+4-layer Llama-architecture byte LM on the Python standard library sources
+(deterministic, locally available text). The trained weights give the
+perplexity gate teeth — on random weights the logits are near-uniform and
+W4A16 quantization error vanishes in the noise; on a trained model it
+shows up directly in ppl.
+
+Usage:
+    python scripts/train_tiny_lm.py [--steps 3000] [--out checkpoints/]
+
+Writes:
+    checkpoints/tinylm_byte.npz        f32 params (engine npz format)
+    checkpoints/tinylm_eval_tokens.npy held-out token stream for the gate
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def model_cfg():
+    from composable_kernel_tpu.models import llama
+
+    return llama.tiny_config(
+        dim=256, n_layers=4, n_heads=8, n_kv_heads=4, ffn_dim=1024,
+        vocab_size=512, max_seq_len=512, group_size=128, quant="bf16",
+        dtype="float32",
+    )
+
+
+def build_corpus(max_bytes=6_000_000):
+    from composable_kernel_tpu.models.eval import ByteTokenizer, corpus_tokens
+
+    paths = sorted(glob.glob("/usr/lib/python3*/[a-s]*.py"))
+    assert len(paths) > 50, f"stdlib corpus not found ({len(paths)} files)"
+    return corpus_tokens(paths, ByteTokenizer(), max_bytes=max_bytes)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--seq", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--chunk", type=int, default=25,
+                    help="steps chained per jit call (tunnel-dispatch amortization)")
+    ap.add_argument("--out", default=str(REPO / "checkpoints"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from composable_kernel_tpu.models import llama
+    from composable_kernel_tpu.models.eval import nll
+    from composable_kernel_tpu.models.loader import save_quantized
+
+    cfg = model_cfg()
+    tokens = build_corpus()
+    n_eval = 260_000  # held-out tail: ~1000 windows of 256
+    train_toks, eval_toks = tokens[:-n_eval], tokens[-n_eval:]
+    print(f"corpus: {len(tokens):,} tokens ({len(train_toks):,} train)")
+
+    seq, bsz = args.seq, args.batch
+    n_win = (len(train_toks) - 1) // seq
+    wins = np.stack([train_toks[i * seq : i * seq + seq + 1] for i in range(n_win)])
+    rng = np.random.default_rng(0)
+
+    params = llama.init_weights(cfg, jax.random.PRNGKey(0))
+    warmup = min(100, max(1, args.steps // 10))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup_steps=warmup, decay_steps=args.steps + warmup,
+        end_value=args.lr * 0.1,
+    )
+    opt = optax.adamw(sched, weight_decay=0.01)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, batch):
+        logits = llama.forward(p, batch[:, :-1], cfg, kernels=False)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(logp, batch[:, 1:, None], axis=-1)
+        return -jnp.mean(ll)
+
+    @jax.jit
+    def run_chunk(p, o, step0, batches):
+        def one(carry, inp):
+            p, o, step = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, inp)
+            updates, o = opt.update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            return (p, o, step + 1), loss
+
+        (p, o, _), losses = jax.lax.scan(one, (p, o, step0), batches)
+        return p, o, losses
+
+    t0 = time.time()
+    step = 0
+    while step < args.steps:
+        n = min(args.chunk, args.steps - step)
+        idx = rng.integers(0, n_win, (n, bsz))
+        batches = jnp.asarray(wins[idx])  # [n, B, seq+1]
+        params, opt_state, losses = run_chunk(
+            params, opt_state, jnp.int32(step), batches
+        )
+        step += n
+        losses = np.asarray(losses)
+        print(f"step {step:5d}  loss {losses[-1]:.4f}  "
+              f"(mean {losses.mean():.4f})  {time.time()-t0:.0f}s", flush=True)
+
+    out = Path(args.out)
+    out.mkdir(exist_ok=True)
+    save_quantized(jax.tree.map(lambda x: np.asarray(x), params),
+                   out / "tinylm_byte.npz")
+    np.save(out / "tinylm_eval_tokens.npy", eval_toks)
+
+    val = nll(params, cfg, eval_toks, seq_len=seq, batch_size=bsz,
+              kernels=False, max_windows=200)
+    print(f"held-out nll {val:.4f} (ppl {np.exp(val):.2f}) — saved to {out}")
+
+
+if __name__ == "__main__":
+    main()
