@@ -273,6 +273,70 @@ def bench_llama_e2e(on_tpu):
     }
 
 
+def bench_ppl_gate(on_tpu):
+    """W4A16 accuracy gate: ppl delta vs the full-precision model.
+
+    Uses the locally-trained byte-LM checkpoint (scripts/train_tiny_lm.py
+    — zero egress means no HF weights are obtainable; a trained model is
+    required for the delta to be meaningful). Falls back to random weights
+    + random tokens as a pipeline smoke when the checkpoint is absent.
+    vs_baseline = delta / 0.1 (the BASELINE.json budget): <= 1.0 passes.
+    """
+    from pathlib import Path
+
+    import jax
+    import numpy as np
+
+    from composable_kernel_tpu.models import llama
+    from composable_kernel_tpu.models.eval import ppl_delta
+
+    ckpt = Path(__file__).resolve().parent / "checkpoints" / "tinylm_byte.npz"
+    base = dict(dim=256, n_layers=4, n_heads=8, n_kv_heads=4, ffn_dim=1024,
+                vocab_size=512, max_seq_len=512, dtype="float32")
+    cfg_full = llama.tiny_config(**base, quant="bf16", group_size=128)
+    cfg_q = llama.tiny_config(**base, quant="w4a16", group_size=128)
+    trained = ckpt.exists()
+    calib = ckpt.parent / "tinylm_calib_tokens.npy"
+    if trained:
+        from composable_kernel_tpu.models.loader import load_quantized
+
+        params = load_quantized(ckpt)
+        toks = np.load(ckpt.parent / "tinylm_eval_tokens.npy")
+        max_windows = 128 if on_tpu else 4
+    else:
+        _stderr("# no trained checkpoint; random-weights smoke only")
+        params = llama.init_weights(cfg_full, jax.random.PRNGKey(0))
+        toks = np.random.default_rng(0).integers(0, 256, 5000).astype(np.int32)
+        max_windows = 4
+    kw = dict(seq_len=256, batch_size=16 if on_tpu else 2, kernels=on_tpu,
+              max_windows=max_windows)
+    if trained and calib.exists():
+        # GPTQ quantization (models/quantize.py): cuts the W4A16 delta ~4x
+        # vs round-to-nearest (0.43 -> 0.09 ppl on this checkpoint)
+        from composable_kernel_tpu.models.eval import perplexity
+        from composable_kernel_tpu.models.quantize import gptq_quantize_llama
+
+        params_q = gptq_quantize_llama(
+            params, cfg_q, np.load(calib), percdamp=0.05
+        )
+        p_full = perplexity(params, cfg_full, toks, **kw)
+        p_quant = perplexity(params_q, cfg_q, toks, **kw)
+        delta = p_quant - p_full
+    else:
+        p_full, p_quant, delta = ppl_delta(params, cfg_full, cfg_q, toks, **kw)
+    _stderr(f"# ppl full={p_full:.4f} w4a16={p_quant:.4f} delta={delta:+.4f}")
+    return {
+        "metric": "w4a16_ppl_delta",
+        "value": round(delta, 4),
+        "unit": "ppl",
+        "vs_baseline": round(delta / 0.1, 3),
+        "ppl_full": round(p_full, 4),
+        "ppl_w4a16": round(p_quant, 4),
+        "trained_checkpoint": trained,
+        "quantizer": "gptq" if (trained and calib.exists()) else "rtn",
+    }
+
+
 def bench_headline(on_tpu):
     import jax
     import jax.numpy as jnp
@@ -346,6 +410,7 @@ def main() -> None:
         ("int8 requant", bench_int8_requant),
         ("int8kv attention", bench_int8kv_attention),
         ("llama e2e", bench_llama_e2e),
+        ("ppl gate", bench_ppl_gate),
         ("headline", bench_headline),
     ]
     lines = []

@@ -124,6 +124,10 @@ def main():
     save_quantized(jax.tree.map(lambda x: np.asarray(x), params),
                    out / "tinylm_byte.npz")
     np.save(out / "tinylm_eval_tokens.npy", eval_toks)
+    # GPTQ calibration windows: train-region text, disjoint from eval
+    calib = wins[: 128 * max(1, len(wins) // (128 * 8))][::max(1, len(wins) // (128 * 8))]
+    np.save(out / "tinylm_calib_tokens.npy",
+            calib[:128, :seq].astype(np.int32))
 
     val = nll(params, cfg, eval_toks, seq_len=seq, batch_size=bsz,
               kernels=False, max_windows=200)

@@ -1,0 +1,136 @@
+"""Accuracy-gate harness tests: tokenizer, NLL windows, ppl delta pipeline.
+
+The reference has no model-level accuracy machinery (kernel library); this
+is the BASELINE.json W4A16-vs-full-precision perplexity gate (SURVEY.md §6
+north-star targets).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from composable_kernel_tpu.models import llama
+from composable_kernel_tpu.models.eval import (
+    ByteTokenizer,
+    _windows,
+    nll,
+    perplexity,
+    ppl_delta,
+)
+
+CFG = llama.tiny_config(dim=128, n_layers=2, n_heads=4, n_kv_heads=2,
+                        ffn_dim=256, vocab_size=512, max_seq_len=128,
+                        quant="bf16", group_size=64)
+
+
+def test_tokenizer_roundtrip():
+    tok = ByteTokenizer()
+    s = "def f(x):\n    return x ** 2  # ünïcode"
+    ids = tok.encode(s)
+    assert ids[0] == tok.bos_id
+    assert ids.max() < tok.vocab_size
+    assert tok.decode(ids) == s
+
+
+def test_windows_shape_and_shift():
+    toks = np.arange(100, dtype=np.int32)
+    w = _windows(toks, 16)
+    assert w.shape == (6, 17)
+    np.testing.assert_array_equal(w[0], np.arange(17))
+    np.testing.assert_array_equal(w[1], np.arange(16, 33))
+
+
+def test_nll_random_model_near_uniform():
+    # an untrained model's nll should be near log(vocab) (uniform logits)
+    params = llama.init_weights(CFG, jax.random.PRNGKey(0))
+    toks = np.random.default_rng(0).integers(0, 256, 2000).astype(np.int32)
+    v = nll(params, CFG, toks, seq_len=64, batch_size=4, kernels=False)
+    assert abs(v - math.log(CFG.vocab_size)) < 1.5, v
+
+
+def test_ppl_delta_pipeline():
+    cfg_q = llama.tiny_config(dim=128, n_layers=2, n_heads=4, n_kv_heads=2,
+                              ffn_dim=256, vocab_size=512, max_seq_len=128,
+                              quant="w4a16", group_size=64)
+    params = llama.init_weights(CFG, jax.random.PRNGKey(1))
+    toks = np.random.default_rng(1).integers(0, 256, 1500).astype(np.int32)
+    p_full, p_quant, delta = ppl_delta(
+        params, CFG, cfg_q, toks, seq_len=64, batch_size=4, kernels=False
+    )
+    assert p_full > 0 and p_quant > 0
+    # random weights: quantization barely moves near-uniform logits
+    assert abs(delta) < 0.1 * p_full, (p_full, p_quant)
+
+
+def test_perplexity_is_exp_nll():
+    params = llama.init_weights(CFG, jax.random.PRNGKey(0))
+    toks = np.random.default_rng(2).integers(0, 256, 800).astype(np.int32)
+    kw = dict(seq_len=64, batch_size=4, kernels=False)
+    assert math.isclose(
+        perplexity(params, CFG, toks, **kw),
+        math.exp(nll(params, CFG, toks, **kw)),
+        rel_tol=1e-6,
+    )
+
+
+class TestGPTQ:
+    def test_beats_rtn_on_correlated_inputs(self):
+        from composable_kernel_tpu.models.quantize import gptq_matrix
+        from composable_kernel_tpu.reference.quant import ref_quantize_group
+
+        rng = np.random.default_rng(0)
+        k, n, g = 128, 64, 32
+        # correlated calibration inputs (low-rank + noise)
+        base = rng.normal(size=(256, 8)) @ rng.normal(size=(8, k))
+        x = base + 0.1 * rng.normal(size=(256, k))
+        w = rng.normal(size=(k, n))
+        h = x.T @ x
+        wq_g, s_g = gptq_matrix(w, h, group_size=g, bits=4)
+        deq_g = wq_g.astype(np.float64) * np.repeat(s_g, g, axis=0)
+        wq_r, s_r = ref_quantize_group(jnp.asarray(w, jnp.float32), g, bits=4)
+        deq_r = np.asarray(wq_r, np.float64) * np.repeat(
+            np.asarray(s_r, np.float64), g, axis=0
+        )
+        err_g = np.linalg.norm(x @ (w - deq_g))
+        err_r = np.linalg.norm(x @ (w - deq_r))
+        assert err_g < 0.8 * err_r, (err_g, err_r)
+
+    def test_tree_matches_rtn_layout(self):
+        from composable_kernel_tpu.models.quantize import gptq_quantize_llama
+
+        cfg_q = llama.tiny_config(dim=128, n_layers=2, n_heads=4,
+                                  n_kv_heads=2, ffn_dim=256, vocab_size=512,
+                                  max_seq_len=128, quant="w4a16",
+                                  group_size=64, dtype="float32")
+        params = llama.init_weights(CFG, jax.random.PRNGKey(0))
+        calib = np.random.default_rng(0).integers(0, 256, (4, 64)).astype(np.int32)
+        got = gptq_quantize_llama(params, cfg_q, calib)
+        want = llama.quantize_weights(params, cfg_q)
+        # identical tree structure + leaf shapes/dtypes
+        jax.tree.map(
+            lambda a, b: (
+                np.testing.assert_array_equal(a.shape, b.shape),
+                np.testing.assert_array_equal(str(a.dtype), str(b.dtype)),
+            ),
+            got, want,
+        )
+
+    def test_quantized_model_runs_kernel_path(self):
+        from composable_kernel_tpu.models.quantize import gptq_quantize_llama
+
+        cfg_q = llama.tiny_config(dim=128, n_layers=2, n_heads=4,
+                                  n_kv_heads=2, ffn_dim=256, vocab_size=512,
+                                  max_seq_len=128, quant="w4a16",
+                                  group_size=64, dtype="float32")
+        params = llama.init_weights(CFG, jax.random.PRNGKey(2))
+        calib = np.random.default_rng(1).integers(0, 256, (4, 64)).astype(np.int32)
+        qp = gptq_quantize_llama(params, cfg_q, calib)
+        toks = jnp.asarray(
+            np.random.default_rng(2).integers(0, 256, (2, 32)), jnp.int32
+        )
+        got = llama.forward(qp, toks, cfg_q, kernels=True)
+        want = llama.forward(qp, toks, cfg_q, kernels=False)
+        from composable_kernel_tpu.utils.check_err import check_err
+        check_err(got, want, rtol=8e-2, atol=8e-2)
