@@ -37,6 +37,8 @@ __all__ = [
     "conv_bwd_weight",
     "conv_int8",
     "conv_wo_quant",
+    "conv_wo_quant_gemm",
+    "quantize_conv_filter",
 ]
 
 
@@ -198,3 +200,105 @@ def conv_wo_quant(
         x, w.astype(x.dtype), strides=strides, dilations=dilations,
         padding=padding, groups=groups, ds=ds, c_op=c_op, out_dtype=out_dtype,
     )
+
+
+def quantize_conv_filter(filt, *, group_size=None, bits=4):
+    """Flatten an HWIO filter to GEMM rows and quantize for the explicit-
+    GEMM conv route, padding K = prod(filter)*C up to the packed-int4
+    alignment (the split-halves layout needs each half 128-row aligned;
+    zero rows quantize to 0 and contribute nothing).
+
+    Returns (w_q [packed int4 / int8], scales). Use with
+    :func:`conv_wo_quant_gemm`, which re-derives the padded K from the
+    weight and pads the im2col matrix to match.
+    """
+    from composable_kernel_tpu import dtypes
+    from composable_kernel_tpu.reference.quant import (
+        ref_quantize_group,
+        ref_quantize_per_channel,
+    )
+
+    k_out = filt.shape[-1]
+    wf = jnp.asarray(filt, jnp.float32).reshape(-1, k_out)
+    k_flat = wf.shape[0]
+    if bits == 8 and group_size is None:
+        return ref_quantize_per_channel(wf, bits=8)
+    assert bits == 4 and group_size is not None
+    g = group_size
+    assert 128 % g == 0 or g % 128 == 0, (
+        f"group {g} must align with the 128-row pack tile"
+    )
+    align = max(256, 2 * g)
+    k_pad = -(-k_flat // align) * align
+    wf = jnp.pad(wf, ((0, k_pad - k_flat), (0, 0)))
+    w_q, s = ref_quantize_group(wf, group_size=g, bits=4)
+    return dtypes.pack_int4(w_q, axis=0), s
+
+
+def conv_wo_quant_gemm(
+    x,
+    w_q,
+    scales,
+    ds=(),
+    *,
+    filter_shape,
+    strides=None,
+    dilations=None,
+    padding=None,
+    group_size=None,
+    packed_int4=False,
+    c_op=None,
+    out_dtype=None,
+    config=None,
+    interpret=None,
+):
+    """Explicit-GEMM weight-only quant conv: im2col + in-VMEM dequant GEMM.
+
+    The route CK's dequant-transfer conv would take (implicit GEMM with the
+    ``_dequant`` threadwise copy): the quantized filter streams from HBM in
+    its packed form and is dequantized inside the GEMM kernel's VMEM tiles
+    (S2 machinery), unlike :func:`conv_wo_quant` which dequantizes in HBM.
+    Worth it when the filter is large relative to activations (late-stage
+    conv nets, 1x1-heavy blocks at big C/K).
+
+    x: [N, *spatial, C]. w_q: quantized filter flattened to GEMM layout
+    [prod(filter)*C, K] (int8; packed int4 rows when ``packed_int4``) —
+    i.e. ``quantize(w.reshape(-1, K))`` of an HWIO filter. scales: [K]
+    per-channel or [G, K] group-wise. Returns [N, *out_spatial, K].
+    """
+    from composable_kernel_tpu.ops.quant import wo_quant_gemm
+    from composable_kernel_tpu.ops.tensor_ops import (
+        _conv_geometry,
+        image_to_column,
+    )
+
+    ndim = x.ndim - 2
+    strides, dilations, padding = _norm_args(ndim, strides, dilations, padding)
+    assert not isinstance(padding, str), "explicit pads only on the GEMM route"
+    cols = image_to_column(
+        x, filter_shape, strides=strides, dilations=dilations, pads=padding
+    )
+    # zero-pad the patch matrix to the weight's (possibly pack-aligned) K
+    k_w = w_q.shape[0] * 2 if packed_int4 else w_q.shape[0]
+    if cols.shape[1] < k_w:
+        cols = jnp.pad(cols, ((0, 0), (0, k_w - cols.shape[1])))
+    if config is None:
+        # conv GEMM-K = prod(filter)*C is small and rarely a 128-multiple;
+        # one whole-K block sidesteps Mosaic's last-dim divisibility rule
+        # (a block equal to the full array dim is always legal) and keeps
+        # every group/scale row in the single step.
+        from composable_kernel_tpu.ops.gemm.config import GemmConfig
+
+        k_flat = cols.shape[1]
+        config = GemmConfig(block_m=512, block_n=512, block_k=k_flat)
+    out = wo_quant_gemm(
+        cols, w_q, scales, ds,
+        group_size=group_size, packed_int4=packed_int4, c_op=c_op,
+        out_dtype=out_dtype, config=config, interpret=interpret,
+    )
+    out_sp = _conv_geometry(
+        x.shape[1:-1], filter_shape, strides, dilations,
+        [p[0] for p in padding], [p[1] for p in padding],
+    )
+    k_out = out.shape[-1]
+    return out.reshape(x.shape[0], *out_sp, k_out)

@@ -355,3 +355,52 @@ class TestRobustness:
                        b.astype(jnp.float32)), (1, 0, 2)
         )
         check_err(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_conv_wo_quant_gemm_in_kernel_dequant():
+    """Explicit-GEMM quant conv (im2col + in-VMEM dequant) == HBM-dequant conv."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from composable_kernel_tpu import dtypes
+    from composable_kernel_tpu.ops.conv import conv_wo_quant, conv_wo_quant_gemm
+    from composable_kernel_tpu.reference.quant import (
+        ref_quantize_group,
+        ref_quantize_per_channel,
+    )
+    from composable_kernel_tpu.utils.check_err import check_err
+
+    n, h, w_sp, c, k = 2, 10, 10, 32, 64
+    fh = fw = 3
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w_sp, c), jnp.float32).astype(jnp.bfloat16)
+    filt = jax.random.normal(jax.random.PRNGKey(1), (fh, fw, c, k), jnp.float32)
+
+    # int8 per-channel
+    wq8, s8 = ref_quantize_per_channel(filt.reshape(-1, k), bits=8)
+    got = conv_wo_quant_gemm(
+        x, wq8, s8, filter_shape=(fh, fw), strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+    )
+    want = conv_wo_quant(
+        x, wq8.reshape(fh, fw, c, k),
+        s8, strides=(1, 1), padding=((1, 1), (1, 1)),
+    )
+    assert got.shape == want.shape == (n, h, w_sp, k)
+    # outputs are 288-term sums (std ~17): atol scales with that
+    check_err(got, want, rtol=5e-2, atol=0.5)
+
+    # packed int4 group-wise via the pack-aligned filter quantizer
+    from composable_kernel_tpu.ops.conv import conv_fwd, quantize_conv_filter
+
+    g = 128
+    packed, s4 = quantize_conv_filter(filt, group_size=g, bits=4)
+    got4 = conv_wo_quant_gemm(
+        x, packed, s4, filter_shape=(fh, fw), group_size=g, packed_int4=True,
+        padding=((1, 1), (1, 1)),
+    )
+    wq4 = dtypes.unpack_int4(packed, axis=0)
+    deq = (wq4.astype(jnp.float32)
+           * jnp.repeat(s4, g, axis=0))[: fh * fw * c].reshape(fh, fw, c, k)
+    want4 = conv_fwd(x, deq.astype(x.dtype), padding=((1, 1), (1, 1)))
+    check_err(got4, want4, rtol=5e-2, atol=0.5)
