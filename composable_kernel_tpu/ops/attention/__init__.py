@@ -4,11 +4,17 @@ from composable_kernel_tpu.ops.attention.config import (
 )
 from composable_kernel_tpu.ops.attention.backward import flash_attention_grad
 from composable_kernel_tpu.ops.attention.kernel import flash_attention, flash_decode
+from composable_kernel_tpu.ops.attention.paged import (
+    PagedKVCache,
+    paged_flash_decode,
+)
 
 __all__ = [
     "AttentionConfig",
     "DEFAULT_ATTENTION_CONFIGS",
+    "PagedKVCache",
     "flash_attention",
     "flash_attention_grad",
     "flash_decode",
+    "paged_flash_decode",
 ]

@@ -1,0 +1,270 @@
+"""Paged (block-table) KV-cache attention.
+
+The reference snapshot has no paged KV (SURVEY.md §2.5: "no paged/
+block-table KV in this snapshot" — it landed in later CK releases as the
+fmha splitkv page-block trait). This is the TPU-native design: the KV
+cache is a global pool of fixed-size pages and each sequence owns a list
+of page ids (the block table). The Pallas kernel never gathers pages into
+a contiguous buffer — the *BlockSpec index map* reads the block table from
+scalar-prefetch SMEM and DMAs each page directly from its pool slot, so
+page indirection costs zero extra HBM traffic (same trick as the
+clamped-KV decode maps, indexing.clamped_block).
+
+Layout: pools are [P, Hkv, page, D] (page rows innermost so one page DMA
+is one contiguous [page, D] tile per head, and the block's trailing dims
+satisfy Mosaic's (8,128) tiling rule); block tables [B, max_pages] int32;
+sequence lengths [B] int32. Pages past a sequence's live length are masked AND
+their DMAs redirected to page 0.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from composable_kernel_tpu.ops.attention.config import AttentionConfig
+from composable_kernel_tpu.ops.gemm.kernel import _ceil_mult, _interpret_default, pad_to
+
+__all__ = ["paged_flash_decode", "PagedKVCache"]
+
+_NEG_INF = -1e30
+_LANES = 128
+
+
+def _paged_kernel(
+    table_ref,  # [B, max_pages] int32 scalar prefetch
+    lens_ref,  # [1, B] int32 scalar prefetch
+    q_ref,  # [1, Hq*Sq(pad), D] — ALL heads of one sequence
+    k_ref,  # [1, Hkv, page, D] — one whole page, all kv heads
+    v_ref,
+    o_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale: float,
+    page: int,
+    n_steps: int,
+    n_kv_heads: int,
+    rows_per_kv: int,  # group * Sq query rows share one kv head
+):
+    """Grid = (B, pages): each page is DMA'd exactly once and serves every
+    head — the bandwidth-shaped layout for decode, where KV streaming is
+    the whole cost and per-(head, page) grids would re-read each page
+    `group` times (measured 3.4x slower)."""
+    kk = pl.program_id(1)
+    batch = pl.program_id(0)
+
+    @pl.when(kk == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    live = kk * page < lens_ref[0, batch]
+
+    @pl.when(live)
+    def _step():
+        for h in range(n_kv_heads):
+            rows = slice(h * rows_per_kv, (h + 1) * rows_per_kv)
+            q = q_ref[0, rows, :]  # [rows_per_kv, D]
+            k = k_ref[0, h]  # [page, D]
+            v = v_ref[0, h]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [rows_per_kv, page]
+            k_pos = kk * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(k_pos < lens_ref[0, batch], s, _NEG_INF)
+
+            m_prev = m_scr[rows, :]
+            row_max = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, row_max)
+            corr = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new[:, :1])
+            l_scr[rows, :] = l_scr[rows, :] * corr + jnp.sum(
+                p, axis=-1, keepdims=True
+            )
+            m_scr[rows, :] = m_new
+            acc_scr[rows, :] = acc_scr[rows, :] * corr[:, :1] + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(kk == n_steps - 1)
+    def _finish():
+        l = l_scr[...][:, :1]
+        l_safe = jnp.where(l > 0.0, l, 1.0)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+
+
+def paged_flash_decode(
+    q,
+    k_pool,
+    v_pool,
+    block_table,
+    seq_lens,
+    *,
+    scale: float | None = None,
+    config: AttentionConfig | None = None,
+    out_dtype=None,
+    interpret: bool | None = None,
+):
+    """Decode attention over a paged KV pool.
+
+    q:           [B, Hq, Sq, D] (Sq small; queries attend all live keys).
+    k/v_pool:    [P, Hkv, page, D] global page pools.
+    block_table: [B, max_pages] int32 — page ids per sequence, in order.
+                 Entries past the live length are ignored (any value).
+    seq_lens:    [B] int32 live key counts.
+    Returns [B, Hq, Sq, D].
+    """
+    b, hq, sq, d = q.shape
+    p_total, hkv, page, dv = v_pool.shape
+    assert k_pool.shape == (p_total, hkv, page, d)
+    assert hq % hkv == 0
+    assert page % 128 == 0, f"page size {page} must be a lane multiple"
+    group = hq // hkv
+    max_pages = block_table.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = _interpret_default()
+    if out_dtype is None:
+        out_dtype = q.dtype
+
+    dp = _ceil_mult(d, _LANES)
+    dvp = _ceil_mult(dv, _LANES)
+    # pack queries [B, Hkv, group*Sq(pad to sublanes), D]: each kv head's
+    # sharers are contiguous rows, so the kernel's per-head scratch slices
+    # stay sublane-aligned
+    rows = group * sq
+    rows_pad = _ceil_mult(rows, 8)
+    q_r = q.reshape(b, hkv, rows, d)
+    q_r = jnp.pad(q_r, ((0, 0), (0, 0), (0, rows_pad - rows), (0, dp - d)))
+    q_p = q_r.reshape(b, hkv * rows_pad, dp)
+    k_p = pad_to(k_pool, (None, None, None, dp))
+    v_p = pad_to(v_pool, (None, None, None, dvp))
+
+    table = jnp.asarray(block_table, jnp.int32)
+    lens = jnp.asarray(seq_lens, jnp.int32).reshape(1, b)
+
+    def q_index(batch, kk, *_):
+        return (batch, 0, 0)
+
+    def kv_index(batch, kk, table_s, lens_s):
+        # dead pages (beyond the live prefix) re-read page table[b, 0]
+        # so their DMAs stay in-bounds and cheap; the kernel masks them.
+        live = kk * page < lens_s[0, batch]
+        pg = table_s[batch, jnp.where(live, kk, 0)]
+        return (pg, 0, 0, 0)
+
+    kernel = functools.partial(
+        _paged_kernel,
+        scale=scale,
+        page=page,
+        n_steps=max_pages,
+        n_kv_heads=hkv,
+        rows_per_kv=rows_pad,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hkv * rows_pad, dvp), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, max_pages),
+            in_specs=[
+                pl.BlockSpec((1, hkv * rows_pad, dp), q_index,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hkv, page, dp), kv_index,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hkv, page, dvp), kv_index,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, hkv * rows_pad, dvp), q_index,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((hkv * rows_pad, _LANES), jnp.float32),
+                pltpu.VMEM((hkv * rows_pad, _LANES), jnp.float32),
+                pltpu.VMEM((hkv * rows_pad, dvp), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(table, lens, q_p, k_p, v_p)
+
+    out = out.reshape(b, hkv, rows_pad, dvp)[:, :, :rows, :dv]
+    return out.reshape(b, hq, sq, dv)
+
+
+class PagedKVCache:
+    """Host-side page allocator + device pools for paged decode.
+
+    Pages are allocated from a free list as sequences grow and returned on
+    free(). Token appends are functional jnp scatter updates (donate the
+    pools under jit for in-place HBM writes). The reference has no serving
+    runtime at all; this mirrors what its later paged-fmha trait assumes
+    the runtime provides.
+    """
+
+    def __init__(self, n_pages: int, page: int, n_kv_heads: int, head_dim: int,
+                 dtype=jnp.bfloat16):
+        self.page = page
+        self.k_pool = jnp.zeros((n_pages, n_kv_heads, page, head_dim), dtype)
+        self.v_pool = jnp.zeros((n_pages, n_kv_heads, page, head_dim), dtype)
+        self._free = list(range(n_pages - 1, 0, -1))  # page 0 = null target
+        self.tables: dict[int, list[int]] = {}
+        self.lens: dict[int, int] = {}
+
+    def alloc(self, seq_id: int) -> None:
+        assert seq_id not in self.tables
+        self.tables[seq_id] = []
+        self.lens[seq_id] = 0
+
+    def free(self, seq_id: int) -> None:
+        self._free.extend(reversed(self.tables.pop(seq_id)))
+        del self.lens[seq_id]
+
+    def _ensure_capacity(self, seq_id: int, new_len: int) -> None:
+        t = self.tables[seq_id]
+        while len(t) * self.page < new_len:
+            assert self._free, "KV pool exhausted"
+            t.append(self._free.pop())
+
+    def append(self, seq_id: int, k_new, v_new) -> None:
+        """Append [T, Hkv, D] keys/values for one sequence."""
+        t_new = k_new.shape[0]
+        start = self.lens[seq_id]
+        self._ensure_capacity(seq_id, start + t_new)
+        tab = self.tables[seq_id]
+        for i in range(t_new):  # decode appends are T=1; prefill chunks small
+            pos = start + i
+            pg, off = tab[pos // self.page], pos % self.page
+            self.k_pool = self.k_pool.at[pg, :, off].set(
+                k_new[i].astype(self.k_pool.dtype)
+            )
+            self.v_pool = self.v_pool.at[pg, :, off].set(
+                v_new[i].astype(self.v_pool.dtype)
+            )
+        self.lens[seq_id] = start + t_new
+
+    def batch_views(self, seq_ids):
+        """(block_table [B, max_pages], seq_lens [B]) for the given batch."""
+        import numpy as np
+
+        max_pages = max(1, max(len(self.tables[s]) for s in seq_ids))
+        table = np.zeros((len(seq_ids), max_pages), np.int32)
+        lens = np.zeros((len(seq_ids),), np.int32)
+        for i, s in enumerate(seq_ids):
+            t = self.tables[s]
+            table[i, : len(t)] = t
+            lens[i] = self.lens[s]
+        return jnp.asarray(table), jnp.asarray(lens)
