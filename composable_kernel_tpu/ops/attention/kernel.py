@@ -457,9 +457,14 @@ def flash_decode(
     cfg = config or AttentionConfig()
     num_splits = max(1, min(num_splits, -(-sk // max(cfg.block_k, 128))))
     if num_splits == 1 or sk % num_splits != 0:
-        return flash_attention(
-            q, k, v, scale=scale, causal=False, kv_seq_len=kv_seq_len,
-            k_scale=k_scale, v_scale=v_scale, config=cfg,
+        # head-grouped single-stream kernel: each KV block DMA'd once for
+        # ALL query heads (the [B*Hq, ...] flash grid re-fetches per head —
+        # measured 3.6x slower at GQA 32/8 decode shapes)
+        from composable_kernel_tpu.ops.attention.paged import decode_attention
+
+        return decode_attention(
+            q, k, v, kv_seq_len=kv_seq_len, k_scale=k_scale, v_scale=v_scale,
+            block_k=max(cfg.block_k, 512), scale=scale,
             out_dtype=out_dtype, interpret=interpret,
         )
 

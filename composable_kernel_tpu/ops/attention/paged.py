@@ -42,21 +42,23 @@ def _paged_kernel(
     q_ref,  # [1, Hq*Sq(pad), D] — ALL heads of one sequence
     k_ref,  # [1, Hkv, page, D] — one whole page, all kv heads
     v_ref,
-    o_ref,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *rest,  # [k_scale_ref, v_scale_ref,] o_ref, scratches
     scale: float,
     page: int,
     n_steps: int,
     n_kv_heads: int,
     rows_per_kv: int,  # group * Sq query rows share one kv head
+    has_kv_scale: bool = False,
 ):
     """Grid = (B, pages): each page is DMA'd exactly once and serves every
     head — the bandwidth-shaped layout for decode, where KV streaming is
     the whole cost and per-(head, page) grids would re-read each page
     `group` times (measured 3.4x slower)."""
+    idx = 0
+    if has_kv_scale:
+        k_scale_ref = rest[idx]; idx += 1
+        v_scale_ref = rest[idx]; idx += 1
+    o_ref, m_scr, l_scr, acc_scr = rest[idx : idx + 4]
     kk = pl.program_id(1)
     batch = pl.program_id(0)
 
@@ -75,6 +77,9 @@ def _paged_kernel(
             q = q_ref[0, rows, :]  # [rows_per_kv, D]
             k = k_ref[0, h]  # [page, D]
             v = v_ref[0, h]
+            if has_kv_scale:
+                k = (k.astype(jnp.float32) * k_scale_ref[0, h]).astype(q.dtype)
+                v = (v.astype(jnp.float32) * v_scale_ref[0, h]).astype(q.dtype)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -200,6 +205,123 @@ def paged_flash_decode(
         ),
         interpret=interpret,
     )(table, lens, q_p, k_p, v_p)
+
+    out = out.reshape(b, hkv, rows_pad, dvp)[:, :, :rows, :dv]
+    return out.reshape(b, hq, sq, dv)
+
+
+def decode_attention(
+    q,
+    k,
+    v,
+    *,
+    kv_seq_len=None,
+    k_scale=None,
+    v_scale=None,
+    block_k: int = 512,
+    scale: float | None = None,
+    out_dtype=None,
+    interpret: bool | None = None,
+):
+    """Head-grouped dense decode attention over a contiguous KV cache.
+
+    Same single-stream structure as the paged kernel, without the table:
+    grid (B, kv blocks) with all query heads resident, so each KV block is
+    DMA'd once instead of once per query head (the [B*Hq, ...] flash grid
+    re-fetches it per head: measured 3.6x slower at GQA 32/8 decode).
+    Blocks past ``kv_seq_len`` clamp their DMA to block 0 and are masked.
+
+    q: [B, Hq, Sq, D] (Sq small); k, v: [B, Hkv, S, D] (int8 with
+    ``k_scale``/``v_scale`` [B, Hkv] for the quantized cache).
+    """
+    b, hq, sq, d = q.shape
+    _, hkv, sk, dv = v.shape
+    assert hq % hkv == 0
+    group = hq // hkv
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = _interpret_default()
+    if out_dtype is None:
+        out_dtype = q.dtype if jnp.issubdtype(q.dtype, jnp.floating) else jnp.bfloat16
+    has_kv_scale = k_scale is not None
+    if has_kv_scale:
+        assert v_scale is not None and k_scale.shape == (b, hkv)
+
+    bk = min(_ceil_mult(sk, 128), max(128, _ceil_mult(min(block_k, sk), 128)))
+    dp = _ceil_mult(d, _LANES)
+    dvp = _ceil_mult(dv, _LANES)
+    rows = group * sq
+    rows_pad = _ceil_mult(rows, 8)
+    q_r = q.reshape(b, hkv, rows, d)
+    q_r = jnp.pad(q_r, ((0, 0), (0, 0), (0, rows_pad - rows), (0, dp - d)))
+    q_p = q_r.reshape(b, hkv * rows_pad, dp)
+    k_p = pad_to(k, (None, None, bk, dp))
+    v_p = pad_to(v, (None, None, bk, dvp))
+    n_steps = k_p.shape[2] // bk
+
+    if kv_seq_len is None:
+        lens = jnp.full((1, b), sk, jnp.int32)
+    else:
+        lens = jnp.asarray(kv_seq_len, jnp.int32).reshape(1, b)
+    # table slot unused on the dense path; a [B, 1] zero placeholder keeps
+    # the kernel signature shared with the paged variant
+    table = jnp.zeros((b, 1), jnp.int32)
+
+    from composable_kernel_tpu import indexing
+
+    def q_index(batch, kk, *_):
+        return (batch, 0, 0)
+
+    def kv_index(batch, kk, table_s, lens_s):
+        return (batch, 0, indexing.clamped_block(kk, lens_s[0, batch], bk), 0)
+
+    in_specs = [
+        pl.BlockSpec((1, hkv * rows_pad, dp), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hkv, bk, dp), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hkv, bk, dvp), kv_index, memory_space=pltpu.VMEM),
+    ]
+    inputs = [q_p, k_p, v_p]
+    if has_kv_scale:
+        sc_spec = pl.BlockSpec(
+            (1, hkv), lambda batch, kk, *_: (batch, 0), memory_space=pltpu.SMEM
+        )
+        in_specs += [sc_spec, sc_spec]
+        inputs += [
+            jnp.asarray(k_scale, jnp.float32),
+            jnp.asarray(v_scale, jnp.float32),
+        ]
+
+    kernel = functools.partial(
+        _paged_kernel,
+        scale=scale,
+        page=bk,
+        n_steps=n_steps,
+        n_kv_heads=hkv,
+        rows_per_kv=rows_pad,
+        has_kv_scale=has_kv_scale,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hkv * rows_pad, dvp), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, n_steps),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, hkv * rows_pad, dvp), q_index,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((hkv * rows_pad, _LANES), jnp.float32),
+                pltpu.VMEM((hkv * rows_pad, _LANES), jnp.float32),
+                pltpu.VMEM((hkv * rows_pad, dvp), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(table, lens, *inputs)
 
     out = out.reshape(b, hkv, rows_pad, dvp)[:, :, :rows, :dv]
     return out.reshape(b, hq, sq, dv)
