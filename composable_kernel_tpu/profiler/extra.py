@@ -267,3 +267,99 @@ def profile_decode(ns):
         record(f"decode_m{m}", r)
         print(f"decode M={m} {k}x{n} g={g}: {r.avg_ms*1e3:.1f} us, "
               f"{r.gbps:.1f} GB/s weight stream")
+
+
+@register("decode_attention")
+def profile_decode_attention(ns):
+    """Head-grouped decode attention (dense + paged) KV-stream sweep."""
+    jax, jnp, on_tpu = _env()
+    import numpy as np
+
+    from composable_kernel_tpu.ops.attention import paged_flash_decode
+    from composable_kernel_tpu.ops.attention.paged import decode_attention
+    from composable_kernel_tpu.profiler.cli import record
+    from composable_kernel_tpu.reference.attention import ref_attention
+
+    b, hq, hkv, d = ns.batch, ns.heads, ns.kv_heads or ns.heads, ns.k
+    sk = ns.n
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(keys[0], (b, hq, 1, d), jnp.float32).astype(jnp.bfloat16)
+    k = jax.random.normal(keys[1], (b, hkv, sk, d), jnp.float32).astype(jnp.bfloat16)
+    v = jax.random.normal(keys[2], (b, hkv, sk, d), jnp.float32).astype(jnp.bfloat16)
+    lens = jnp.full((b,), int(sk * 0.75), jnp.int32)
+    live_bytes = float(2 * b * hkv * int(sk * 0.75) * d * 2)
+    if ns.verify:
+        got = np.asarray(
+            decode_attention(q, k, v, kv_seq_len=lens, interpret=not on_tpu)
+            .astype(jnp.float32))
+        want = np.asarray(ref_attention(q, k, v, kv_seq_len=lens,
+                                        out_dtype=jnp.float32))
+        assert np.abs(got - want).max() < 0.05
+
+    fn = lambda q_, k_, v_: decode_attention(q_, k_, v_, kv_seq_len=lens,
+                                             interpret=not on_tpu)
+    r = _time(fn, q, k, v, flops=0, on_tpu=on_tpu)
+    r.gbps = live_bytes / 1e9 / (r.avg_ms / 1e3)
+    record("dense_head_grouped", r)
+    print(f"dense decode_attention B{b} H{hq}/{hkv} Sk{sk}: "
+          f"{r.avg_ms:.3f} ms, live-KV {r.gbps:.1f} GB/s")
+
+    # paged variant over the same content
+    page = 128
+    per = sk // page
+    n_pages = 1 + b * per
+    table = jnp.arange(1, n_pages, dtype=jnp.int32).reshape(b, per)
+    k_pool = k.reshape(b, hkv, per, page, d).transpose(0, 2, 1, 3, 4)
+    k_pool = jnp.concatenate(
+        [jnp.zeros((1, hkv, page, d), k.dtype),
+         k_pool.reshape(b * per, hkv, page, d)])
+    v_pool = v.reshape(b, hkv, per, page, d).transpose(0, 2, 1, 3, 4)
+    v_pool = jnp.concatenate(
+        [jnp.zeros((1, hkv, page, d), v.dtype),
+         v_pool.reshape(b * per, hkv, page, d)])
+    fn2 = lambda q_, kp, vp: paged_flash_decode(q_, kp, vp, table, lens,
+                                                interpret=not on_tpu)
+    r2 = _time(fn2, q, k_pool, v_pool, flops=0, on_tpu=on_tpu)
+    r2.gbps = live_bytes / 1e9 / (r2.avg_ms / 1e3)
+    record("paged_page128", r2)
+    print(f"paged decode_attention:             "
+          f"{r2.avg_ms:.3f} ms, live-KV {r2.gbps:.1f} GB/s")
+
+
+@register("quant_attention")
+def profile_quant_attention(ns):
+    """Static-quant int8 QKV attention (fp8-pipeline analog) vs bf16."""
+    jax, jnp, on_tpu = _env()
+    import numpy as np
+
+    from composable_kernel_tpu.ops.attention import flash_attention
+    from composable_kernel_tpu.profiler.cli import record
+    from composable_kernel_tpu.reference.attention import (
+        ref_attention,
+        ref_quantize_per_tensor,
+    )
+
+    b, hq, hkv, s, d = ns.batch, ns.heads, ns.kv_heads or ns.heads, ns.n, ns.k
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(keys[0], (b, hq, s, d), jnp.float32)
+    k = jax.random.normal(keys[1], (b, hkv, s, d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, hkv, s, d), jnp.float32)
+    qq, qs = ref_quantize_per_tensor(q)
+    kq, ks = ref_quantize_per_tensor(k)
+    vq, vs = ref_quantize_per_tensor(v)
+    flops = 2.0 * b * hq * s * s * (d + d) / 2.0
+    if ns.verify:
+        got = np.asarray(flash_attention(
+            qq, kq, vq, static_quant_scales=(qs, ks, vs), causal=True,
+            interpret=not on_tpu).astype(jnp.float32))
+        want = np.asarray(ref_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), causal=True, out_dtype=jnp.float32))
+        assert np.abs(got - want).max() < 0.15
+    fn = lambda a, b_, c: flash_attention(
+        a, b_, c, static_quant_scales=(qs, ks, vs), causal=True,
+        interpret=not on_tpu)
+    r = _time(fn, qq, kq, vq, flops=flops, on_tpu=on_tpu)
+    record("static_quant_int8", r)
+    print(f"static-quant attention B{b} H{hq}/{hkv} S{s} D{d}: "
+          f"{r.avg_ms:.3f} ms, {r.tflops:.1f} TOPS-eff")
