@@ -1,4 +1,9 @@
-from composable_kernel_tpu.parallel.pipeline import make_pp_mesh, pp_decode, pp_forward
+from composable_kernel_tpu.parallel.pipeline import (
+    make_pp_mesh,
+    pp_decode,
+    pp_forward,
+    pp_train_grads_1f1b,
+)
 from composable_kernel_tpu.parallel.ring_attention import ring_attention
 from composable_kernel_tpu.parallel.api import (
     init_opt_state,
@@ -20,6 +25,7 @@ __all__ = [
     "make_pp_mesh",
     "pp_decode",
     "pp_forward",
+    "pp_train_grads_1f1b",
     "ring_attention",
     "make_mesh",
     "shard_params",

@@ -206,3 +206,43 @@ def test_hybrid_mesh_runs_tp():
     got = tp_forward(sharded, TOKENS, CFG, mesh, kernels=False)
     want = llama.forward(PARAMS, TOKENS, CFG, kernels=False)
     check_err(got, want, rtol=6e-2, atol=6e-2)
+
+
+def test_pp_1f1b_grads_match_autodiff():
+    """1F1B pipelined grads == single-device jax.grad on the same loss."""
+    from composable_kernel_tpu.parallel.pipeline import (
+        _schedule_1f1b,
+        make_pp_mesh,
+        pp_train_grads_1f1b,
+    )
+
+    # schedule sanity: every (stage, mb) gets exactly one fwd and one bwd
+    ops, mbs = _schedule_1f1b(2, 4)
+    assert len(ops) == 2 * (4 + 2 - 1)
+    for s in range(2):
+        f = [mbs[t][s] for t in range(len(ops)) if ops[t][s] == 1]
+        b = [mbs[t][s] for t in range(len(ops)) if ops[t][s] == 2]
+        assert sorted(f) == [0, 1, 2, 3] and sorted(b) == [0, 1, 2, 3]
+
+    cfg = llama.tiny_config(quant="bf16", n_layers=4, dtype="float32")
+    params = llama.init_weights(cfg, jax.random.PRNGKey(0))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (4, 33), 0, cfg.vocab_size)
+    mesh = make_pp_mesh(2)
+    grads, loss = pp_train_grads_1f1b(params, toks, cfg, mesh, n_microbatches=4)
+
+    def ref_loss(p):
+        logits = llama.forward(p, toks[:, :-1], cfg, kernels=False)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(logp, toks[:, 1:, None], axis=-1)
+        return -jnp.mean(ll)
+
+    want_loss, want = jax.value_and_grad(ref_loss)(params)
+    # pipelined loss averages per-microbatch means == global mean here
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+    flat_g, _ = jax.tree.flatten(grads)
+    flat_w, _ = jax.tree.flatten(want)
+    for g, w in zip(flat_g, flat_w):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float64), np.asarray(w, np.float64),
+            rtol=2e-4, atol=2e-5,
+        )
