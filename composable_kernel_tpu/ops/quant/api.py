@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from composable_kernel_tpu.ops.gemm.config import GemmConfig
+from composable_kernel_tpu.ops.gemm.kernel import _ceil_mult
 from composable_kernel_tpu.ops.gemm.kernel import pallas_gemm
 from composable_kernel_tpu.ops.quant.kernel import dequant_gemm
 from composable_kernel_tpu.tuning import autotune, registry
@@ -57,10 +58,20 @@ def _heuristic_config(m: int, n: int, k: int) -> GemmConfig:
         return GemmConfig(block_m=128, block_n=512, block_k=512)
     # prefill: whole-N blocks win here too (no N loop -> each packed/scale
     # tile converted exactly once; measured M=3840 N=4096: 184 TF = 93% of
-    # the 197 TF MXU peak vs 175-177 for split-N). Needs the scoped-VMEM
-    # raise; bounded to n<=4096 so the f32 acc tile stays within reach.
+    # the 197 TF MXU peak vs 175-177 for split-N; M=N=K=1024: 157 vs 78 TF
+    # for the old generic default). Needs the scoped-VMEM raise; bounded to
+    # n<=4096 so the f32 acc tile stays within reach. Exact-fit block_m:
+    # padding M wastes MXU work (960x1024 at M=3840 beat 512-pad by 10%).
     if 1024 <= n <= 4096 and n % 128 == 0:
-        return GemmConfig(block_m=768, block_n=n, block_k=1024,
+        if m <= 1024:
+            bm = _ceil_mult(m, 8)
+        elif m % 768 == 0:
+            bm = 768
+        elif m % 512 == 0:
+            bm = 512
+        else:
+            bm = 768
+        return GemmConfig(block_m=bm, block_n=n, block_k=1024,
                           vmem_limit_mb=64)
     # wide-N fallbacks: exact-fit block_m matters (M=3840: 960x1024x1024 at
     # 176.5 TF vs 160.6 for 512x1024x1024 which pads M to 4096)
