@@ -805,3 +805,135 @@ def prefill_chunk_step(
     x = rmsnorm(x, params["norm"], cfg.norm_eps, kernels, interpret)
     logits = _linear(x.reshape(b * c, -1), params["lm_head"], cfg, interpret, kernels)
     return logits.reshape(b, c, -1), new_cache
+
+
+# ------------------------------------------------------------- paged cache ---
+
+
+def init_paged_cache(cfg: LlamaConfig, n_pages: int, page: int):
+    """[n_layers] list of {"k","v"} page pools [P, Hkv, page, hd].
+
+    One shared block table addresses every layer (allocation pattern is
+    identical across layers, so per-layer tables would be copies). Page 0
+    is the null/dead-DMA target and never allocated.
+    """
+    assert cfg.kv_quant == "bf16", "paged cache: int8-KV variant not yet wired"
+    shape = (n_pages, cfg.n_kv_heads, page, cfg.head_dim)
+    return [
+        {"k": jnp.zeros(shape, cfg.jdtype), "v": jnp.zeros(shape, cfg.jdtype)}
+        for _ in range(cfg.n_layers)
+    ]
+
+
+def paged_decode_step(
+    params,
+    pools,
+    table,
+    tokens,
+    positions,
+    cfg: LlamaConfig,
+    *,
+    page: int,
+    interpret=None,
+    kernels: bool = True,
+):
+    """One decode step over the paged KV pool: (logits, updated pools).
+
+    pools:     init_paged_cache output (list per layer).
+    table:     [B, max_pages] int32 shared block table; pages for position
+               ``positions[b]`` must already be allocated.
+    tokens:    [B, 1]; positions: [B].
+    New K/V rows scatter into page ``table[b, pos // page]`` at offset
+    ``pos % page``; attention runs the single-stream paged kernel
+    (ops.attention.paged_flash_decode).
+    """
+    from composable_kernel_tpu.ops.attention import paged_flash_decode
+
+    b, s = tokens.shape
+    assert s == 1
+    x = jnp.take(params["embed"], tokens, axis=0)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    cos_b = cos[:, None, None, :]
+    sin_b = sin[:, None, None, :]
+    lens = positions + 1
+    batch_ix = jnp.arange(b)
+    pg = table[batch_ix, positions // page]  # [B]
+    off = positions % page
+
+    new_pools = []
+    hd = cfg.head_dim
+    for layer, pool in zip(params["layers"], pools):
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
+        x2 = h.reshape(b, -1)
+        if "wqkv" in layer:
+            qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
+            n_q = cfg.n_heads * hd
+            n_kv = cfg.n_kv_heads * hd
+            q, k, v = (
+                qkv[:, :n_q], qkv[:, n_q : n_q + n_kv], qkv[:, n_q + n_kv :]
+            )
+        else:
+            q = _linear(x2, layer["wq"], cfg, interpret, kernels)
+            k = _linear(x2, layer["wk"], cfg, interpret, kernels)
+            v = _linear(x2, layer["wv"], cfg, interpret, kernels)
+        nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
+        q = q.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+        q = jnp.concatenate(
+            [q[..., : hd // 2] * cos_b - q[..., hd // 2 :] * sin_b,
+             q[..., hd // 2 :] * cos_b + q[..., : hd // 2] * sin_b], axis=-1
+        ).astype(q.dtype)
+        k = jnp.concatenate(
+            [k[..., : hd // 2] * cos_b - k[..., hd // 2 :] * sin_b,
+             k[..., hd // 2 :] * cos_b + k[..., : hd // 2] * sin_b], axis=-1
+        ).astype(k.dtype)
+        pool = dict(pool)
+        # vectorized page scatter: rows (pg[b], :, off[b]) <- k[b, :, 0]
+        pool["k"] = pool["k"].at[pg, :, off].set(
+            k[:, :, 0, :].astype(pool["k"].dtype)
+        )
+        pool["v"] = pool["v"].at[pg, :, off].set(
+            v[:, :, 0, :].astype(pool["v"].dtype)
+        )
+        o = paged_flash_decode(
+            q, pool["k"], pool["v"], table, lens, interpret=interpret
+        )
+        o = o.transpose(0, 2, 1, 3).reshape(b, nh * hd)
+        o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
+        x = x + o.reshape(b, 1, -1)
+        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
+        x = x + _ffn_block(h, layer, cfg, interpret=interpret, kernels=kernels)
+        new_pools.append(pool)
+
+    x = rmsnorm(x, params["norm"], cfg.norm_eps, kernels, interpret)
+    logits = _linear(x.reshape(b, -1), params["lm_head"], cfg, interpret, kernels)
+    return logits.reshape(b, 1, -1), new_pools
+
+
+def seed_paged_cache(pools, seeds, table, cfg: LlamaConfig, *, page: int,
+                     slot_pages):
+    """Scatter prefill K/V ([1, Hkv, S, hd] per layer) into allocated pages.
+
+    slot_pages: the page ids this sequence owns, in order (host list).
+    """
+    s = seeds[0][0].shape[2]
+    new_pools = []
+    for pool, (k_seed, v_seed) in zip(pools, seeds):
+        pool = dict(pool)
+        for i, pg in enumerate(slot_pages):
+            lo = i * page
+            if lo >= s:
+                break
+            n_rows = min(page, s - lo)
+            # seeds are [1, Hkv, S, hd]; the slice IS the page layout
+            pool["k"] = jax.lax.dynamic_update_slice(
+                pool["k"], k_seed[:, :, lo : lo + n_rows].astype(pool["k"].dtype),
+                (pg, 0, 0, 0),
+            )
+            pool["v"] = jax.lax.dynamic_update_slice(
+                pool["v"], v_seed[:, :, lo : lo + n_rows].astype(pool["v"].dtype),
+                (pg, 0, 0, 0),
+            )
+        new_pools.append(pool)
+    return new_pools

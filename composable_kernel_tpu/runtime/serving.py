@@ -53,7 +53,9 @@ class ServingEngine:
 
     def __init__(self, params, cfg: llama.LlamaConfig, batch_slots: int = 8,
                  kernels: bool = True, interpret=None,
-                 prefill_chunk: int | None = None):
+                 prefill_chunk: int | None = None,
+                 paged: bool = False, n_pages: int | None = None,
+                 page_size: int = 128):
         self.params = params
         self.cfg = cfg
         self.b = batch_slots
@@ -63,7 +65,7 @@ class ServingEngine:
         # fixed-size chunk steps (models.llama.prefill_chunk_step) instead
         # of one monolithic forward — bounds prefill latency spikes
         self.prefill_chunk = prefill_chunk
-        self.cache = llama.init_kv_cache(cfg, batch_slots)
+        self.paged = paged
         self.positions = np.zeros(batch_slots, np.int32)  # next decode pos
         self.slot_req: list[Request | None] = [None] * batch_slots
         self.next_token = np.zeros((batch_slots, 1), np.int32)
@@ -72,14 +74,37 @@ class ServingEngine:
         # max_new_tokens<=1) — surfaced in the next step()'s finished list
         # so callers collecting completions from step() never miss them
         self._prefill_finished: list[Request] = []
-        # donate the cache: decode updates it in place in HBM instead of
-        # copying ~0.5 GB of KV per step
-        self._decode = jax.jit(
-            lambda p, c, t, pos: llama.decode_step_batched(
-                p, c, t, pos, cfg, kernels=kernels, interpret=interpret
-            ),
-            donate_argnums=(1,),
-        )
+        if paged:
+            # paged KV: the cache is a global page pool, sized by expected
+            # concurrent tokens rather than slots x max_seq. A request is
+            # admitted only when its full prompt+generation page span is
+            # free (so decode never stalls on pool exhaustion mid-flight).
+            self.page = page_size
+            max_pages_per_seq = -(-cfg.max_seq_len // page_size)
+            if n_pages is None:
+                n_pages = 1 + batch_slots * max_pages_per_seq
+            self.pools = llama.init_paged_cache(cfg, n_pages, page_size)
+            self.free_pages = list(range(n_pages - 1, 0, -1))  # 0 = null
+            self.table = np.zeros((batch_slots, max_pages_per_seq), np.int32)
+            self.slot_pages: list[list[int]] = [[] for _ in range(batch_slots)]
+            self._decode = jax.jit(
+                lambda p, pools, tab, t, pos: llama.paged_decode_step(
+                    p, pools, tab, t, pos, cfg, page=page_size,
+                    kernels=kernels, interpret=interpret,
+                ),
+                static_argnames=(),
+                donate_argnums=(1,),
+            )
+        else:
+            self.cache = llama.init_kv_cache(cfg, batch_slots)
+            # donate the cache: decode updates it in place in HBM instead of
+            # copying ~0.5 GB of KV per step
+            self._decode = jax.jit(
+                lambda p, c, t, pos: llama.decode_step_batched(
+                    p, c, t, pos, cfg, kernels=kernels, interpret=interpret
+                ),
+                donate_argnums=(1,),
+            )
 
     # ------------------------------------------------------------ admission
     def add(self, req: Request):
@@ -90,6 +115,11 @@ class ServingEngine:
         for slot in range(self.b):
             # retry the same slot while prefill-finished requests free it
             while self.slot_req[slot] is None and self.queue:
+                if self.paged:
+                    need = -(-(len(self.queue[0].prompt)
+                               + self.queue[0].max_new_tokens) // self.page)
+                    if len(self.free_pages) < need:
+                        return  # pool full: head-of-line waits for frees
                 req = self.queue.pop(0)
                 self._prefill_into(slot, req)
 
@@ -102,7 +132,22 @@ class ServingEngine:
             )
         prompt = jnp.asarray([req.prompt], jnp.int32)
         s = prompt.shape[1]
-        if self.prefill_chunk and s > self.prefill_chunk:
+        if self.paged:
+            # reserve the full prompt+generation span up front (admission
+            # checked availability) so decode never stalls mid-flight
+            need = -(-(s + req.max_new_tokens) // self.page)
+            pages = [self.free_pages.pop() for _ in range(need)]
+            self.slot_pages[slot] = pages
+            self.table[slot, : len(pages)] = pages
+            logits, seeds = llama.forward(
+                self.params, prompt, self.cfg, kernels=self.kernels,
+                interpret=self.interpret, return_cache=True,
+            )
+            self.pools = llama.seed_paged_cache(
+                self.pools, seeds, self.table, self.cfg, page=self.page,
+                slot_pages=pages,
+            )
+        elif self.prefill_chunk and s > self.prefill_chunk:
             logits = self._chunked_prefill(slot, prompt)
         else:
             logits, seeds = llama.forward(
@@ -120,6 +165,8 @@ class ServingEngine:
         ):
             req.done = True
             self._prefill_finished.append(req)
+            if self.paged:
+                self._free_slot_pages(slot)
             return
         self.slot_req[slot] = req
         self.positions[slot] = s
@@ -174,10 +221,16 @@ class ServingEngine:
         finished_at_prefill, self._prefill_finished = self._prefill_finished, []
         if not self.active_slots():
             return finished_at_prefill
-        logits, self.cache = self._decode(
-            self.params, self.cache,
-            jnp.asarray(self.next_token), jnp.asarray(self.positions),
-        )
+        if self.paged:
+            logits, self.pools = self._decode(
+                self.params, self.pools, jnp.asarray(self.table),
+                jnp.asarray(self.next_token), jnp.asarray(self.positions),
+            )
+        else:
+            logits, self.cache = self._decode(
+                self.params, self.cache,
+                jnp.asarray(self.next_token), jnp.asarray(self.positions),
+            )
         next_ids = np.asarray(jnp.argmax(logits[:, 0], axis=-1), np.int32)
 
         finished = finished_at_prefill
@@ -194,8 +247,15 @@ class ServingEngine:
                 finished.append(req)
                 self.slot_req[slot] = None
                 self.positions[slot] = 0
+                if self.paged:
+                    self._free_slot_pages(slot)
         self._admit()
         return finished
+
+    def _free_slot_pages(self, slot: int):
+        self.free_pages.extend(reversed(self.slot_pages[slot]))
+        self.slot_pages[slot] = []
+        self.table[slot, :] = 0
 
 
 class Watchdog:

@@ -162,3 +162,50 @@ def test_chunked_prefill_matches_monolithic():
     while eng_b.pending():
         eng_b.step()
     assert ra.output == rb.output, (ra.output, rb.output)
+
+
+class TestPagedServing:
+    """Paged-pool engine produces identical greedy outputs to slot caches."""
+
+    def test_single_request_matches_isolated(self):
+        eng = ServingEngine(PARAMS, CFG, batch_slots=2, kernels=False,
+                            paged=True, page_size=128)
+        req = Request(0, [5, 9, 2, 14], max_new_tokens=6)
+        eng.add(req)
+        while eng.pending():
+            eng.step()
+        want = _isolated_greedy([5, 9, 2, 14], 6)
+        assert req.output == want, (req.output, want)
+
+    def test_pool_pressure_and_reuse(self):
+        # pool holds 2 usable pages and each request needs one -> the
+        # third queues until a page frees; pages must recycle
+        eng = ServingEngine(PARAMS, CFG, batch_slots=3, kernels=False,
+                            paged=True, page_size=128, n_pages=3)
+        reqs = [Request(i, [3 + i, 7, 11], max_new_tokens=4) for i in range(3)]
+        for r in reqs:
+            eng.add(r)
+        assert sum(r is not None for r in eng.slot_req) == 2  # pool-limited
+        assert len(eng.queue) == 1
+        steps = 0
+        while eng.pending():
+            eng.step()
+            steps += 1
+            assert steps < 100
+        for r in reqs:
+            want = _isolated_greedy(r.prompt, 4)
+            assert r.output == want, (r.uid, r.output, want)
+        assert len(eng.free_pages) == 2  # all pages returned
+
+    def test_staggered_paged(self):
+        eng = ServingEngine(PARAMS, CFG, batch_slots=3, kernels=False,
+                            paged=True, page_size=128)
+        r0 = Request(0, [1, 2, 3, 4, 5], max_new_tokens=5)
+        r1 = Request(1, [9, 8, 7], max_new_tokens=4)
+        eng.add(r0)
+        eng.step()
+        eng.add(r1)
+        while eng.pending():
+            eng.step()
+        assert r0.output == _isolated_greedy(r0.prompt, 5)
+        assert r1.output == _isolated_greedy(r1.prompt, 4)
