@@ -236,6 +236,7 @@ def flash_attention(
     dropout_rate: float = 0.0,
     dropout_seed: int = 0,
     config: AttentionConfig | None = None,
+    tune: bool = False,
     return_lse: bool = False,
     out_dtype=None,
     interpret: bool | None = None,
@@ -286,6 +287,32 @@ def flash_attention(
         assert v_scale is not None and k_scale.shape == (b, hkv)
     compute_dtype = q.dtype
 
+    if config is None and tune:
+        # per-shape-class instance selection + persistent cache, mirroring
+        # the GEMM tune=True path (CK: ckProfiler picks the fmha instance)
+        from composable_kernel_tpu.tuning import autotune, registry
+
+        kw = dict(
+            scale=scale, causal=causal, window=window, bias=bias,
+            kv_seq_len=kv_seq_len, causal_offset=causal_offset,
+            k_scale=k_scale, v_scale=v_scale,
+            static_quant_scales=static_quant_scales,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+            out_dtype=out_dtype, interpret=interpret,
+        )
+        key = (f"b{b}_h{hq}.{hkv}_s{sq}x{sk}_d{d}_c{int(causal)}"
+               f"_w{window or 0}_{jnp.dtype(q.dtype).name}")
+        config, _ = autotune(
+            "attention", key, registry.get_instances("attention"),
+            lambda c: flash_attention(q, k, v, config=c, **kw),
+            flops=4.0 * b * hq * sq * sk * d * (0.5 if causal else 1.0),
+            chain_args=(
+                lambda c: (
+                    lambda q_, k_, v_: flash_attention(q_, k_, v_, config=c, **kw)
+                ),
+                (q, k, v),
+            ),
+        )
     cfg = config or AttentionConfig()
     # int8 tiles need 32-row sublane blocks (Mosaic min tile)
     q_sub = 32 if static_quant is not None else 16

@@ -353,3 +353,13 @@ class TestStaticQuant:
             v.astype(jnp.bfloat16), kv_seq_len=lens,
         )
         check_err(got, want, rtol=6e-2, atol=6e-2)
+
+
+def test_tune_selects_and_caches(tmp_path, monkeypatch):
+    """flash_attention(tune=True): CPU path returns the first supported
+    instance without timing (tuning is a real-backend activity)."""
+    monkeypatch.setenv("CKT_TUNE_CACHE", str(tmp_path / "tune.json"))
+    q, k, v = _qkv(1, 2, 2, 128, 256, 64)
+    got = flash_attention(q, k, v, causal=True, tune=True)
+    want = ref_attention(q, k, v, causal=True)
+    check_err(got, want, **TOL)
