@@ -810,15 +810,29 @@ def prefill_chunk_step(
 # ------------------------------------------------------------- paged cache ---
 
 
-def init_paged_cache(cfg: LlamaConfig, n_pages: int, page: int):
-    """[n_layers] list of {"k","v"} page pools [P, Hkv, page, hd].
+def init_paged_cache(cfg: LlamaConfig, n_pages: int, page: int,
+                     batch_slots: int | None = None):
+    """[n_layers] list of {"k","v"[,"ks","vs"]} page pools [P, Hkv, page, hd].
 
     One shared block table addresses every layer (allocation pattern is
     identical across layers, so per-layer tables would be copies). Page 0
-    is the null/dead-DMA target and never allocated.
+    is the null/dead-DMA target and never allocated. With
+    ``cfg.kv_quant == "int8"`` pools are int8 and per-(slot, Hkv) scales
+    ride alongside (sized by ``batch_slots``; prefill-calibrated like the
+    contiguous cache, seed_kv_cache).
     """
-    assert cfg.kv_quant == "bf16", "paged cache: int8-KV variant not yet wired"
     shape = (n_pages, cfg.n_kv_heads, page, cfg.head_dim)
+    if cfg.kv_quant == "int8":
+        assert batch_slots is not None, "int8 paged cache needs batch_slots"
+        return [
+            {
+                "k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "ks": jnp.ones((batch_slots, cfg.n_kv_heads), jnp.float32),
+                "vs": jnp.ones((batch_slots, cfg.n_kv_heads), jnp.float32),
+            }
+            for _ in range(cfg.n_layers)
+        ]
     return [
         {"k": jnp.zeros(shape, cfg.jdtype), "v": jnp.zeros(shape, cfg.jdtype)}
         for _ in range(cfg.n_layers)
@@ -889,15 +903,22 @@ def paged_decode_step(
              k[..., hd // 2 :] * cos_b + k[..., : hd // 2] * sin_b], axis=-1
         ).astype(k.dtype)
         pool = dict(pool)
+        is_i8 = "ks" in pool
+        k_in = _quantize_kv(k, pool["ks"]) if is_i8 else k
+        v_in = _quantize_kv(v, pool["vs"]) if is_i8 else v
         # vectorized page scatter: rows (pg[b], :, off[b]) <- k[b, :, 0]
         pool["k"] = pool["k"].at[pg, :, off].set(
-            k[:, :, 0, :].astype(pool["k"].dtype)
+            k_in[:, :, 0, :].astype(pool["k"].dtype)
         )
         pool["v"] = pool["v"].at[pg, :, off].set(
-            v[:, :, 0, :].astype(pool["v"].dtype)
+            v_in[:, :, 0, :].astype(pool["v"].dtype)
+        )
+        scales = (
+            {"k_scale": pool["ks"], "v_scale": pool["vs"]} if is_i8 else {}
         )
         o = paged_flash_decode(
-            q, pool["k"], pool["v"], table, lens, interpret=interpret
+            q, pool["k"], pool["v"], table, lens, interpret=interpret,
+            **scales,
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, nh * hd)
         o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
@@ -912,15 +933,30 @@ def paged_decode_step(
 
 
 def seed_paged_cache(pools, seeds, table, cfg: LlamaConfig, *, page: int,
-                     slot_pages):
+                     slot_pages, slot: int = 0):
     """Scatter prefill K/V ([1, Hkv, S, hd] per layer) into allocated pages.
 
     slot_pages: the page ids this sequence owns, in order (host list).
+    ``slot`` indexes the per-sequence int8 scale rows when kv_quant=int8
+    (scales calibrated from the prefill absmax, as seed_kv_cache does).
     """
     s = seeds[0][0].shape[2]
     new_pools = []
     for pool, (k_seed, v_seed) in zip(pools, seeds):
         pool = dict(pool)
+        if "ks" in pool:
+            ks = jnp.maximum(
+                jnp.max(jnp.abs(k_seed.astype(jnp.float32)), axis=(0, 2, 3))
+                / 127.0, 1e-6,
+            )
+            vs = jnp.maximum(
+                jnp.max(jnp.abs(v_seed.astype(jnp.float32)), axis=(0, 2, 3))
+                / 127.0, 1e-6,
+            )
+            pool["ks"] = pool["ks"].at[slot].set(ks)
+            pool["vs"] = pool["vs"].at[slot].set(vs)
+            k_seed = _quantize_kv(k_seed, pool["ks"][slot : slot + 1])
+            v_seed = _quantize_kv(v_seed, pool["vs"][slot : slot + 1])
         for i, pg in enumerate(slot_pages):
             lo = i * page
             if lo >= s:

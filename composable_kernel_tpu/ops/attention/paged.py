@@ -115,6 +115,8 @@ def paged_flash_decode(
     block_table,
     seq_lens,
     *,
+    k_scale=None,
+    v_scale=None,
     scale: float | None = None,
     config: AttentionConfig | None = None,
     out_dtype=None,
@@ -123,7 +125,8 @@ def paged_flash_decode(
     """Decode attention over a paged KV pool.
 
     q:           [B, Hq, Sq, D] (Sq small; queries attend all live keys).
-    k/v_pool:    [P, Hkv, page, D] global page pools.
+    k/v_pool:    [P, Hkv, page, D] global page pools (int8 with
+                 ``k_scale``/``v_scale`` [B, Hkv] f32 per-sequence scales).
     block_table: [B, max_pages] int32 — page ids per sequence, in order.
                  Entries past the live length are ignored (any value).
     seq_lens:    [B] int32 live key counts.
@@ -142,6 +145,9 @@ def paged_flash_decode(
         interpret = _interpret_default()
     if out_dtype is None:
         out_dtype = q.dtype
+    has_kv_scale = k_scale is not None
+    if has_kv_scale:
+        assert v_scale is not None and k_scale.shape == (b, hkv)
 
     dp = _ceil_mult(d, _LANES)
     dvp = _ceil_mult(dv, _LANES)
@@ -169,6 +175,22 @@ def paged_flash_decode(
         pg = table_s[batch, jnp.where(live, kk, 0)]
         return (pg, 0, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, hkv * rows_pad, dp), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hkv, page, dp), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hkv, page, dvp), kv_index, memory_space=pltpu.VMEM),
+    ]
+    inputs = [q_p, k_p, v_p]
+    if has_kv_scale:
+        sc_spec = pl.BlockSpec(
+            (1, hkv), lambda batch, kk, *_: (batch, 0), memory_space=pltpu.SMEM
+        )
+        in_specs += [sc_spec, sc_spec]
+        inputs += [
+            jnp.asarray(k_scale, jnp.float32),
+            jnp.asarray(v_scale, jnp.float32),
+        ]
+
     kernel = functools.partial(
         _paged_kernel,
         scale=scale,
@@ -176,6 +198,7 @@ def paged_flash_decode(
         n_steps=max_pages,
         n_kv_heads=hkv,
         rows_per_kv=rows_pad,
+        has_kv_scale=has_kv_scale,
     )
 
     out = pl.pallas_call(
@@ -184,14 +207,7 @@ def paged_flash_decode(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, max_pages),
-            in_specs=[
-                pl.BlockSpec((1, hkv * rows_pad, dp), q_index,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hkv, page, dp), kv_index,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hkv, page, dvp), kv_index,
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, hkv * rows_pad, dvp), q_index,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -204,7 +220,7 @@ def paged_flash_decode(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(table, lens, q_p, k_p, v_p)
+    )(table, lens, *inputs)
 
     out = out.reshape(b, hkv, rows_pad, dvp)[:, :, :rows, :dv]
     return out.reshape(b, hq, sq, dv)

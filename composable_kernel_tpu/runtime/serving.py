@@ -83,7 +83,8 @@ class ServingEngine:
             max_pages_per_seq = -(-cfg.max_seq_len // page_size)
             if n_pages is None:
                 n_pages = 1 + batch_slots * max_pages_per_seq
-            self.pools = llama.init_paged_cache(cfg, n_pages, page_size)
+            self.pools = llama.init_paged_cache(cfg, n_pages, page_size,
+                                                batch_slots=batch_slots)
             self.free_pages = list(range(n_pages - 1, 0, -1))  # 0 = null
             self.table = np.zeros((batch_slots, max_pages_per_seq), np.int32)
             self.slot_pages: list[list[int]] = [[] for _ in range(batch_slots)]
@@ -145,7 +146,7 @@ class ServingEngine:
             )
             self.pools = llama.seed_paged_cache(
                 self.pools, seeds, self.table, self.cfg, page=self.page,
-                slot_pages=pages,
+                slot_pages=pages, slot=slot,
             )
         elif self.prefill_chunk and s > self.prefill_chunk:
             logits = self._chunked_prefill(slot, prompt)

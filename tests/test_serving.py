@@ -209,3 +209,22 @@ class TestPagedServing:
             eng.step()
         assert r0.output == _isolated_greedy(r0.prompt, 5)
         assert r1.output == _isolated_greedy(r1.prompt, 4)
+
+
+def test_paged_int8_kv_matches_contiguous_int8():
+    """Paged int8-KV engine == slot-cache int8-KV engine token-for-token."""
+    cfg8 = llama.tiny_config(quant="bf16", n_layers=2, dtype="float32",
+                             kv_quant="int8")
+    params = llama.init_weights(cfg8, jax.random.PRNGKey(0))
+    prompt = [5, 9, 2, 14, 3]
+
+    def run(paged):
+        eng = ServingEngine(params, cfg8, batch_slots=2, kernels=False,
+                            paged=paged, page_size=128)
+        req = Request(0, prompt, max_new_tokens=6)
+        eng.add(req)
+        while eng.pending():
+            eng.step()
+        return req.output
+
+    assert run(True) == run(False)
