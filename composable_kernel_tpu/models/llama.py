@@ -64,6 +64,10 @@ class LlamaConfig:
     # scales calibrated at prefill; dequant fused at attention load — the
     # int8-KV config of BASELINE.json, halving cache HBM traffic)
     kv_quant: str = "bf16"
+    # Mistral/Qwen-style sliding-window attention: each query attends the
+    # last `sliding_window` keys only (flash kernels skip dead blocks, so
+    # long-context decode cost is O(window) not O(seq))
+    sliding_window: int | None = None
     dtype: str = "bfloat16"
 
     @property
@@ -77,6 +81,16 @@ class LlamaConfig:
 
 def llama3_8b(**kw) -> LlamaConfig:
     return LlamaConfig(**kw)
+
+
+def mistral7b(**kw) -> LlamaConfig:
+    """Mistral-7B-v0.1 architecture: Llama stack + sliding-window 4096."""
+    base = dict(
+        dim=4096, n_layers=32, n_heads=32, n_kv_heads=8, ffn_dim=14336,
+        vocab_size=32000, rope_theta=10000.0, sliding_window=4096,
+    )
+    base.update(kw)
+    return LlamaConfig(**base)
 
 
 def tiny_config(**kw) -> LlamaConfig:
@@ -334,12 +348,14 @@ def _attn_block(
     if cache is None:
         if kernels:
             o = flash_attention(
-                q, k, v, causal=True, kv_seq_len=kv_seq_len, interpret=interpret
+                q, k, v, causal=True, window=cfg.sliding_window,
+                kv_seq_len=kv_seq_len, interpret=interpret,
             )
         else:
             from composable_kernel_tpu.reference.attention import ref_attention
 
-            o = ref_attention(q, k, v, causal=True, kv_seq_len=kv_seq_len)
+            o = ref_attention(q, k, v, causal=True,
+                              window=cfg.sliding_window, kv_seq_len=kv_seq_len)
         new_cache = (k, v)
     else:
         is_i8 = "ks" in cache
@@ -359,7 +375,7 @@ def _attn_block(
         if kernels:
             o = flash_decode(
                 q, new_cache["k"], new_cache["v"], kv_seq_len=lens,
-                interpret=interpret, **scales,
+                window=cfg.sliding_window, interpret=interpret, **scales,
             )
         else:
             from composable_kernel_tpu.reference.attention import ref_attention
@@ -368,7 +384,10 @@ def _attn_block(
             if is_i8:
                 kf = (kf.astype(jnp.float32) * cache["ks"][:, :, None, None]).astype(q.dtype)
                 vf = (vf.astype(jnp.float32) * cache["vs"][:, :, None, None]).astype(q.dtype)
-            o = ref_attention(q, kf, vf, kv_seq_len=lens)
+            o = ref_attention(q, kf, vf, kv_seq_len=lens,
+                              window=cfg.sliding_window,
+                              q_offset=None if cfg.sliding_window is None
+                              else lens - s)
 
     o = o.transpose(0, 2, 1, 3).reshape(b * s, nh * hd)
     o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
@@ -637,8 +656,8 @@ def _decode_layer(
     scales = {"k_scale": kv["ks"], "v_scale": kv["vs"]} if is_i8 else {}
     if kernels:
         o = flash_decode(
-            q, kv["k"], kv["v"], kv_seq_len=lens, interpret=interpret,
-            **scales,
+            q, kv["k"], kv["v"], kv_seq_len=lens,
+            window=cfg.sliding_window, interpret=interpret, **scales,
         )
     else:
         from composable_kernel_tpu.reference.attention import ref_attention
@@ -647,7 +666,10 @@ def _decode_layer(
         if is_i8:
             kf = (kf.astype(jnp.float32) * kv["ks"][:, :, None, None]).astype(q.dtype)
             vf = (vf.astype(jnp.float32) * kv["vs"][:, :, None, None]).astype(q.dtype)
-        o = ref_attention(q, kf, vf, kv_seq_len=lens)
+        o = ref_attention(q, kf, vf, kv_seq_len=lens,
+                          window=cfg.sliding_window,
+                          q_offset=None if cfg.sliding_window is None
+                          else lens - s)
     o = o.transpose(0, 2, 1, 3).reshape(b * s, nh * hd)
     o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
     if tp_axis is not None:
@@ -917,8 +939,8 @@ def paged_decode_step(
             {"k_scale": pool["ks"], "v_scale": pool["vs"]} if is_i8 else {}
         )
         o = paged_flash_decode(
-            q, pool["k"], pool["v"], table, lens, interpret=interpret,
-            **scales,
+            q, pool["k"], pool["v"], table, lens,
+            window=cfg.sliding_window, interpret=interpret, **scales,
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, nh * hd)
         o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)

@@ -457,6 +457,7 @@ def flash_decode(
     scale: float | None = None,
     k_scale=None,
     v_scale=None,
+    window: int | None = None,
     config: AttentionConfig | None = None,
     out_dtype=None,
     interpret: bool | None = None,
@@ -491,10 +492,11 @@ def flash_decode(
 
         return decode_attention(
             q, k, v, kv_seq_len=kv_seq_len, k_scale=k_scale, v_scale=v_scale,
-            block_k=max(cfg.block_k, 512), scale=scale,
+            window=window, block_k=max(cfg.block_k, 512), scale=scale,
             out_dtype=out_dtype, interpret=interpret,
         )
 
+    assert window is None, "sliding-window decode uses the unsplit path"
     chunk = sk // num_splits
     # [B, Hkv, S, D] -> [B*splits, Hkv, chunk, D]: fold splits into batch
     ks = k.reshape(b, hkv, num_splits, chunk, d).transpose(0, 2, 1, 3, 4)

@@ -49,6 +49,7 @@ def _paged_kernel(
     n_kv_heads: int,
     rows_per_kv: int,  # group * Sq query rows share one kv head
     has_kv_scale: bool = False,
+    window: int | None = None,
 ):
     """Grid = (B, pages): each page is DMA'd exactly once and serves every
     head — the bandwidth-shaped layout for decode, where KV streaming is
@@ -69,6 +70,11 @@ def _paged_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     live = kk * page < lens_ref[0, batch]
+    if window is not None:
+        # sliding window: the newest query sits at lens-1 and attends keys
+        # in (lens-1-window, lens-1]; whole blocks before that are dead —
+        # the rolling-window bandwidth saving without a rolling buffer
+        live &= kk * page + page - 1 > lens_ref[0, batch] - 1 - window
 
     @pl.when(live)
     def _step():
@@ -85,7 +91,10 @@ def _paged_kernel(
                 preferred_element_type=jnp.float32,
             ) * scale  # [rows_per_kv, page]
             k_pos = kk * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(k_pos < lens_ref[0, batch], s, _NEG_INF)
+            mask = k_pos < lens_ref[0, batch]
+            if window is not None:
+                mask &= k_pos > lens_ref[0, batch] - 1 - window
+            s = jnp.where(mask, s, _NEG_INF)
 
             m_prev = m_scr[rows, :]
             row_max = jnp.max(s, axis=-1, keepdims=True)
@@ -117,6 +126,7 @@ def paged_flash_decode(
     *,
     k_scale=None,
     v_scale=None,
+    window: int | None = None,
     scale: float | None = None,
     config: AttentionConfig | None = None,
     out_dtype=None,
@@ -199,6 +209,7 @@ def paged_flash_decode(
         n_kv_heads=hkv,
         rows_per_kv=rows_pad,
         has_kv_scale=has_kv_scale,
+        window=window,
     )
 
     out = pl.pallas_call(
@@ -234,6 +245,7 @@ def decode_attention(
     kv_seq_len=None,
     k_scale=None,
     v_scale=None,
+    window: int | None = None,
     block_k: int = 512,
     scale: float | None = None,
     out_dtype=None,
@@ -308,6 +320,8 @@ def decode_attention(
             jnp.asarray(v_scale, jnp.float32),
         ]
 
+    if window is not None:
+        assert sq == 1, "sliding-window decode is per-token (sq == 1)"
     kernel = functools.partial(
         _paged_kernel,
         scale=scale,
@@ -316,6 +330,7 @@ def decode_attention(
         n_kv_heads=hkv,
         rows_per_kv=rows_pad,
         has_kv_scale=has_kv_scale,
+        window=window,
     )
 
     out = pl.pallas_call(

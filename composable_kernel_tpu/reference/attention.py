@@ -63,6 +63,7 @@ def ref_attention(
     window: int | None = None,
     bias=None,
     kv_seq_len=None,
+    q_offset=None,
     out_dtype=None,
 ):
     """Multi-head reference attention with GQA.
@@ -72,7 +73,9 @@ def ref_attention(
     are masked out (ragged/varlen batches, ck_tile "group mode" analog).
     ``bias``: optional [B, Hq, Sq, Sk] additive bias (CK's C0 bias / alibi).
     The causal diagonal is aligned bottom-right (decode convention,
-    ck_tile mask "bottom-right" mode): query i attends keys <= Sk - Sq + i.
+    ck_tile mask "bottom-right" mode): query i attends keys <= Sk - Sq + i;
+    ``q_offset`` ([B] or scalar) overrides that alignment (decode over a
+    partially-filled cache: q_offset = live_len - Sq).
     """
     b_sz, hq, sq, d = q.shape
     _, hkv, sk, _ = k.shape
@@ -86,7 +89,18 @@ def ref_attention(
     s = scale * jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), kf, precision=_HI)
     if bias is not None:
         s = s + bias.astype(jnp.float32)
-    s = s + _mask_bias(sq, sk, causal, window, sk - sq)[None, None]
+    if q_offset is None:
+        s = s + _mask_bias(sq, sk, causal, window, sk - sq)[None, None]
+    else:
+        off = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (b_sz,))
+        q_pos = jnp.arange(sq)[None, :, None] + off[:, None, None]
+        k_pos = jnp.arange(sk)[None, None, :]
+        allowed = jnp.ones((b_sz, sq, sk), bool)
+        if causal:
+            allowed &= k_pos <= q_pos
+        if window is not None:
+            allowed &= k_pos > q_pos - window
+        s = s + jnp.where(allowed, 0.0, -jnp.inf)[:, None]
     if kv_seq_len is not None:
         kpos = jnp.arange(sk)[None, None, None, :]
         s = jnp.where(kpos < kv_seq_len[:, None, None, None], s, -jnp.inf)

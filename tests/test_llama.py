@@ -179,3 +179,50 @@ class TestChunkedPrefill:
                 PARAMS_BF16, cache_r, chunk, i * 8, cfg, kernels=False
             )
         check_err(lg_k, lg_r, rtol=6e-2, atol=6e-2)
+
+
+class TestSlidingWindow:
+    """Mistral-family: Llama stack + sliding-window attention."""
+
+    def test_window_ge_seq_equals_full(self):
+        cfg_w = llama.tiny_config(quant="bf16", dtype="float32",
+                                  sliding_window=256)
+        cfg_f = llama.tiny_config(quant="bf16", dtype="float32")
+        params = llama.init_weights(cfg_f, jax.random.PRNGKey(0))
+        toks = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0,
+                                  cfg_f.vocab_size)
+        a = llama.forward(params, toks, cfg_w, kernels=False)
+        b = llama.forward(params, toks, cfg_f, kernels=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+    def test_kernel_vs_reference_prefill(self):
+        cfg = llama.tiny_config(quant="bf16", dtype="float32",
+                                sliding_window=8)
+        params = llama.init_weights(cfg, jax.random.PRNGKey(2))
+        toks = jax.random.randint(jax.random.PRNGKey(3), (2, 48), 0,
+                                  cfg.vocab_size)
+        got = llama.forward(params, toks, cfg, kernels=True)
+        want = llama.forward(params, toks, cfg, kernels=False)
+        check_err(got, want, rtol=3e-2, atol=3e-2)
+
+    def test_decode_matches_prefill_window(self):
+        """Greedy decode with a window reproduces teacher-forced argmax."""
+        cfg = llama.tiny_config(quant="bf16", dtype="float32",
+                                sliding_window=8, n_layers=2)
+        params = llama.init_weights(cfg, jax.random.PRNGKey(4))
+        prompt = jax.random.randint(jax.random.PRNGKey(5), (1, 12), 0,
+                                    cfg.vocab_size)
+        n_steps = 6
+        toks = llama.generate_greedy(params, prompt, n_steps, cfg,
+                                     interpret=True)
+        # teacher-forced check: feeding the generated prefix through the
+        # windowed prefill must reproduce each decoded token's argmax
+        logits = llama.forward(params, toks[:, :-1], cfg, kernels=False)
+        for i in range(n_steps):
+            pos = prompt.shape[1] - 1 + i
+            want = int(jnp.argmax(logits[0, pos]))
+            assert int(toks[0, pos + 1]) == want, (i, int(toks[0, pos + 1]), want)
+
+    def test_mistral7b_config(self):
+        cfg = llama.mistral7b(n_layers=2)
+        assert cfg.sliding_window == 4096 and cfg.n_kv_heads == 8
