@@ -22,9 +22,13 @@ class AttentionConfig:
     # split-KV count for flash-decoding (fmha_fwd_splitkv_kernel num_splits);
     # 1 = no split. Used by flash_decode only.
     num_splits: int = 1
+    # opt-in scoped-VMEM raise (Mosaic's default scoped limit is 16 MB;
+    # block_q=2048 tiles need more — same mechanism as GemmConfig)
+    vmem_limit_mb: int | None = None
 
     def name(self) -> str:
-        return f"fmha_{self.block_q}x{self.block_k}_s{self.num_splits}"
+        vm = f"_vm{self.vmem_limit_mb}" if self.vmem_limit_mb else ""
+        return f"fmha_{self.block_q}x{self.block_k}_s{self.num_splits}{vm}"
 
     def replace(self, **kw) -> "AttentionConfig":
         return dataclasses.replace(self, **kw)
@@ -33,7 +37,7 @@ class AttentionConfig:
 DEFAULT_ATTENTION_CONFIGS = [
     AttentionConfig(1024, 1024),
     AttentionConfig(512, 1024),
-    AttentionConfig(2048, 1024),
+    AttentionConfig(2048, 1024, vmem_limit_mb=32),
     AttentionConfig(512, 512),
     AttentionConfig(256, 512),
     AttentionConfig(128, 512),

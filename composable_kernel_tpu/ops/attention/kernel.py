@@ -432,6 +432,9 @@ def flash_attention(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=(
+                cfg.vmem_limit_mb * 1024 * 1024 if cfg.vmem_limit_mb else None
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed,
