@@ -228,3 +228,52 @@ def test_paged_int8_kv_matches_contiguous_int8():
         return req.output
 
     assert run(True) == run(False)
+
+
+class TestSpeculative:
+    """Greedy speculative decode must EXACTLY reproduce target-only greedy."""
+
+    def _greedy(self, params, cfg, prompt, n):
+        out = llama.generate_greedy(
+            params, jnp.asarray([prompt], jnp.int32), n, cfg, interpret=True
+        )
+        return list(np.asarray(out[0]))
+
+    def test_self_draft_all_accepted(self):
+        from composable_kernel_tpu.runtime.speculative import generate_speculative
+
+        prompt = [5, 9, 2, 14]
+        n = 10
+        toks, stats = generate_speculative(
+            PARAMS, CFG, PARAMS, CFG, jnp.asarray([prompt], jnp.int32), n,
+            chunk=4, kernels=False,
+        )
+        assert list(np.asarray(toks[0])) == self._greedy(PARAMS, CFG, prompt, n)
+        # a perfect draft accepts every proposal
+        assert stats["accepted"] == stats["draft_steps"], stats
+        # and the target ran ~n/chunk rounds, not n steps
+        assert stats["rounds"] <= -(-n // 3) + 1, stats
+
+    def test_weak_draft_still_exact(self):
+        from composable_kernel_tpu.runtime.speculative import generate_speculative
+
+        draft_params = llama.init_weights(CFG, jax.random.PRNGKey(99))
+        prompt = [7, 3, 1]
+        n = 9
+        toks, stats = generate_speculative(
+            PARAMS, CFG, draft_params, CFG, jnp.asarray([prompt], jnp.int32),
+            n, chunk=4, kernels=False,
+        )
+        assert list(np.asarray(toks[0])) == self._greedy(PARAMS, CFG, prompt, n)
+
+    def test_chunk_one_degrades_to_plain(self):
+        from composable_kernel_tpu.runtime.speculative import generate_speculative
+
+        prompt = [2, 4, 6]
+        n = 5
+        toks, stats = generate_speculative(
+            PARAMS, CFG, PARAMS, CFG, jnp.asarray([prompt], jnp.int32), n,
+            chunk=1, kernels=False,
+        )
+        assert list(np.asarray(toks[0])) == self._greedy(PARAMS, CFG, prompt, n)
+        assert stats["draft_steps"] == 0
