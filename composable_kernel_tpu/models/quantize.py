@@ -123,7 +123,6 @@ def gptq_quantize_llama(params, cfg_q: llama.LlamaConfig, calib_tokens,
     through already-quantized layers (GPTQ layer sequencing). Returns a
     tree interchangeable with ``llama.quantize_weights`` output.
     """
-    assert not cfg_q.fuse_qkv, "run GPTQ before fusing projections"
     cfg = cfg_q
     quant = _Quantizer(cfg, percdamp)
     toks = jnp.asarray(calib_tokens, jnp.int32)
@@ -139,8 +138,23 @@ def gptq_quantize_llama(params, cfg_q: llama.LlamaConfig, calib_tokens,
         x1 = np.asarray(h1.reshape(b * s, -1))
         new_l = {"attn_norm": layer["attn_norm"], "ffn_norm": layer["ffn_norm"]}
         deq = {}
-        for name in ("wq", "wk", "wv"):
-            new_l[name], deq[name] = quant(np.asarray(layer[name], np.float32), x1)
+        if cfg.fuse_qkv:
+            # q/k/v share the input (same Hessian): one fused GPTQ pass on
+            # the concatenated weight, exactly matching quantize_weights'
+            # fused layout (output columns are independent in GPTQ)
+            w_cat = np.concatenate(
+                [np.asarray(layer[n], np.float32) for n in ("wq", "wk", "wv")],
+                axis=1,
+            )
+            new_l["wqkv"], deq_cat = quant(w_cat, x1)
+            n_q = cfg.n_heads * cfg.head_dim
+            n_kv = cfg.n_kv_heads * cfg.head_dim
+            deq["wq"] = deq_cat[:, :n_q]
+            deq["wk"] = deq_cat[:, n_q : n_q + n_kv]
+            deq["wv"] = deq_cat[:, n_q + n_kv :]
+        else:
+            for name in ("wq", "wk", "wv"):
+                new_l[name], deq[name] = quant(np.asarray(layer[name], np.float32), x1)
 
         def lin(inp, w_f32):
             return jnp.matmul(inp, jnp.asarray(w_f32))
@@ -162,8 +176,17 @@ def gptq_quantize_llama(params, cfg_q: llama.LlamaConfig, calib_tokens,
 
         h2 = _rms(x, layer["ffn_norm"], cfg.norm_eps)
         x2 = np.asarray(h2.reshape(b * s, -1))
-        new_l["w_gate"], deq_g = quant(np.asarray(layer["w_gate"], np.float32), x2)
-        new_l["w_up"], deq_u = quant(np.asarray(layer["w_up"], np.float32), x2)
+        if cfg.fuse_qkv:
+            gu = np.concatenate(
+                [np.asarray(layer["w_gate"], np.float32),
+                 np.asarray(layer["w_up"], np.float32)], axis=1,
+            )
+            new_l["w_gateup"], deq_gu = quant(gu, x2)
+            f = cfg.ffn_dim
+            deq_g, deq_u = deq_gu[:, :f], deq_gu[:, f:]
+        else:
+            new_l["w_gate"], deq_g = quant(np.asarray(layer["w_gate"], np.float32), x2)
+            new_l["w_up"], deq_u = quant(np.asarray(layer["w_up"], np.float32), x2)
         gg = lin(h2.reshape(b * s, -1), deq_g)
         uu = lin(h2.reshape(b * s, -1), deq_u)
         hmid = jax.nn.silu(gg) * uu

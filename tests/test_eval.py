@@ -134,3 +134,25 @@ class TestGPTQ:
         want = llama.forward(qp, toks, cfg_q, kernels=False)
         from composable_kernel_tpu.utils.check_err import check_err
         check_err(got, want, rtol=8e-2, atol=8e-2)
+
+
+def test_gptq_fused_qkv_layout():
+    from composable_kernel_tpu.models.quantize import gptq_quantize_llama
+
+    cfg_q = llama.tiny_config(dim=128, n_layers=2, n_heads=4, n_kv_heads=2,
+                              ffn_dim=256, vocab_size=512, max_seq_len=128,
+                              quant="w4a16", group_size=64, fuse_qkv=True,
+                              dtype="float32")
+    params = llama.init_weights(CFG, jax.random.PRNGKey(3))
+    calib = np.random.default_rng(3).integers(0, 256, (4, 64)).astype(np.int32)
+    got = gptq_quantize_llama(params, cfg_q, calib)
+    want = llama.quantize_weights(params, cfg_q)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a.shape, b.shape),
+        got, want,
+    )
+    # fused tree runs the model end-to-end
+    toks = jnp.asarray(np.random.default_rng(4).integers(0, 256, (1, 16)),
+                       jnp.int32)
+    out = llama.forward(got, toks, cfg_q, kernels=False)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
