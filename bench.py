@@ -211,8 +211,10 @@ def bench_llama_e2e(on_tpu):
     from composable_kernel_tpu.models import llama
 
     if on_tpu:
+        # production serving config: W4A16 weights + int8 KV cache (halves
+        # decode-attention HBM traffic; BASELINE config 4's cache format)
         cfg = llama.llama3_8b(max_seq_len=2048, quant="w4a16", group_size=128,
-                              fuse_qkv=True)
+                              fuse_qkv=True, kv_quant="int8")
     else:
         cfg = llama.tiny_config(quant="w4a16", group_size=64, fuse_qkv=False,
                                 max_seq_len=128)

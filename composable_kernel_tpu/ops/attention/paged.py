@@ -84,8 +84,8 @@ def _paged_kernel(
             k = k_ref[0, h]  # [page, D]
             v = v_ref[0, h]
             if has_kv_scale:
-                k = (k.astype(jnp.float32) * k_scale_ref[0, h]).astype(q.dtype)
-                v = (v.astype(jnp.float32) * v_scale_ref[0, h]).astype(q.dtype)
+                k = (k.astype(jnp.float32) * k_scale_ref[0, 0, h]).astype(q.dtype)
+                v = (v.astype(jnp.float32) * v_scale_ref[0, 0, h]).astype(q.dtype)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -192,13 +192,17 @@ def paged_flash_decode(
     ]
     inputs = [q_p, k_p, v_p]
     if has_kv_scale:
+        # [B, 1, Hkv] with a (1, 1, Hkv) block: trailing dims equal the
+        # array dims, satisfying Mosaic's block rule (a (1, Hkv) block over
+        # [B, Hkv] does not when B > 1)
         sc_spec = pl.BlockSpec(
-            (1, hkv), lambda batch, kk, *_: (batch, 0), memory_space=pltpu.SMEM
+            (1, 1, hkv), lambda batch, kk, *_: (batch, 0, 0),
+            memory_space=pltpu.SMEM,
         )
         in_specs += [sc_spec, sc_spec]
         inputs += [
-            jnp.asarray(k_scale, jnp.float32),
-            jnp.asarray(v_scale, jnp.float32),
+            jnp.asarray(k_scale, jnp.float32).reshape(-1, 1, hkv),
+            jnp.asarray(v_scale, jnp.float32).reshape(-1, 1, hkv),
         ]
 
     kernel = functools.partial(
@@ -311,13 +315,17 @@ def decode_attention(
     ]
     inputs = [q_p, k_p, v_p]
     if has_kv_scale:
+        # [B, 1, Hkv] with a (1, 1, Hkv) block: trailing dims equal the
+        # array dims, satisfying Mosaic's block rule (a (1, Hkv) block over
+        # [B, Hkv] does not when B > 1)
         sc_spec = pl.BlockSpec(
-            (1, hkv), lambda batch, kk, *_: (batch, 0), memory_space=pltpu.SMEM
+            (1, 1, hkv), lambda batch, kk, *_: (batch, 0, 0),
+            memory_space=pltpu.SMEM,
         )
         in_specs += [sc_spec, sc_spec]
         inputs += [
-            jnp.asarray(k_scale, jnp.float32),
-            jnp.asarray(v_scale, jnp.float32),
+            jnp.asarray(k_scale, jnp.float32).reshape(-1, 1, hkv),
+            jnp.asarray(v_scale, jnp.float32).reshape(-1, 1, hkv),
         ]
 
     if window is not None:
