@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from composable_kernel_tpu.models import llama
+from composable_kernel_tpu.models.sampling import sample_logits
 
 __all__ = ["Request", "ServingEngine", "Watchdog"]
 
@@ -35,6 +36,11 @@ class Request:
     prompt: list
     max_new_tokens: int = 32
     eos_id: int | None = None
+    # sampling (defaults = greedy): temperature 0 -> argmax; top_k 0 /
+    # top_p 1.0 -> no cut (models.sampling.sample_logits semantics)
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
     # filled by the engine:
     output: list = field(default_factory=list)
     done: bool = False
@@ -55,7 +61,7 @@ class ServingEngine:
                  kernels: bool = True, interpret=None,
                  prefill_chunk: int | None = None,
                  paged: bool = False, n_pages: int | None = None,
-                 page_size: int = 128):
+                 page_size: int = 128, seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.b = batch_slots
@@ -70,6 +76,13 @@ class ServingEngine:
         self.slot_req: list[Request | None] = [None] * batch_slots
         self.next_token = np.zeros((batch_slots, 1), np.int32)
         self.queue: list[Request] = []
+        # per-slot sampling params (greedy defaults); one compiled step
+        # serves heterogeneous requests
+        self.temperature = np.zeros(batch_slots, np.float32)
+        self.top_k = np.zeros(batch_slots, np.int32)
+        self.top_p = np.ones(batch_slots, np.float32)
+        self._key = jax.random.PRNGKey(seed)
+        self._step_i = 0
         # requests that completed during prefill (eos on first token or
         # max_new_tokens<=1) — surfaced in the next step()'s finished list
         # so callers collecting completions from step() never miss them
@@ -88,24 +101,29 @@ class ServingEngine:
             self.free_pages = list(range(n_pages - 1, 0, -1))  # 0 = null
             self.table = np.zeros((batch_slots, max_pages_per_seq), np.int32)
             self.slot_pages: list[list[int]] = [[] for _ in range(batch_slots)]
-            self._decode = jax.jit(
-                lambda p, pools, tab, t, pos: llama.paged_decode_step(
+            def _paged_step(p, pools, tab, t, pos, temp, tk, tp, key):
+                logits, pools = llama.paged_decode_step(
                     p, pools, tab, t, pos, cfg, page=page_size,
                     kernels=kernels, interpret=interpret,
-                ),
-                static_argnames=(),
-                donate_argnums=(1,),
-            )
+                )
+                ids = sample_logits(logits[:, -1], key, temperature=temp,
+                                    top_k=tk, top_p=tp)
+                return ids, pools
+
+            self._decode = jax.jit(_paged_step, donate_argnums=(1,))
         else:
             self.cache = llama.init_kv_cache(cfg, batch_slots)
             # donate the cache: decode updates it in place in HBM instead of
             # copying ~0.5 GB of KV per step
-            self._decode = jax.jit(
-                lambda p, c, t, pos: llama.decode_step_batched(
+            def _slot_step(p, c, t, pos, temp, tk, tp, key):
+                logits, c = llama.decode_step_batched(
                     p, c, t, pos, cfg, kernels=kernels, interpret=interpret
-                ),
-                donate_argnums=(1,),
-            )
+                )
+                ids = sample_logits(logits[:, -1], key, temperature=temp,
+                                    top_k=tk, top_p=tp)
+                return ids, c
+
+            self._decode = jax.jit(_slot_step, donate_argnums=(1,))
 
     # ------------------------------------------------------------ admission
     def add(self, req: Request):
@@ -158,7 +176,17 @@ class ServingEngine:
             self.cache = llama.seed_kv_cache(
                 self.cache, seeds, self.cfg, slot=slot
             )
-        nxt = int(jnp.argmax(logits[0, -1]))
+        if req.temperature > 0.0:
+            self._step_i += 1
+            key = jax.random.fold_in(self._key, self._step_i)
+            nxt = int(sample_logits(
+                logits[:1, -1], key,
+                temperature=jnp.asarray([req.temperature], jnp.float32),
+                top_k=jnp.asarray([req.top_k], jnp.int32),
+                top_p=jnp.asarray([req.top_p], jnp.float32),
+            )[0])
+        else:
+            nxt = int(jnp.argmax(logits[0, -1]))
         req.output.append(nxt)
         # the prefill-produced token can already finish the request
         if (req.eos_id is not None and nxt == req.eos_id) or (
@@ -172,6 +200,9 @@ class ServingEngine:
         self.slot_req[slot] = req
         self.positions[slot] = s
         self.next_token[slot, 0] = nxt
+        self.temperature[slot] = req.temperature
+        self.top_k[slot] = req.top_k
+        self.top_p[slot] = req.top_p
 
     def _chunked_prefill(self, slot: int, prompt):
         """Stream the prompt through chunk steps on a temp 1-slot cache,
@@ -222,17 +253,23 @@ class ServingEngine:
         finished_at_prefill, self._prefill_finished = self._prefill_finished, []
         if not self.active_slots():
             return finished_at_prefill
+        self._step_i += 1
+        key = jax.random.fold_in(self._key, self._step_i)
+        samp = (jnp.asarray(self.temperature), jnp.asarray(self.top_k),
+                jnp.asarray(self.top_p), key)
         if self.paged:
-            logits, self.pools = self._decode(
+            ids, self.pools = self._decode(
                 self.params, self.pools, jnp.asarray(self.table),
                 jnp.asarray(self.next_token), jnp.asarray(self.positions),
+                *samp,
             )
         else:
-            logits, self.cache = self._decode(
+            ids, self.cache = self._decode(
                 self.params, self.cache,
                 jnp.asarray(self.next_token), jnp.asarray(self.positions),
+                *samp,
             )
-        next_ids = np.asarray(jnp.argmax(logits[:, 0], axis=-1), np.int32)
+        next_ids = np.asarray(ids, np.int32)
 
         finished = finished_at_prefill
         for slot in self.active_slots():
@@ -248,6 +285,9 @@ class ServingEngine:
                 finished.append(req)
                 self.slot_req[slot] = None
                 self.positions[slot] = 0
+                self.temperature[slot] = 0.0
+                self.top_k[slot] = 0
+                self.top_p[slot] = 1.0
                 if self.paged:
                     self._free_slot_pages(slot)
         self._admit()

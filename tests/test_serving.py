@@ -277,3 +277,73 @@ class TestSpeculative:
         )
         assert list(np.asarray(toks[0])) == self._greedy(PARAMS, CFG, prompt, n)
         assert stats["draft_steps"] == 0
+
+
+class TestSampling:
+    def _logits(self):
+        # sharply peaked: ids 0..4 dominate in order
+        base = jnp.asarray([[10.0, 8.0, 6.0, 4.0, 2.0] + [-20.0] * 27])
+        return jnp.tile(base, (3, 1))
+
+    def test_temperature_zero_is_greedy(self):
+        from composable_kernel_tpu.models.sampling import sample_logits
+
+        ids = sample_logits(self._logits(), jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(ids), [0, 0, 0])
+
+    def test_top_k_restricts_support(self):
+        from composable_kernel_tpu.models.sampling import sample_logits
+
+        lg = jnp.zeros((1, 16))  # uniform
+        seen = set()
+        for i in range(64):
+            ids = sample_logits(
+                lg, jax.random.PRNGKey(i),
+                temperature=jnp.asarray([1.0]),
+                top_k=jnp.asarray([4], jnp.int32),
+            )
+            seen.add(int(ids[0]))
+        assert seen <= {0, 1, 2, 3}, seen
+        assert len(seen) > 1  # actually random
+
+    def test_top_p_keeps_nucleus(self):
+        from composable_kernel_tpu.models.sampling import sample_logits
+
+        # p(0) ~ 0.88 -> top_p=0.5 keeps only id 0
+        for i in range(32):
+            ids = sample_logits(
+                self._logits()[:1], jax.random.PRNGKey(i),
+                temperature=jnp.asarray([1.0]),
+                top_p=jnp.asarray([0.5]),
+            )
+            assert int(ids[0]) == 0
+
+    def test_per_slot_mixed_modes(self):
+        from composable_kernel_tpu.models.sampling import sample_logits
+
+        lg = jnp.tile(jnp.arange(32, dtype=jnp.float32)[None] * 0.1, (2, 1))
+        ids = sample_logits(
+            lg, jax.random.PRNGKey(3),
+            temperature=jnp.asarray([0.0, 5.0]),
+            top_k=jnp.asarray([0, 8], jnp.int32),
+        )
+        assert int(ids[0]) == 31  # greedy slot
+        assert 24 <= int(ids[1]) <= 31  # sampled within top-8
+
+    def test_serving_with_sampling(self):
+        eng = ServingEngine(PARAMS, CFG, batch_slots=2, kernels=False, seed=7)
+        req = Request(0, [5, 9, 2], max_new_tokens=6, temperature=0.9,
+                      top_k=50, top_p=0.95)
+        eng.add(req)
+        while eng.pending():
+            eng.step()
+        assert len(req.output) == 6
+        assert all(0 <= t < CFG.vocab_size for t in req.output)
+        # same seed reproduces; different seed (usually) differs
+        eng2 = ServingEngine(PARAMS, CFG, batch_slots=2, kernels=False, seed=7)
+        req2 = Request(0, [5, 9, 2], max_new_tokens=6, temperature=0.9,
+                       top_k=50, top_p=0.95)
+        eng2.add(req2)
+        while eng2.pending():
+            eng2.step()
+        assert req2.output == req.output
