@@ -26,8 +26,8 @@ from composable_kernel_tpu.ops.gemm.api import grouped_gemm
 from composable_kernel_tpu.ops.gemm.config import GemmConfig
 
 __all__ = [
-    "MoEConfig", "init_moe_weights", "moe_block", "moe_block_ragged",
-    "moe_block_ep",
+    "MoEConfig", "init_moe_weights", "quantize_moe_weights", "moe_block",
+    "moe_block_ragged", "moe_block_ep",
 ]
 
 
@@ -56,6 +56,28 @@ def init_moe_weights(cfg: MoEConfig, key):
         "w_up": mk(ku, (cfg.n_experts, cfg.dim, cfg.ffn_dim)),
         "w_down": mk(kd, (cfg.n_experts, cfg.ffn_dim, cfg.dim)),
     }
+
+
+def quantize_moe_weights(weights, bits: int = 8):
+    """Per-expert per-channel int8 quantization of the expert stacks.
+
+    Each w_* leaf [E, K, N] becomes {"q": int8 [E, K, N], "s": f32 [E, N]};
+    the router stays full precision (it is tiny and decides routing).
+    moe_block_ragged consumes the result via the grouped dequant GEMM
+    (CK 31_grouped_gemm_bf16Aint8B analog). W8A16 is near-lossless for
+    experts (see the model-level ppl table in docs/performance.md).
+    """
+    from composable_kernel_tpu.reference.quant import ref_quantize_per_channel
+
+    out = {"router": weights["router"]}
+    for name in ("w_gate", "w_up", "w_down"):
+        w = weights[name]
+        qs = [ref_quantize_per_channel(w[i], bits=bits) for i in range(w.shape[0])]
+        out[name] = {
+            "q": jnp.stack([q for q, _ in qs]),
+            "s": jnp.stack([sc for _, sc in qs]),
+        }
+    return out
 
 
 def _route(x2, router, top_k):
@@ -123,6 +145,11 @@ def moe_block_ragged(x, weights, cfg: MoEConfig, *, block_m: int = 16,
     cfg_g = GemmConfig(block_m=block_m, block_n=512, block_k=512)
 
     def run(wstack, a_in):
+        if isinstance(wstack, dict):  # quantized {"q","s"} expert stack
+            return grouped_gemm(
+                counts, a_in, wstack["q"], scales=wstack["s"],
+                out_dtype=jnp.float32, config=cfg_g, interpret=interpret,
+            )
         return grouped_gemm(
             counts, a_in, wstack, out_dtype=jnp.float32, config=cfg_g,
             interpret=interpret,
@@ -196,6 +223,11 @@ def moe_block_ep(x, weights, cfg: MoEConfig, *, ep_axis, capacity=None,
     cfg_g = GemmConfig(block_m=block_m, block_n=512, block_k=512)
 
     def run(wstack, a_in):
+        if isinstance(wstack, dict):  # quantized {"q","s"} expert stack
+            return grouped_gemm(
+                counts, a_in, wstack["q"], scales=wstack["s"],
+                out_dtype=jnp.float32, config=cfg_g, interpret=interpret,
+            )
         return grouped_gemm(
             counts, a_in, wstack, out_dtype=jnp.float32, config=cfg_g,
             interpret=interpret,

@@ -104,6 +104,7 @@ def grouped_gemm(
     a,
     b,
     *,
+    scales=None,
     c_op=None,
     out_dtype=None,
     config: GemmConfig | None = None,
@@ -125,8 +126,8 @@ def grouped_gemm(
     from composable_kernel_tpu.ops.gemm.ragged import ragged_gemm
 
     return ragged_gemm(
-        group_sizes, a, b, c_op=c_op, out_dtype=out_dtype, config=config,
-        interpret=interpret,
+        group_sizes, a, b, scales=scales, c_op=c_op, out_dtype=out_dtype,
+        config=config, interpret=interpret,
     )
 
 

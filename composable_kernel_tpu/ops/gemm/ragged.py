@@ -41,8 +41,12 @@ from composable_kernel_tpu.ops.gemm.kernel import (
 )
 
 
-def _ragged_kernel(tbl_ref, a_ref, b_ref, out_ref, acc_ref, *, n_k_steps,
-                   c_op, bm, bn):
+def _ragged_kernel(tbl_ref, a_ref, b_ref, *rest, n_k_steps,
+                   c_op, bm, bn, has_scales):
+    if has_scales:
+        s_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
     s = pl.program_id(1)
     k_idx = pl.program_id(2)
     live = tbl_ref[2, s] < tbl_ref[3, s]
@@ -53,13 +57,21 @@ def _ragged_kernel(tbl_ref, a_ref, b_ref, out_ref, acc_ref, *, n_k_steps,
 
     @pl.when(live)
     def _step():
+        b_tile = b_ref[0]
+        if has_scales:
+            # weight-only int8 B: convert pre-MXU; the per-channel scale
+            # commutes with the K reduction and lands on the accumulator
+            # (CK grouped bf16xint8 client, 31_grouped_gemm_bf16Aint8B)
+            b_tile = b_tile.astype(a_ref.dtype)
         acc_ref[...] += jnp.dot(
-            a_ref[...], b_ref[0], preferred_element_type=acc_ref.dtype
+            a_ref[...], b_tile, preferred_element_type=acc_ref.dtype
         )
 
     @pl.when(k_idx == n_k_steps - 1)
     def _finish():
         acc = acc_ref[...]
+        if has_scales:
+            acc = acc * s_ref[...].astype(jnp.float32)  # [1, bn] broadcast
         if c_op is not None:
             acc = c_op(acc)
         rows = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
@@ -76,6 +88,7 @@ def ragged_gemm(
     a,
     b,
     *,
+    scales=None,
     c_op=None,
     out_dtype=None,
     config: GemmConfig | None = None,
@@ -86,6 +99,9 @@ def ragged_gemm(
     group_sizes: [G] int32, ARBITRARY device-side values (CK fixed-NK
     contract, device_grouped_gemm_fixed_nk.hpp:56). Group g's rows are
     A[sum(sizes[:g]) : sum(sizes[:g+1])], tightly packed.
+    scales: optional [G, N] f32 — B is int8 weight-only quantized per
+    output channel, dequantized in-kernel (the grouped analog of
+    ``wo_quant_gemm``; CK client 31_grouped_gemm_bf16Aint8B).
     """
     m, k = a.shape
     g, k2, n = b.shape
@@ -111,8 +127,32 @@ def ragged_gemm(
     tbl = _step_table(group_sizes, n_m_tiles, bm, g, mp)
     n_steps = tbl.shape[1]
 
+    has_scales = scales is not None
+    in_specs = [
+        pl.BlockSpec(
+            (bm, bk), lambda j, s, kk, tbl: (tbl[0, s], kk),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, bk, bn),
+            lambda j, s, kk, tbl: (tbl[1, s], kk, j),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    inputs = [a_p, b_p]
+    if has_scales:
+        assert scales.shape == (g, n), (scales.shape, (g, n))
+        in_specs.append(
+            pl.BlockSpec(
+                (1, bn), lambda j, s, kk, tbl: (tbl[1, s], j),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(pad_to(jnp.asarray(scales, jnp.float32), (None, bn)))
+
     kernel = functools.partial(
-        _ragged_kernel, n_k_steps=n_k_steps, c_op=c_op, bm=bm, bn=bn
+        _ragged_kernel, n_k_steps=n_k_steps, c_op=c_op, bm=bm, bn=bn,
+        has_scales=has_scales,
     )
 
     out = pl.pallas_call(
@@ -123,17 +163,7 @@ def ragged_gemm(
             # j outermost so each output tile sees its straddling steps
             # back-to-back and stays resident in VMEM between them
             grid=(np_ // bn, n_steps, n_k_steps),
-            in_specs=[
-                pl.BlockSpec(
-                    (bm, bk), lambda j, s, kk, tbl: (tbl[0, s], kk),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, bk, bn),
-                    lambda j, s, kk, tbl: (tbl[1, s], kk, j),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (bm, bn), lambda j, s, kk, tbl: (tbl[0, s], j),
                 memory_space=pltpu.VMEM,
@@ -144,6 +174,6 @@ def ragged_gemm(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(tbl, a_p, b_p)
+    )(tbl, *inputs)
 
     return out[:m, :n]

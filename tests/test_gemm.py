@@ -157,3 +157,29 @@ def test_gemm_out_dtype_override():
     out = gemm(a, b, out_dtype=jnp.bfloat16, config=SMALL_CFG)
     assert out.dtype == jnp.bfloat16
     check_err(out, ref_gemm(a, b), dtype=jnp.bfloat16)
+
+
+def test_grouped_gemm_wo_quant_int8():
+    """Grouped weight-only int8 GEMM: in-kernel dequant, per-channel scales
+    (CK client_example/31_grouped_gemm_bf16Aint8B parity)."""
+    import numpy as np
+
+    from composable_kernel_tpu.reference.quant import ref_quantize_per_channel
+
+    g_n, k, n = 3, 128, 256
+    sizes = [40, 17, 71]
+    a = jax.random.normal(jax.random.PRNGKey(0), (sum(sizes), k),
+                          jnp.float32).astype(jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (g_n, k, n), jnp.float32)
+    qs = [ref_quantize_per_channel(w[i], bits=8) for i in range(g_n)]
+    b_q = jnp.stack([q for q, _ in qs])
+    scales = jnp.stack([s for _, s in qs])
+    got = grouped_gemm(jnp.asarray(sizes, jnp.int32), a, b_q, scales=scales)
+    lo = 0
+    for i, sz in enumerate(sizes):
+        deq = np.asarray(b_q[i], np.float64) * np.asarray(scales[i], np.float64)[None, :]
+        want = np.asarray(a[lo:lo+sz], np.float64) @ deq
+        got_i = np.asarray(got[lo:lo+sz], np.float64)
+        err = np.abs(got_i - want).max() / (np.abs(want).max() + 1e-9)
+        assert err < 3e-2, (i, err)
+        lo += sz

@@ -134,3 +134,19 @@ class TestMoE:
         # the dense result's scale
         dense = np.asarray(moe_block(X, W, CFG), np.float32)
         assert np.abs(got).max() <= np.abs(dense).max() * 4 + 1.0
+
+
+def test_moe_quantized_experts():
+    """W8A16 expert stacks through the grouped dequant GEMM ~= bf16 MoE."""
+    from composable_kernel_tpu.models.moe import (
+        MoEConfig, init_moe_weights, moe_block_ragged, quantize_moe_weights,
+    )
+
+    cfg = MoEConfig(dim=128, ffn_dim=256, n_experts=4, top_k=2,
+                    dtype="float32")
+    weights = init_moe_weights(cfg, jax.random.PRNGKey(0))
+    qw = quantize_moe_weights(weights)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, cfg.dim), jnp.float32)
+    got = moe_block_ragged(x, qw, cfg)
+    want = moe_block_ragged(x, weights, cfg)
+    check_err(got, want, rtol=4e-2, atol=4e-2)
