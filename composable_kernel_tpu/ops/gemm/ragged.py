@@ -71,7 +71,7 @@ def _ragged_kernel(tbl_ref, a_ref, b_ref, *rest, n_k_steps,
     def _finish():
         acc = acc_ref[...]
         if has_scales:
-            acc = acc * s_ref[...].astype(jnp.float32)  # [1, bn] broadcast
+            acc = acc * s_ref[0].astype(jnp.float32)  # [1, bn] broadcast
         if c_op is not None:
             acc = c_op(acc)
         rows = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
@@ -142,13 +142,17 @@ def ragged_gemm(
     inputs = [a_p, b_p]
     if has_scales:
         assert scales.shape == (g, n), (scales.shape, (g, n))
+        # [G, 1, N] with a (1, 1, bn) block: trailing dims satisfy the
+        # Mosaic rule (a (1, bn) block over [G, N] does not when G > 1)
         in_specs.append(
             pl.BlockSpec(
-                (1, bn), lambda j, s, kk, tbl: (tbl[1, s], j),
+                (1, 1, bn), lambda j, s, kk, tbl: (tbl[1, s], 0, j),
                 memory_space=pltpu.VMEM,
             )
         )
-        inputs.append(pad_to(jnp.asarray(scales, jnp.float32), (None, bn)))
+        inputs.append(
+            pad_to(jnp.asarray(scales, jnp.float32), (None, bn))[:, None, :]
+        )
 
     kernel = functools.partial(
         _ragged_kernel, n_k_steps=n_k_steps, c_op=c_op, bm=bm, bn=bn,
