@@ -35,18 +35,29 @@ from composable_kernel_tpu.reference.attention import ref_attention
 __all__ = ["gptq_matrix", "gptq_quantize_llama"]
 
 
-def gptq_matrix(w, h, *, group_size=None, bits=4, percdamp=0.01):
+def gptq_matrix(w, h, *, group_size=None, bits=4, percdamp=0.01,
+                block: int = 128):
     """GPTQ-quantize one weight W [K, N] given Hessian H = X^T X [K, K].
 
     group_size=None -> per-channel (one scale per output column, int8
     path); else group-wise along K (w4a16 layout). Returns
     (w_q int8 values, scales f32 [K/g, N] or [N]).
+
+    Blocked (lazy-batch) formulation: rank-1 error updates stay inside a
+    ``block``-row panel; the trailing rows get ONE GEMM per panel
+    (U_panel^T @ E). Mathematically identical to the row-by-row loop but
+    BLAS-3 — the difference between minutes and hours per matrix at
+    Llama-8B K=14336.
     """
     w = np.asarray(w, np.float64).copy()
     h = np.asarray(h, np.float64).copy()
     k_dim, n = w.shape
     g = group_size or k_dim
     assert k_dim % g == 0
+    # grouped scales read w[k:k+g] at the group start, so a panel must
+    # cover the whole group (rows outside the panel would lag the in-panel
+    # corrections and the scale would differ from the row-by-row loop)
+    block = g if group_size else block
     qmax = 2 ** (bits - 1) - 1
 
     diag = np.arange(k_dim)
@@ -58,17 +69,26 @@ def gptq_matrix(w, h, *, group_size=None, bits=4, percdamp=0.01):
 
     w_q = np.zeros((k_dim, n), np.int8)
     scales = np.zeros((k_dim // g, n), np.float32)
-    for k in range(k_dim):
-        gi = k // g
-        if k % g == 0:
-            absmax = np.abs(w[k : k + g, :]).max(axis=0)
-            scales[gi] = np.maximum(absmax / qmax, 1e-8)
-        s = scales[gi]
-        q = np.clip(np.round(w[k] / s), -qmax - 1, qmax)
-        w_q[k] = q.astype(np.int8)
-        err = (w[k] - q * s) / u[k, k]
-        if k + 1 < k_dim:
-            w[k + 1 :, :] -= np.outer(u[k, k + 1 :], err)
+    for lo in range(0, k_dim, block):
+        hi = min(lo + block, k_dim)
+        errs = np.zeros((hi - lo, n))
+        for k in range(lo, hi):
+            gi = k // g
+            if k % g == 0:
+                absmax = np.abs(w[k : k + g, :]).max(axis=0)
+                scales[gi] = np.maximum(absmax / qmax, 1e-8)
+            s = scales[gi]
+            q = np.clip(np.round(w[k] / s), -qmax - 1, qmax)
+            w_q[k] = q.astype(np.int8)
+            err = (w[k] - q * s) / u[k, k]
+            errs[k - lo] = err
+            if k + 1 < hi:
+                # in-panel rows update immediately (their quantization
+                # depends on these corrections)
+                w[k + 1 : hi, :] -= np.outer(u[k, k + 1 : hi], err)
+        if hi < k_dim:
+            # one GEMM folds the whole panel's error into the trailing rows
+            w[hi:, :] -= u[lo:hi, hi:].T @ errs
     if group_size is None:
         return w_q, scales[0]
     return w_q, scales
