@@ -116,6 +116,63 @@ def unpack_int4_np(packed: np.ndarray, axis: int = 0, blocks: int = 1) -> np.nda
 
 
 # --------------------------------------------------------------------------
+# W4A8 pack: AND-only nibble extraction for the int8-MXU dot path
+# --------------------------------------------------------------------------
+#
+# Same split-halves/segments geometry as pack_int4, different bit encoding,
+# chosen so the Pallas kernel extracts both nibbles with ONE int8 bitwise
+# AND each — no shifts (Mosaic has no i8 vector shifts), no i32 widening,
+# no float converts on the weight stream:
+#
+#   byte = ((W[k + K/2] & 0xF) << 4) | ((W[k] + 8) & 0xF)
+#
+#   packed & 0xF0  ==  16 * W[k + K/2]   (high nibble SIGNED: the nibble's
+#                                         sign bit lands on the byte's sign
+#                                         bit, so the int8 value is exactly
+#                                         16*w_hi; the x16 folds into the
+#                                         group scale)
+#   packed & 0x0F  ==  W[k] + 8          (low nibble OFFSET-BINARY in
+#                                         [0, 15]; the +8 folds into a
+#                                         per-group rowsum correction on
+#                                         the activation tile)
+#
+# This is CK's FastNumericArrayConverter offset-binary trick
+# (element/unary_element_wise_operation.hpp:1061-1094) retargeted at the
+# int8 MXU instead of fp16 bit-twiddling.
+
+
+def pack_int4_w4a8(w: jnp.ndarray, axis: int = 0, blocks: int = 1) -> jnp.ndarray:
+    """Pack int4 values ([-8, 7]) for the W4A8 kernel (AND-only unpack).
+
+    Split-halves layout as :func:`pack_int4`; high nibble stores
+    ``W[k + K/2]`` signed, low nibble stores ``W[k] + 8`` offset-binary.
+    """
+    w = jnp.asarray(w, jnp.int8)
+    k = w.shape[axis]
+    if k % (2 * blocks) != 0:
+        raise ValueError(f"axis length {k} must divide into {blocks} even blocks")
+    if blocks > 1:
+        chunks = jnp.split(w, blocks, axis=axis)
+        return jnp.concatenate([pack_int4_w4a8(c, axis) for c in chunks], axis=axis)
+    lo = jnp.take(w, jnp.arange(k // 2), axis=axis)
+    hi = jnp.take(w, jnp.arange(k // 2, k), axis=axis)
+    return (((lo + 8) & 0x0F) | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4_w4a8(packed: jnp.ndarray, axis: int = 0, blocks: int = 1) -> jnp.ndarray:
+    """Inverse of :func:`pack_int4_w4a8` → int8 values in [-8, 7]."""
+    packed = jnp.asarray(packed, jnp.int8)
+    if blocks > 1:
+        chunks = jnp.split(packed, blocks, axis=axis)
+        return jnp.concatenate(
+            [unpack_int4_w4a8(c, axis) for c in chunks], axis=axis
+        )
+    lo = ((packed & 0x0F) - 8).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)  # arithmetic shift sign-extends
+    return jnp.concatenate([lo, hi], axis=axis)
+
+
+# --------------------------------------------------------------------------
 # rounding-mode conversions (CK type_convert parity:
 # element/unary_element_wise_operation.hpp:236-287 — RTN + stochastic)
 # --------------------------------------------------------------------------

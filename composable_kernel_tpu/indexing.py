@@ -34,6 +34,7 @@ import numpy as np
 
 __all__ = [
     "clamped_block",
+    "fit_packed_block",
     "split_halves_a_block",
     "split_halves_scale_starts",
     "group_scale_row_table",
@@ -54,6 +55,30 @@ def clamped_block(kk, live_len, block):
     """
     n_live = jax.lax.div(live_len + (block - 1), block)
     return jnp.minimum(kk, jnp.maximum(n_live - 1, 0))
+
+
+def fit_packed_block(target, half_seg, group_size=1, lane=128):
+    """Largest packed K-block <= ``target`` that (a) divides ``half_seg``,
+    (b) is a whole number of scale groups when groups fit inside the half
+    segment, and (c) stays lane-aligned for the A-tile BlockSpec.
+
+    Handles half segments whose group count is not a power of two (e.g.
+    K=11008: half_seg=5504=43*128 -> block 128), which a round-to-target
+    choice would reject. CK analog: KPerBlock selection in the instance
+    tables + the MatrixPadder divisibility checks.
+    """
+    import math
+
+    unit = group_size if group_size and half_seg % group_size == 0 else 1
+    base = unit * lane // math.gcd(unit, lane)
+    if half_seg % base != 0:
+        base = unit  # misaligned halves: caller's asserts surface the misfit
+    n = half_seg // base
+    best = 1
+    for d in range(1, n + 1):
+        if n % d == 0 and d * base <= max(target, base):
+            best = d
+    return best * base
 
 
 # ------------------------------------------ split-halves int4 pack algebra

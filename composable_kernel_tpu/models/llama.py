@@ -49,6 +49,8 @@ class LlamaConfig:
     rope_theta: float = 500000.0
     max_seq_len: int = 8192
     # "bf16" | "int8" (per-channel W8A16) | "w4a16" (group-wise packed int4)
+    # | "w4a8" (group-wise int4 weights + per-token int8 activations on the
+    #   int8 MXU — AND-only unpack, see ops/quant/w4a8.py)
     quant: str = "w4a16"
     group_size: int = 128
     # int4 pack segmentation for row-parallel weights (wo/w_down): pack in
@@ -147,7 +149,7 @@ def random_quantized_params(cfg: LlamaConfig, key) -> dict:
     benchmarks; only shapes/dtypes matter. One jit call so per-tensor
     dispatches through a proxied runtime don't dominate.
     """
-    assert cfg.quant == "w4a16", cfg.quant
+    assert cfg.quant in ("w4a16", "w4a8"), cfg.quant
     d, f, v, g = cfg.dim, cfg.ffn_dim, cfg.vocab_size, cfg.group_size
     hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     keys = iter(jax.random.split(key, cfg.n_layers * 7 + 3))
@@ -203,10 +205,11 @@ def quantize_weights(params: dict, cfg: LlamaConfig) -> dict:
         if cfg.quant == "int8":
             w_q, s = ref_quantize_per_channel(w, bits=8)
             return {"q": w_q, "s": s}
-        if cfg.quant == "w4a16":
+        if cfg.quant in ("w4a16", "w4a8"):
             w_q, s = ref_quantize_group(w, group_size=cfg.group_size, bits=4)
             blocks = cfg.tp_pack if row_parallel else 1
-            return {"q": dtypes.pack_int4(w_q, axis=0, blocks=blocks), "s": s}
+            pack = dtypes.pack_int4 if cfg.quant == "w4a16" else dtypes.pack_int4_w4a8
+            return {"q": pack(w_q, axis=0, blocks=blocks), "s": s}
         raise ValueError(cfg.quant)
 
     out = dict(params)
@@ -250,8 +253,32 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
     """
     if isinstance(w, dict):
         pack_blocks = 1
-        if cfg.quant == "w4a16" and global_k is not None:
+        if cfg.quant in ("w4a16", "w4a8") and global_k is not None:
             pack_blocks = max(1, cfg.tp_pack * x.shape[-1] // global_k)
+        if cfg.quant == "w4a8":
+            from composable_kernel_tpu.ops.quant import (
+                quantize_act_token,
+                w4a8_gemm,
+            )
+
+            if not kernels:
+                from composable_kernel_tpu.reference.quant import (
+                    ref_quantize_act_token,
+                    ref_w4a8_gemm,
+                )
+
+                x_q, x_s = ref_quantize_act_token(x)
+                w_int4 = dtypes.unpack_int4_w4a8(w["q"], blocks=pack_blocks)
+                return ref_w4a8_gemm(
+                    x_q, x_s, w_int4, w["s"], group_size=cfg.group_size,
+                    out_dtype=x.dtype,
+                )
+            x_q, x_s = quantize_act_token(x)
+            return w4a8_gemm(
+                x_q, x_s, w["q"], w["s"], group_size=cfg.group_size,
+                pack_blocks=pack_blocks, out_dtype=x.dtype,
+                interpret=interpret,
+            )
         if not kernels:
             from composable_kernel_tpu.reference.quant import ref_dequant_gemm
 
@@ -299,11 +326,15 @@ def rope_cos_sin(positions, head_dim, theta):
 
 
 def apply_rope(x, cos, sin):
-    """x [B, H, S, D]; cos/sin [S, D/2] (or broadcastable). Rotate-half form."""
+    """x [B, H, S, D]; cos/sin [S, D/2] or [B, S, D/2]. Rotate-half form."""
     d2 = x.shape[-1] // 2
     x1, x2 = x[..., :d2], x[..., d2:]
-    cos = cos[None, None]
-    sin = sin[None, None]
+    if cos.ndim == 3:  # per-slot positions: [B, S, D/2] -> [B, 1, S, D/2]
+        cos = cos[:, None]
+        sin = sin[:, None]
+    else:
+        cos = cos[None, None]
+        sin = sin[None, None]
     return jnp.concatenate(
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
     ).astype(x.dtype)
@@ -739,13 +770,24 @@ def prefill_chunk_step(
     Causality: chunk query i attends cache keys < pos + i + 1, expressed
     via the flash kernel's dynamic causal_offset (= pos). Returns
     (logits [B, C, V], updated cache).
+
+    ``pos`` may be a scalar (all rows share one offset — plain chunked
+    prefill) or a [B] vector (per-slot offsets — the batched speculative
+    verify step, where each sequence has diverged to its own length).
     """
     b, c = tokens.shape
+    per_slot = jnp.ndim(pos) > 0
     x = jnp.take(params["embed"], tokens, axis=0)
-    positions = pos + jnp.arange(c)
+    if per_slot:
+        pos_v = jnp.asarray(pos, jnp.int32)                      # [B]
+        positions = pos_v[:, None] + jnp.arange(c)[None, :]      # [B, C]
+        lens = pos_v + c
+        offs = pos_v
+    else:
+        positions = pos + jnp.arange(c)
+        lens = jnp.full((b,), pos + c, jnp.int32)
+        offs = jnp.full((b,), pos, jnp.int32)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
-    lens = jnp.full((b,), pos + c, jnp.int32)
-    offs = jnp.full((b,), pos, jnp.int32)
 
     new_cache = []
     for layer, kv in zip(params["layers"], cache):
@@ -784,12 +826,22 @@ def prefill_chunk_step(
             )
         k_in = _quantize_kv(k, kv["ks"]) if is_i8 else k
         v_in = _quantize_kv(v, kv["vs"]) if is_i8 else v
-        kv["k"] = jax.lax.dynamic_update_slice(
-            kv["k"], k_in.astype(kv["k"].dtype), (0, 0, pos, 0)
-        )
-        kv["v"] = jax.lax.dynamic_update_slice(
-            kv["v"], v_in.astype(kv["v"].dtype), (0, 0, pos, 0)
-        )
+        if per_slot:
+
+            def _upd(cb, nb, p):
+                return jax.lax.dynamic_update_slice(
+                    cb, nb.astype(cb.dtype), (0, p, 0)
+                )
+
+            kv["k"] = jax.vmap(_upd)(kv["k"], k_in, offs)
+            kv["v"] = jax.vmap(_upd)(kv["v"], v_in, offs)
+        else:
+            kv["k"] = jax.lax.dynamic_update_slice(
+                kv["k"], k_in.astype(kv["k"].dtype), (0, 0, pos, 0)
+            )
+            kv["v"] = jax.lax.dynamic_update_slice(
+                kv["v"], v_in.astype(kv["v"].dtype), (0, 0, pos, 0)
+            )
         scales = {"k_scale": kv["ks"], "v_scale": kv["vs"]} if is_i8 else {}
         if kernels:
             o = flash_attention(
@@ -813,7 +865,10 @@ def prefill_chunk_step(
                 "bhqd,bhkd->bhqk", q.astype(jnp.float32), kf
             ) / _math.sqrt(hd)
             kpos = jnp.arange(kf.shape[2])[None, None, None, :]
-            qpos = pos + jnp.arange(c)[None, None, :, None]
+            qpos = (
+                jnp.reshape(jnp.asarray(pos), (-1, 1, 1, 1))
+                + jnp.arange(c)[None, None, :, None]
+            )
             att = jnp.where(kpos <= qpos, att, -1e30)
             p_att = jax.nn.softmax(att, axis=-1)
             o = jnp.einsum("bhqk,bhkd->bhqd", p_att, vf).astype(q.dtype)

@@ -228,13 +228,11 @@ def dequant_gemm(
     if packed_int4:
         assert k % (2 * pack_blocks) == 0
         half_seg = k // (2 * pack_blocks)  # packed rows per segment
-        bpk = min(bk // 2 if bk // 2 >= 128 else bk, half_seg)
-        if not per_channel:
-            if bpk >= group_size:
-                bpk = (bpk // group_size) * group_size
-            else:
-                bpk = group_size
-        bpk = min(bpk, half_seg)
+        bpk = indexing.fit_packed_block(
+            bk // 2 if bk // 2 >= 128 else bk,
+            half_seg,
+            None if per_channel else group_size,
+        )
         assert half_seg % bpk == 0, (
             f"packed segment {half_seg} must be divisible by packed block {bpk}"
         )

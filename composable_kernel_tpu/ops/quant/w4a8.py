@@ -1,0 +1,323 @@
+"""W4A8 GEMM: int4 weights x int8 per-token activations on the int8 MXU.
+
+The decode-regime lever identified in docs/performance.md: the W4A16 path
+tops out at ~70% of HBM speed-of-light because every packed byte pays an
+i32-widen + two shifts + bf16 convert chain on the VPU (measured VPU roof,
+scripts/probe_magic_unpack.py). This kernel removes that chain entirely:
+
+  - weights are packed with ``dtypes.pack_int4_w4a8``: high nibble stores
+    ``W[k + K/2]`` SIGNED, low nibble stores ``W[k] + 8`` offset-binary.
+    In-kernel extraction is two int8 bitwise ANDs — no shifts (Mosaic has
+    no i8 vector shifts), no width-changing bitcasts (each is a sublane
+    relayout), no float converts on the weight stream:
+
+        h16 = packed & 0xF0   == 16 * w_hi   (sign bit preserved)
+        l8  = packed & 0x0F   ==  w_lo + 8   (in [0, 15])
+
+  - both nibble tiles feed ``jnp.dot(int8, int8) -> int32`` on the MXU's
+    native int8 path (2x the bf16 MXU peak).
+  - the x16 folds into the high-half group scale (pre-divided by 16 on the
+    host — exact, power of two); the +8 offset folds into a per-group
+    rowsum correction computed on the *activation* tile (small), not the
+    weight stream:  corr[m] = 8 * sum_{k in group} a_q[m, k].
+  - per-token activation scales ``a_s[m]`` are constant along K and N, so
+    they apply once on the accumulator in the epilogue.
+
+CK analogs (cited per CLAUDE.md style):
+  - ``device_gemm_dequantB.hpp:24`` — the (A, B, scale, C) signature.
+  - ``element/unary_element_wise_operation.hpp:1061-1094``
+    (FastNumericArrayConverter) — the offset-binary nibble trick,
+    retargeted at the int8 MXU instead of fp16 bit-twiddling.
+  - ``quantization_operation.hpp:25-251`` — activation-quant epilogues.
+  - ``gridwise_fpAintB_gemm_wmma.hpp:553-570`` — B stays quantized until
+    the last possible moment (here: all the way INTO the MXU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from composable_kernel_tpu import indexing
+from composable_kernel_tpu.ops.gemm.config import GemmConfig
+from composable_kernel_tpu.ops.gemm.kernel import (
+    _ceil_mult,
+    _interpret_default,
+    pad_to,
+)
+from composable_kernel_tpu.ops.quant.kernel import _expand_group_scales
+
+__all__ = ["w4a8_gemm", "quantize_act_token"]
+
+_I8_SUBLANES = 32  # int8 sublane tile: i8 blocks need 32-row alignment
+
+
+def quantize_act_token(x, qmax: int = 127):
+    """Per-token symmetric int8 activation quant: (x_q [M,K] i8, s [M,1] f32).
+
+    Pure-jnp on purpose: XLA fuses the absmax/scale/round chain into the
+    producer (usually the preceding norm), so a Pallas kernel buys nothing.
+    """
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s = jnp.maximum(absmax / qmax, 1e-8)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -qmax, qmax)
+    return x_q.astype(jnp.int8), s.astype(jnp.float32)
+
+
+def _kernel_w4a8(
+    a_lo_ref, a_hi_ref, b_ref, s_lo_ref, s_hi_ref, as_ref, *rest,
+    n_ds, c_op, n_k_steps, s_rows, gsz, external_corr,
+):
+    """Grid = (m, n, k) over packed K-steps.
+
+    rest = ([corr], *ds, out, acc_scratch). s_hi rows are pre-divided by 16.
+
+    Offset-correction placement (both measured on v5e, see w4a8_gemm):
+      - inline (decode default): per group, subtract 8 * rowsum(a_lo_group)
+        from the int32 dot — exact, costs one small [bm, gsz] reduce per
+        group on the A tile.
+      - external (prefill default): ``corr`` precomputed outside the kernel
+        from activation group-sums and subtracted once in the epilogue —
+        zero per-group work, but one extra [M, N] f32 HBM round-trip.
+    """
+    if external_corr:
+        corr_ref = rest[0]
+        rest = rest[1:]
+    d_refs = rest[:n_ds]
+    out_ref = rest[n_ds]
+    acc_ref = rest[n_ds + 1]
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    packed = b_ref[...]
+    # AND-only nibble extraction (see module docstring). 0xF0 as int8 is -16.
+    l8 = packed & jnp.int8(0x0F)          # w_lo + 8, in [0, 15]
+    h16 = packed & jnp.int8(-16)          # 16 * w_hi, sign preserved
+    a_lo = a_lo_ref[...]
+    a_hi = a_hi_ref[...]
+    acc = acc_ref[...]
+    for r in range(s_rows):
+        ks = slice(r * gsz, (r + 1) * gsz)
+        sl = s_lo_ref[r : r + 1]          # [1, bn] f32
+        sh = s_hi_ref[r : r + 1]          # [1, bn] f32 (already / 16)
+        a_lo_r = a_lo[:, ks]
+        d_lo = jnp.dot(a_lo_r, l8[ks], preferred_element_type=jnp.int32)
+        d_hi = jnp.dot(a_hi[:, ks], h16[ks], preferred_element_type=jnp.int32)
+        if not external_corr:
+            rs = jnp.sum(a_lo_r.astype(jnp.int32), axis=1, keepdims=True)
+            d_lo = d_lo - 8 * rs
+        # one fused accumulator pass per group (the scale-accumulate is the
+        # only per-group VPU work on the [bm, bn] tile)
+        acc = acc + (d_lo.astype(jnp.float32) * sl + d_hi.astype(jnp.float32) * sh)
+    acc_ref[...] = acc
+
+    @pl.when(k_idx == n_k_steps - 1)
+    def _finish():
+        res = acc_ref[...]
+        if external_corr:
+            res = res - corr_ref[...]
+        res = res * as_ref[...]           # [bm, 1] per-token scale broadcast
+        if c_op is not None:
+            res = c_op(res, *[d[...] for d in d_refs])
+        out_ref[...] = res.astype(out_ref.dtype)
+
+
+def w4a8_gemm(
+    a_q,
+    a_scales,
+    b_packed,
+    scales,
+    ds=(),
+    *,
+    group_size: int,
+    pack_blocks: int = 1,
+    config: GemmConfig | None = None,
+    c_op=None,
+    out_dtype=jnp.bfloat16,
+    offset_corr: str | None = None,  # "inline" | "external" | None (auto)
+    interpret: bool | None = None,
+):
+    """C[M, N] = c_op(a_s * (A_q @ (W_int4 * g_scales)), *Ds), int8 MXU dots.
+
+    a_q:      [M, K] int8 per-token-quantized activations
+              (``quantize_act_token``)
+    a_scales: [M] or [M, 1] f32 per-token scales
+    b_packed: [K//2, N] int8, ``dtypes.pack_int4_w4a8`` layout
+              (``pack_blocks`` > 1 for the TP row-block layout)
+    scales:   [K // group_size, N] f32 group scales
+    """
+    m, k = a_q.shape
+    kb, n = b_packed.shape
+    assert kb * 2 == k, f"K mismatch: A has {k}, packed B implies {kb * 2}"
+    assert jnp.dtype(a_q.dtype) == jnp.int8, a_q.dtype
+    assert k % group_size == 0
+    assert scales.shape == (k // group_size, n), scales.shape
+    assert (k // 2) % group_size == 0 or group_size % (k // 2) == 0
+    if interpret is None:
+        interpret = _interpret_default()
+    scales = jnp.asarray(scales, jnp.float32)
+    a_scales = jnp.asarray(a_scales, jnp.float32).reshape(m, 1)
+
+    if config is None:
+        from composable_kernel_tpu.ops.quant.api import _heuristic_config
+
+        config = _heuristic_config(m, n, k)
+    cfg = config.shrink_to(m, n, k)
+    # int8 A blocks need 32-row sublane alignment
+    bm = max(_I8_SUBLANES, -(-cfg.block_m // _I8_SUBLANES) * _I8_SUBLANES)
+    bn = max(128, -(-cfg.block_n // 128) * 128)
+    bm = min(bm, _ceil_mult(m, _I8_SUBLANES))
+    bn = min(bn, _ceil_mult(n, 128))
+
+    assert k % (2 * pack_blocks) == 0
+    half_seg = k // (2 * pack_blocks)  # packed rows per segment
+    bk = max(256, -(-cfg.block_k // 256) * 256)
+    bpk = indexing.fit_packed_block(
+        bk // 2 if bk // 2 >= 128 else bk, half_seg, group_size
+    )
+    assert half_seg % bpk == 0, (
+        f"packed segment {half_seg} must be divisible by packed block {bpk}"
+    )
+    n_k_steps = kb // bpk
+    s_rows = max(1, bpk // group_size)
+    gsz = bpk // s_rows  # packed rows per scale row
+
+    # ---- lo-nibble offset correction placement --------------------------
+    # The lo nibbles store w + 8; the +8 contributes
+    #   8 * sum_{g in lo-rows} s[g, n] * sum_{k in g} a_q[m, k].
+    # "external": compute it here from activation group-sums and subtract
+    # once in the epilogue. "inline": subtract 8*rowsum per group in-kernel.
+    # Measured on v5e (scripts/bench_w4a8.py): inline wins at every decode
+    # shape (585 vs 549 GB/s at M=1, and the gap widens with M — the
+    # external [M, G, N] broadcast-reduce is O(M*G*N) VPU work plus an
+    # [M, N] f32 HBM round-trip, while the in-kernel [bm, gsz] rowsum is
+    # negligible); external also adds bm*bn*4 bytes to the VMEM working
+    # set, OOM-ing whole-N prefill blocks. Inline is the default; external
+    # stays as a measured-and-documented alternative.
+    if offset_corr is None:
+        offset_corr = "inline"
+    external_corr = offset_corr == "external"
+    if external_corr:
+        lo_mask = np.zeros((k,), np.float32)
+        for sgi in range(pack_blocks):
+            base = sgi * 2 * half_seg
+            lo_mask[base : base + half_seg] = 1.0
+        a_lo_f = a_q.astype(jnp.float32) * jnp.asarray(lo_mask)
+        gsum = a_lo_f.reshape(m, k // group_size, group_size).sum(-1)
+        # NOT a matmul: corr cancels against a same-magnitude term inside
+        # the accumulator, and TPU f32 matmuls lower to one-pass bf16 MXU
+        # (even at Precision.HIGHEST) — bf16-rounding the correction is
+        # catastrophic. The broadcast-reduce keeps every multiply exact f32
+        # on the VPU, the same arithmetic as the kernel's scale-accumulate.
+        corr = 8.0 * jnp.sum(gsum[:, :, None] * scales[None, :, :], axis=1)
+
+    # ---- pad operands ---------------------------------------------------
+    a_p = pad_to(a_q, (bm, None))
+    b_p = pad_to(b_packed, (None, bn))
+    as_p = pad_to(a_scales, (bm, None))
+    corr_ops = [pad_to(corr, (bm, bn))] if external_corr else []
+    corr_specs = (
+        [pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM)]
+        if external_corr
+        else []
+    )
+    mp, np_ = a_p.shape[0], b_p.shape[1]
+
+    # ---- scale blocks: one srb-row block per K-step, hi rows / 16 -------
+    s_p = pad_to(scales, (None, bn))
+    lo_starts, hi_starts = indexing.split_halves_scale_starts(
+        n_k_steps, bpk, half_seg, group_size
+    )
+    s_lo, srb = _expand_group_scales(s_p, lo_starts, s_rows)
+    s_hi, _ = _expand_group_scales(s_p * (1.0 / 16.0), hi_starts, s_rows)
+    scale_spec = pl.BlockSpec(
+        (srb, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+    )
+
+    ds_p, d_specs = [], []
+    for d in ds:
+        if d.ndim == 1:
+            ds_p.append(pad_to(d.reshape(1, -1), (None, bn)))
+            d_specs.append(
+                pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM)
+            )
+        else:
+            ds_p.append(pad_to(d, (bm, bn)))
+            d_specs.append(
+                pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM)
+            )
+
+    grid = (mp // bm, np_ // bn, n_k_steps)
+    out_shape = jax.ShapeDtypeStruct((mp, np_), out_dtype)
+    out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM)
+
+    flops = 2 * mp * np_ * k
+    bytes_accessed = int(
+        mp * k + kb * np_ + s_lo.size * 8
+        + mp * np_ * jnp.dtype(out_dtype).itemsize
+    )
+    cost = pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed, transcendentals=0)
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=(
+            cfg.vmem_limit_mb * 1024 * 1024 if cfg.vmem_limit_mb else None
+        ),
+    )
+
+    kernel = functools.partial(
+        _kernel_w4a8,
+        n_ds=len(ds_p), c_op=c_op, n_k_steps=n_k_steps, s_rows=s_rows, gsz=gsz,
+        external_corr=external_corr,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                # A columns for the step's lo / hi nibbles (segment-aware)
+                pl.BlockSpec(
+                    (bm, bpk),
+                    lambda i, j, kk: (
+                        i,
+                        indexing.split_halves_a_block(kk, bpk, half_seg, hi=False),
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (bm, bpk),
+                    lambda i, j, kk: (
+                        i,
+                        indexing.split_halves_a_block(kk, bpk, half_seg, hi=True),
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (bpk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+                ),
+                scale_spec,
+                scale_spec,
+                pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+                *corr_specs,
+                *d_specs,
+            ],
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
+        compiler_params=cparams,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(a_p, a_p, b_p, s_lo, s_hi, as_p, *corr_ops, *ds_p)
+
+    if (mp, np_) != (m, n):
+        out = out[:m, :n]
+    return out

@@ -104,6 +104,62 @@ def ref_quantize_group(w, group_size: int = 128, bits: int = 4):
     return w_q.reshape(k, n).astype(jnp.int8), s
 
 
+def ref_quantize_act_token(x, bits: int = 8):
+    """Per-token (per-row) symmetric int8 activation quantization.
+
+    The dynamic-quant refinement of CK's per-tensor activation quant
+    (``example/14_gemm_quantization``): one scale per output row, computed
+    from the row's absmax. Returns (x_q int8 [M, K], scales f32 [M, 1]).
+    """
+    qmax = 2 ** (bits - 1) - 1
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s = jnp.maximum(absmax / qmax, 1e-8)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -qmax, qmax)
+    return x_q.astype(jnp.int8), s
+
+
+def ref_w4a8_gemm(
+    a_q,
+    a_scales,
+    w_q,
+    scales,
+    group_size: int,
+    ds=(),
+    c_op=ep.passthrough,
+    out_dtype=jnp.bfloat16,
+):
+    """int8-activation x int4-weight GEMM reference (the W4A8 path).
+
+    Math the kernel (``ops/quant/w4a8.py``) implements on the int8 MXU:
+
+        C[m, n] = a_s[m] * sum_g s[g, n] * (A_q[m, g*gs:(g+1)*gs]
+                                            @ W_q[g*gs:(g+1)*gs, n])
+
+    with each per-group dot exact in int32 and the scale-accumulate in f32.
+    CK analog: reference_fpAintB_gemm.hpp:25-90 with the activation side of
+    quantization_operation.hpp added.
+
+    a_q:      [M, K] int8 per-token-quantized activations
+    a_scales: [M] or [M, 1] f32
+    w_q:      [K, N] int8 holding int4 values in [-8, 7] (UNPACKED)
+    scales:   [K // group_size, N] f32
+    """
+    k, n = w_q.shape
+    m = a_q.shape[0]
+    g = k // group_size
+    aq = a_q.astype(jnp.int32).reshape(m, g, group_size)
+    wq = w_q.astype(jnp.int32).reshape(g, group_size, n)
+    dots = jnp.einsum(
+        "mgk,gkn->gmn", aq, wq, preferred_element_type=jnp.int32, precision=_HI
+    ).astype(jnp.float32)
+    acc = jnp.einsum(
+        "gmn,gn->mn", dots, jnp.asarray(scales, jnp.float32), precision=_HI
+    )
+    acc = acc * jnp.asarray(a_scales, jnp.float32).reshape(-1, 1)
+    out = c_op(acc, *[jnp.asarray(d, jnp.float32) for d in ds])
+    return out.astype(out_dtype)
+
+
 def ref_quantize_activation_per_tensor(x, bits: int = 8):
     """Symmetric per-tensor activation quant: returns (x_q int8, scale f32)."""
     qmax = 2 ** (bits - 1) - 1

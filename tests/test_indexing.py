@@ -22,6 +22,36 @@ class TestClampedBlock:
         assert int(ix.clamped_block(jnp.int32(3), jnp.int32(0), 128)) == 0
 
 
+class TestFitPackedBlock:
+    def test_power_of_two_halves(self):
+        # llama ffn 14336: half 7168, target 512 -> 512
+        assert ix.fit_packed_block(512, 7168, 128) == 512
+        assert ix.fit_packed_block(512, 2048, 128) == 512
+
+    def test_prime_group_count(self):
+        # K=11008: half 5504 = 43 * 128 -> only 128 or 5504 divide; target 512
+        assert ix.fit_packed_block(512, 5504, 128) == 128
+        assert ix.fit_packed_block(6000, 5504, 128) == 5504
+
+    def test_group_larger_than_half(self):
+        # group spans the whole half segment -> lane-aligned blocks
+        assert ix.fit_packed_block(512, 128, 256) == 128
+
+    def test_small_group(self):
+        # g=64: unit 64 but lane alignment forces 128-multiples
+        assert ix.fit_packed_block(256, 256, 64) == 256
+        assert ix.fit_packed_block(128, 256, 64) == 128
+
+    def test_per_channel(self):
+        assert ix.fit_packed_block(512, 2048, None) == 512
+
+    def test_divides(self):
+        for half in (128, 384, 5504, 7168, 2048, 1152):
+            for tgt in (128, 256, 512, 1024):
+                b = ix.fit_packed_block(tgt, half, 128 if half % 128 == 0 else 1)
+                assert half % b == 0, (half, tgt, b)
+
+
 class TestSplitHalves:
     def test_a_block_single_segment(self):
         # K=1024, one segment: half_seg=512 packed rows; bpk=128

@@ -87,6 +87,40 @@ class TestDecode:
         assert jnp.isfinite(got.astype(jnp.float32)).all()
 
 
+class TestW4A8:
+    CFG = llama.tiny_config(quant="w4a8")
+
+    def test_kernel_vs_reference_path(self):
+        # norm-based gate: the kernel path uses the Pallas rmsnorm, whose
+        # bf16 rounding vs the jnp norm flips per-token int8 activation
+        # rounding (+-1 q-steps) — pointwise tolerances are meaningless
+        # across a hard round() threshold, the aggregate error is what the
+        # contract bounds.
+        qp = llama.quantize_weights(PARAMS_BF16, self.CFG)
+        got = llama.forward(qp, TOKENS, self.CFG, kernels=True).astype(jnp.float32)
+        want = llama.forward(qp, TOKENS, self.CFG, kernels=False).astype(jnp.float32)
+        rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+        assert rel < 0.05, rel
+
+    def test_close_to_w4a16(self):
+        # per-token int8 activations add little on top of the shared W4 error
+        qp8 = llama.quantize_weights(PARAMS_BF16, self.CFG)
+        qp16 = llama.quantize_weights(PARAMS_BF16, CFG_W4)
+        l8 = llama.forward(qp8, TOKENS, self.CFG, kernels=False).astype(jnp.float32)
+        l16 = llama.forward(qp16, TOKENS, CFG_W4, kernels=False).astype(jnp.float32)
+        rel = float(jnp.linalg.norm(l8 - l16) / jnp.maximum(jnp.linalg.norm(l16), 1e-9))
+        assert rel < 0.10, rel
+
+    def test_decode(self):
+        qp = llama.quantize_weights(PARAMS_BF16, self.CFG)
+        toks = TOKENS[:, :16]
+        _, seeds = llama.forward(qp, toks, self.CFG, return_cache=True)
+        seeded = llama.seed_kv_cache(llama.init_kv_cache(self.CFG, 2), seeds, self.CFG)
+        got, _ = llama.decode_step(qp, seeded, TOKENS[:, 16:17], 16, self.CFG)
+        assert got.shape == (2, 1, self.CFG.vocab_size)
+        assert jnp.isfinite(got.astype(jnp.float32)).all()
+
+
 class TestFusedProjections:
     def test_fused_matches_unfused(self):
         cfg_f = llama.tiny_config(quant="w4a16", fuse_qkv=True)

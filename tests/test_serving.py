@@ -279,6 +279,62 @@ class TestSpeculative:
         assert stats["draft_steps"] == 0
 
 
+class TestSpeculativeBatched:
+    """Batched draft-verify must EXACTLY reproduce per-row target greedy."""
+
+    def _greedy_rows(self, prompts, n):
+        out = llama.generate_greedy(
+            PARAMS, jnp.asarray(prompts, jnp.int32), n, CFG, interpret=True
+        )
+        return [list(r) for r in np.asarray(out)]
+
+    def test_self_draft_batch(self):
+        from composable_kernel_tpu.runtime.speculative import (
+            generate_speculative_batched,
+        )
+
+        prompts = [[5, 9, 2, 14], [1, 8, 3, 3], [30, 0, 7, 11]]
+        n = 10
+        toks, stats = generate_speculative_batched(
+            PARAMS, CFG, PARAMS, CFG, prompts, n, chunk=4, kernels=False
+        )
+        assert [list(r) for r in np.asarray(toks)] == self._greedy_rows(prompts, n)
+        assert stats["accepted"] == stats["draft_steps"] * 3 or stats["accepted"] > 0
+
+    def test_weak_draft_batch_exact(self):
+        # divergent per-row acceptance: rows run at different positions
+        from composable_kernel_tpu.runtime.speculative import (
+            generate_speculative_batched,
+        )
+
+        draft_params = llama.init_weights(CFG, jax.random.PRNGKey(99))
+        prompts = [[7, 3, 1, 2], [4, 4, 4, 4]]
+        n = 9
+        toks, _ = generate_speculative_batched(
+            PARAMS, CFG, draft_params, CFG, prompts, n, chunk=3, kernels=False
+        )
+        assert [list(r) for r in np.asarray(toks)] == self._greedy_rows(prompts, n)
+
+    def test_batch_matches_per_sequence(self):
+        from composable_kernel_tpu.runtime.speculative import (
+            generate_speculative,
+            generate_speculative_batched,
+        )
+
+        draft_params = llama.init_weights(CFG, jax.random.PRNGKey(7))
+        prompts = [[2, 4, 6, 8], [9, 1, 9, 1]]
+        n = 6
+        got, _ = generate_speculative_batched(
+            PARAMS, CFG, draft_params, CFG, prompts, n, chunk=4, kernels=False
+        )
+        for i, pr in enumerate(prompts):
+            want, _ = generate_speculative(
+                PARAMS, CFG, draft_params, CFG,
+                jnp.asarray([pr], jnp.int32), n, chunk=4, kernels=False,
+            )
+            assert list(np.asarray(got[i])) == list(np.asarray(want[0])), i
+
+
 class TestSampling:
     def _logits(self):
         # sharply peaked: ids 0..4 dominate in order
