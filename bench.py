@@ -11,6 +11,10 @@ records the headline; the full set lands in the captured tail):
      at Llama-7B decode shapes, M in {1, 8, 32, 64}, K=4096 N=11008
      (BASELINE config 2). value = geomean weight-stream GB/s across M;
      vs_baseline: fraction of the chip's ~819 GB/s HBM speed-of-light.
+  2b. w4a8_decode_weight_stream — INT4 weights x per-token INT8 activations
+     on the int8 MXU (AND-only nibble extraction, ops/quant/w4a8.py), same
+     decode shapes as config 2, activation quantization included in the
+     timed step. The int4-decode ceiling-breaker: ~1.2x the W4A16 kernel.
   3. int8_requant_add_add_fastgelu — INT8xINT8 GEMM, int32 MXU accumulate,
      fused bias+residual+fastgelu+requant epilogue, int8 out (BASELINE
      config 3). value = TOPS; vs_baseline: fraction of v5e's ~394 TOPS int8
@@ -124,6 +128,65 @@ def bench_w4a16_decode(on_tpu):
     }
 
 
+def bench_w4a8_decode(on_tpu):
+    """INT4-weight x INT8-activation GEMM on the int8 MXU (ops/quant/w4a8).
+
+    Same decode shapes as config 2; fn includes the per-token activation
+    quantization so the number is the honest serving-step cost. Verified
+    against the jnp reference before timing.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from composable_kernel_tpu import dtypes
+    from composable_kernel_tpu.ops.quant import quantize_act_token, w4a8_gemm
+    from composable_kernel_tpu.reference.quant import (
+        ref_quantize_group,
+        ref_w4a8_gemm,
+    )
+    from composable_kernel_tpu.utils.check_err import check_err
+    from composable_kernel_tpu.utils.timing import benchmark_chained
+
+    k, n, g = (4096, 11008, 128) if on_tpu else (512, 512, 128)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32) * 0.05
+    w_q, scales = ref_quantize_group(w, group_size=g, bits=4)
+    packed = dtypes.pack_int4_w4a8(w_q, axis=0)
+    weight_bytes = packed.size + scales.size * 4
+
+    per_m = {}
+    for m in ((1, 8, 32, 64) if on_tpu else (1, 8)):
+        a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32).astype(
+            jnp.bfloat16
+        )
+
+        def fn(a_, b_, s_):
+            a_q, a_s = quantize_act_token(a_)
+            return w4a8_gemm(a_q, a_s, b_, s_, group_size=g,
+                             interpret=not on_tpu)
+
+        if m == 1:
+            a_q0, a_s0 = quantize_act_token(a)
+            check_err(
+                fn(a, packed, scales),
+                ref_w4a8_gemm(a_q0, a_s0, w_q, scales, group_size=g),
+            )
+        lo, hi = (50, 250) if on_tpu else (2, 4)
+        r = benchmark_chained(fn, a, packed, scales, iters_lo=lo, iters_hi=hi,
+                              bytes_accessed=float(weight_bytes))
+        per_m[m] = round(r.gbps, 1)
+        _stderr(f"# w4a8 decode M={m}: {r.gbps:.1f} GB/s weight stream")
+    geomean = float(np.exp(np.mean(np.log(np.maximum(list(per_m.values()), 1e-9)))))
+    return {
+        "metric": f"w4a8_decode_weight_stream_k{k}_n{n}_gbps",
+        "value": round(geomean, 1),
+        "unit": "GB/s",
+        "vs_baseline": round(geomean / 819.0, 3),
+        "per_m": per_m,
+        "verified": True,
+    }
+
+
 def bench_int8_requant(on_tpu):
     import jax
     import jax.numpy as jnp
@@ -201,7 +264,7 @@ def bench_int8kv_attention(on_tpu):
     }
 
 
-def bench_llama_e2e(on_tpu):
+def bench_llama_e2e(on_tpu, quant="w4a16"):
     import time
 
     import jax
@@ -211,12 +274,15 @@ def bench_llama_e2e(on_tpu):
     from composable_kernel_tpu.models import llama
 
     if on_tpu:
-        # production serving config: W4A16 weights + int8 KV cache (halves
-        # decode-attention HBM traffic; BASELINE config 4's cache format)
-        cfg = llama.llama3_8b(max_seq_len=2048, quant="w4a16", group_size=128,
+        # serving config: quantized weights + int8 KV cache (halves
+        # decode-attention HBM traffic; BASELINE config 4's cache format).
+        # quant="w4a8" routes decode through the fused rmsnorm+act-quant
+        # kernel and the int8-MXU GEMM (B=1 118.6 vs 113 tok/s, B=8 672 vs
+        # 663, prefill 10454 vs 8800 — docs/performance.md).
+        cfg = llama.llama3_8b(max_seq_len=2048, quant=quant, group_size=128,
                               fuse_qkv=True, kv_quant="int8")
     else:
-        cfg = llama.tiny_config(quant="w4a16", group_size=64, fuse_qkv=False,
+        cfg = llama.tiny_config(quant=quant, group_size=64, fuse_qkv=False,
                                 max_seq_len=128)
     params = jax.jit(lambda k: llama.random_quantized_params(cfg, k))(
         jax.random.PRNGKey(0)
@@ -267,7 +333,7 @@ def bench_llama_e2e(on_tpu):
         del cache
     sol_b8 = 8.0 / (5.04 / 819.0)  # weight-stream floor at B=8
     return {
-        "metric": "llama8b_w4a16_decode_tok_s",
+        "metric": f"llama8b_{quant}_decode_tok_s",
         "value": round(tok_s[8], 1),
         "unit": "tok/s",
         "vs_baseline": round(tok_s[8] / sol_b8, 3) if on_tpu else 0.0,
@@ -409,9 +475,11 @@ def main() -> None:
     benches = [
         ("w8a16 verify", bench_w8a16_verify),
         ("w4a16 decode", bench_w4a16_decode),
+        ("w4a8 decode", bench_w4a8_decode),
         ("int8 requant", bench_int8_requant),
         ("int8kv attention", bench_int8kv_attention),
         ("llama e2e", bench_llama_e2e),
+        ("llama e2e w4a8", lambda t: bench_llama_e2e(t, quant="w4a8")),
         ("ppl gate", bench_ppl_gate),
         ("headline", bench_headline),
     ]

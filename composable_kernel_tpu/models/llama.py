@@ -254,7 +254,8 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
     if isinstance(w, dict):
         pack_blocks = 1
         if cfg.quant in ("w4a16", "w4a8") and global_k is not None:
-            pack_blocks = max(1, cfg.tp_pack * x.shape[-1] // global_k)
+            k_local = (x[0] if isinstance(x, tuple) else x).shape[-1]
+            pack_blocks = max(1, cfg.tp_pack * k_local // global_k)
         if cfg.quant == "w4a8":
             from composable_kernel_tpu.ops.quant import (
                 quantize_act_token,
@@ -262,6 +263,7 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
             )
 
             if not kernels:
+                assert not isinstance(x, tuple)
                 from composable_kernel_tpu.reference.quant import (
                     ref_quantize_act_token,
                     ref_w4a8_gemm,
@@ -273,10 +275,14 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
                     x_q, x_s, w_int4, w["s"], group_size=cfg.group_size,
                     out_dtype=x.dtype,
                 )
-            x_q, x_s = quantize_act_token(x)
+            if isinstance(x, tuple):
+                # pre-quantized input from the fused rmsnorm_quant kernel
+                x_q, x_s = x
+            else:
+                x_q, x_s = quantize_act_token(x)
             return w4a8_gemm(
                 x_q, x_s, w["q"], w["s"], group_size=cfg.group_size,
-                pack_blocks=pack_blocks, out_dtype=x.dtype,
+                pack_blocks=pack_blocks, out_dtype=cfg.jdtype,
                 interpret=interpret,
             )
         if not kernels:
@@ -299,6 +305,23 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
             x, w, preferred_element_type=jnp.float32
         ).astype(x.dtype)
     return pallas_gemm_api(x, w, interpret=interpret)
+
+
+def _norm_quant_2d(x, gamma, cfg: LlamaConfig, interpret=None):
+    """Fused rmsnorm + per-token int8 quant for the W4A8 kernel path.
+
+    x [B, S, D] -> ((x_q [B*S, D] int8, scales [B*S, 1] f32)) — the tuple
+    feeds ``_linear`` directly, skipping the separate absmax/round XLA
+    passes whose launch glue outweighed the W4A8 GEMM win at B=1
+    (docs/performance.md).
+    """
+    from composable_kernel_tpu.ops import normalization as norm_ops
+
+    q, s = norm_ops.rmsnorm_quant(
+        x, gamma, eps=cfg.norm_eps, interpret=interpret
+    )
+    d = x.shape[-1]
+    return q.reshape(-1, d), s.reshape(-1, 1)
 
 
 def rmsnorm(x, gamma, eps, kernels=True, interpret=None):
@@ -429,7 +452,17 @@ def _attn_block(
 
 def _ffn_block(x, layer, cfg: LlamaConfig, *, tp_axis=None, interpret=None, kernels=True):
     b, s, d = x.shape
-    x2 = x.reshape(b * s, d)
+    return _ffn_core(
+        x.reshape(b * s, d), (b, s, d), layer, cfg,
+        tp_axis=tp_axis, interpret=interpret, kernels=kernels,
+    )
+
+
+def _ffn_core(x2, bsd, layer, cfg: LlamaConfig, *, tp_axis=None,
+              interpret=None, kernels=True):
+    """SwiGLU FFN on a flattened [B*S, D] input (or a pre-quantized
+    (x_q, scales) tuple from the fused W4A8 norm)."""
+    b, s, d = bsd
     if "w_gateup" in layer:
         gu = _linear(x2, layer["w_gateup"], cfg, interpret, kernels)
         f_loc = gu.shape[-1] // 2
@@ -437,7 +470,9 @@ def _ffn_block(x, layer, cfg: LlamaConfig, *, tp_axis=None, interpret=None, kern
     else:
         g = _linear(x2, layer["w_gate"], cfg, interpret, kernels)
         u = _linear(x2, layer["w_up"], cfg, interpret, kernels)
-    h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(x.dtype)
+    h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(
+        cfg.jdtype
+    )
     o = _linear(h, layer["w_down"], cfg, interpret, kernels, global_k=cfg.ffn_dim)
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)  # row-parallel down projection
@@ -652,8 +687,11 @@ def _decode_layer(
             )
         )(c, new, positions)
 
-    h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
-    x2 = h.reshape(b * s, -1)
+    if cfg.quant == "w4a8" and kernels:
+        x2 = _norm_quant_2d(x, layer["attn_norm"], cfg, interpret)
+    else:
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
+        x2 = h.reshape(b * s, -1)
     hd = cfg.head_dim
     if "wqkv" in layer:
         qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
@@ -706,10 +744,17 @@ def _decode_layer(
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
     x = x + o.reshape(b, s, -1)
-    h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
-    x = x + _ffn_block(
-        h, layer, cfg, tp_axis=tp_axis, interpret=interpret, kernels=kernels
-    )
+    if cfg.quant == "w4a8" and kernels:
+        x2f = _norm_quant_2d(x, layer["ffn_norm"], cfg, interpret)
+        x = x + _ffn_core(
+            x2f, (b, s, x.shape[-1]), layer, cfg,
+            tp_axis=tp_axis, interpret=interpret, kernels=kernels,
+        )
+    else:
+        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
+        x = x + _ffn_block(
+            h, layer, cfg, tp_axis=tp_axis, interpret=interpret, kernels=kernels
+        )
     return x, kv
 
 
@@ -746,8 +791,14 @@ def decode_step_batched(
         )
         new_cache.append(kv)
 
-    x = rmsnorm(x, params["norm"], cfg.norm_eps, kernels, interpret)
-    logits = _linear(x.reshape(b * s, -1), params["lm_head"], cfg, interpret, kernels)
+    if cfg.quant == "w4a8" and kernels and isinstance(params["lm_head"], dict):
+        x2 = _norm_quant_2d(x, params["norm"], cfg, interpret)
+        logits = _linear(x2, params["lm_head"], cfg, interpret, kernels)
+    else:
+        x = rmsnorm(x, params["norm"], cfg.norm_eps, kernels, interpret)
+        logits = _linear(
+            x.reshape(b * s, -1), params["lm_head"], cfg, interpret, kernels
+        )
     return logits.reshape(b, s, -1), new_cache
 
 

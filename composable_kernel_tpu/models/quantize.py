@@ -32,7 +32,12 @@ from composable_kernel_tpu import dtypes
 from composable_kernel_tpu.models import llama
 from composable_kernel_tpu.reference.attention import ref_attention
 
-__all__ = ["gptq_matrix", "gptq_quantize_llama"]
+__all__ = [
+    "awq_quantize_llama",
+    "awq_search_scale",
+    "gptq_matrix",
+    "gptq_quantize_llama",
+]
 
 
 def gptq_matrix(w, h, *, group_size=None, bits=4, percdamp=0.01,
@@ -102,7 +107,10 @@ def _hessian(x):
 
 class _Quantizer:
     def __init__(self, cfg: llama.LlamaConfig, percdamp: float):
-        assert cfg.quant in ("w4a16", "int8"), cfg.quant
+        # w4a8 shares w4a16's weight quantization (GPTQ calibrates weights
+        # against full-precision activations; the per-token int8 activation
+        # quant is a runtime step) — only the pack layout differs.
+        assert cfg.quant in ("w4a16", "w4a8", "int8"), cfg.quant
         self.cfg = cfg
         self.percdamp = percdamp
 
@@ -120,8 +128,224 @@ class _Quantizer:
                              percdamp=self.percdamp)
         deq = w_q.astype(np.float32) * np.repeat(s, cfg.group_size, axis=0)
         blocks = cfg.tp_pack if row_parallel else 1
-        packed = dtypes.pack_int4(jnp.asarray(w_q), axis=0, blocks=blocks)
+        pack = dtypes.pack_int4 if cfg.quant == "w4a16" else dtypes.pack_int4_w4a8
+        packed = pack(jnp.asarray(w_q), axis=0, blocks=blocks)
         return {"q": packed, "s": jnp.asarray(s)}, deq
+
+
+# --------------------------------------------------------------- AWQ ------
+#
+# Activation-aware weight quantization (Lin et al., 2023 — public
+# algorithm): scale each input channel k of W by s[k] before quantizing and
+# divide the activation by s[k], chosen so channels with large activations
+# (the "salient" ones) get finer effective quantization grids. The division
+# is FOLDED into the producing op (norm gamma or the previous linear's
+# output columns) so runtime cost is zero and full-precision function is
+# unchanged. Composes with GPTQ: the scaled weight is GPTQ-quantized
+# against the scaled Hessian.
+
+
+def awq_search_scale(w, x, *, group_size, bits=4, n_grid=20):
+    """Grid-search the AWQ channel scales for W [K, N] with inputs x [T, K].
+
+    s[k] = mean|x[:, k]|^alpha, alpha in [0, 1); picks the alpha minimizing
+    ||x @ W - (x / s) @ quant(W * s)||^2 on the calibration batch.
+    Returns (s [K] f64, best_alpha).
+    """
+    w = np.asarray(w, np.float64)
+    x = np.asarray(x, np.float64)
+    k_dim, n = w.shape
+    g = group_size or k_dim
+    qmax = 2 ** (bits - 1) - 1
+    absmean = np.abs(x).mean(axis=0) + 1e-8
+    absmean = absmean / np.exp(np.log(absmean).mean())  # geomean-normalized
+    ref = x @ w
+
+    def quant_err(s):
+        ws = w * s[:, None]
+        wg = ws.reshape(k_dim // g, g, n)
+        sc = np.maximum(np.abs(wg).max(axis=1) / qmax, 1e-8)
+        q = np.clip(np.round(wg / sc[:, None, :]), -qmax - 1, qmax)
+        deq = (q * sc[:, None, :]).reshape(k_dim, n)
+        return float(np.sum((ref - (x / s[None, :]) @ deq) ** 2))
+
+    best_s, best_err, best_alpha = np.ones(k_dim), quant_err(np.ones(k_dim)), 0.0
+    for i in range(1, n_grid):
+        alpha = i / n_grid
+        s = absmean ** alpha
+        e = quant_err(s)
+        if e < best_err:
+            best_s, best_err, best_alpha = s, e, alpha
+    return best_s, best_alpha
+
+
+def _gqa_group_scale(s, n_kv, rep, hd):
+    """Constrain per-channel o-proj scales to be shared across each GQA
+    head group (o input channel (h, d) maps to v channel (h // rep, d), so
+    a v-column fold must use one scale per (kv-head, d)). Geomean within
+    the group keeps the search's relative weighting."""
+    s = np.asarray(s, np.float64).reshape(n_kv * rep, hd)
+    sg = np.exp(np.log(s).reshape(n_kv, rep, hd).mean(axis=1))
+    return np.repeat(sg, rep, axis=0).reshape(-1), sg.reshape(-1)
+
+
+def awq_quantize_llama(params, cfg_q: llama.LlamaConfig, calib_tokens, *,
+                       n_grid=20, use_gptq=True, percdamp: float = 0.01,
+                       quant_lm_head: bool = True):
+    """AWQ scale search + fold, then (optionally GPTQ-) quantize.
+
+    Folds (exact in full precision — the model function is unchanged):
+      - qkv input scale       -> attn_norm gamma /= s
+      - gate/up input scale   -> ffn_norm gamma /= s
+      - o-proj input scale    -> wv output columns /= s (GQA-group shared;
+                                 attention is linear in V so this is exact)
+      - down-proj input scale -> w_up output columns /= s (silu(g) * (u/s))
+      - lm_head input scale   -> final norm gamma /= s
+
+    Returns a tree interchangeable with ``llama.quantize_weights`` output.
+    Unfused layouts only (fuse_qkv folds share the same input scale and
+    would be straightforward, but the serving fuse happens post-quant).
+    """
+    cfg = cfg_q
+    assert cfg.quant in ("w4a16", "w4a8"), cfg.quant
+    assert not cfg.fuse_qkv, "run AWQ on the unfused tree, fuse after"
+    bits = 4
+    quant = _Quantizer(cfg, percdamp)
+    toks = jnp.asarray(calib_tokens, jnp.int32)
+    b, s_len = toks.shape
+    hd = cfg.head_dim
+    rep = cfg.n_heads // cfg.n_kv_heads
+
+    x = jnp.take(params["embed"], toks, axis=0).astype(jnp.float32)
+    cos, sin = llama.rope_cos_sin(jnp.arange(s_len), hd, cfg.rope_theta)
+
+    def q_one(w64, x_np, row_parallel=False):
+        """Quantize already-scaled W against already-scaled inputs."""
+        if use_gptq:
+            return quant(w64.astype(np.float32), x_np,
+                         row_parallel=row_parallel)
+        w_q, sc = gptq_matrix(w64, np.eye(w64.shape[0]),
+                              group_size=cfg.group_size, bits=bits,
+                              percdamp=0.0)  # identity H = plain RTN
+        deq = w_q.astype(np.float32) * np.repeat(sc, cfg.group_size, axis=0)
+        blocks = cfg.tp_pack if row_parallel else 1
+        pack = dtypes.pack_int4 if cfg.quant == "w4a16" else dtypes.pack_int4_w4a8
+        return {"q": pack(jnp.asarray(w_q), axis=0, blocks=blocks),
+                "s": jnp.asarray(sc)}, deq
+
+    new_layers = []
+    for layer in params["layers"]:
+        new_l = {}
+        h1 = _rms(x, layer["attn_norm"], cfg.norm_eps)
+        x1 = np.asarray(h1.reshape(b * s_len, -1))
+
+        # --- qkv shared input scale -> attn_norm gamma ------------------
+        w_cat = np.concatenate(
+            [np.asarray(layer[nm], np.float64) for nm in ("wq", "wk", "wv")],
+            axis=1,
+        )
+        s_qkv, _ = awq_search_scale(w_cat, x1, group_size=cfg.group_size,
+                                    bits=bits, n_grid=n_grid)
+        new_l["attn_norm"] = jnp.asarray(
+            np.asarray(layer["attn_norm"], np.float64) / s_qkv,
+            np.asarray(layer["attn_norm"]).dtype,
+        )
+        x1s = x1 / s_qkv[None, :]
+        deq = {}
+        wv_scaled = None
+        for nm in ("wq", "wk", "wv"):
+            w64 = np.asarray(layer[nm], np.float64) * s_qkv[:, None]
+            if nm == "wv":
+                wv_scaled = w64  # o-proj fold lands on these columns
+                continue
+            new_l[nm], deq[nm] = q_one(w64, x1s)
+
+        # forward q/k with quantized weights, v in fp for now (needed to
+        # search the o-proj scale before wv is finalized)
+        qh = jnp.asarray(x1s @ deq["wq"], jnp.float32).reshape(b, s_len, -1, hd)
+        kh = jnp.asarray(x1s @ deq["wk"], jnp.float32).reshape(b, s_len, -1, hd)
+        vh = jnp.asarray(x1s @ wv_scaled, jnp.float32).reshape(b, s_len, -1, hd)
+        qh = llama.apply_rope(qh.transpose(0, 2, 1, 3), cos, sin)
+        kh = llama.apply_rope(kh.transpose(0, 2, 1, 3), cos, sin)
+        o = ref_attention(qh, kh, vh.transpose(0, 2, 1, 3), causal=True,
+                          out_dtype=jnp.float32)
+        o2 = np.asarray(o.transpose(0, 2, 1, 3).reshape(b * s_len, -1),
+                        np.float64)
+
+        # --- o-proj input scale -> wv output columns (GQA-shared) -------
+        s_o_raw, _ = awq_search_scale(
+            np.asarray(layer["wo"], np.float64), o2,
+            group_size=cfg.group_size, bits=bits, n_grid=n_grid,
+        )
+        s_o, s_o_kv = _gqa_group_scale(s_o_raw, cfg.n_kv_heads, rep, hd)
+        new_l["wv"], deq_wv = q_one(wv_scaled / s_o_kv[None, :], x1s)
+        o2s = o2 / s_o[None, :]
+        new_l["wo"], deq_wo = q_one(
+            np.asarray(layer["wo"], np.float64) * s_o[:, None], o2s,
+            row_parallel=True,
+        )
+        # recompute o with the final quantized v for propagation
+        vh_q = jnp.asarray(x1s @ deq_wv, jnp.float32).reshape(b, s_len, -1, hd)
+        o_q = ref_attention(qh, kh, vh_q.transpose(0, 2, 1, 3), causal=True,
+                            out_dtype=jnp.float32)
+        o2_q = np.asarray(
+            o_q.transpose(0, 2, 1, 3).reshape(b * s_len, -1), np.float64
+        )
+        x = x + jnp.asarray(o2_q @ deq_wo, jnp.float32).reshape(b, s_len, -1)
+
+        # --- gate/up shared input scale -> ffn_norm gamma ---------------
+        h2 = _rms(x, layer["ffn_norm"], cfg.norm_eps)
+        x2 = np.asarray(h2.reshape(b * s_len, -1), np.float64)
+        gu_cat = np.concatenate(
+            [np.asarray(layer["w_gate"], np.float64),
+             np.asarray(layer["w_up"], np.float64)], axis=1,
+        )
+        s_gu, _ = awq_search_scale(gu_cat, x2, group_size=cfg.group_size,
+                                   bits=bits, n_grid=n_grid)
+        new_l["ffn_norm"] = jnp.asarray(
+            np.asarray(layer["ffn_norm"], np.float64) / s_gu,
+            np.asarray(layer["ffn_norm"]).dtype,
+        )
+        x2s = x2 / s_gu[None, :]
+        new_l["w_gate"], deq_g = q_one(
+            np.asarray(layer["w_gate"], np.float64) * s_gu[:, None], x2s
+        )
+        up_scaled = np.asarray(layer["w_up"], np.float64) * s_gu[:, None]
+
+        gg = x2s @ deq_g
+        uu_fp = x2s @ up_scaled
+        hmid_fp = np.asarray(jax.nn.silu(jnp.asarray(gg, jnp.float32)),
+                             np.float64) * uu_fp
+
+        # --- down-proj input scale -> w_up output columns ---------------
+        s_d, _ = awq_search_scale(
+            np.asarray(layer["w_down"], np.float64), hmid_fp,
+            group_size=cfg.group_size, bits=bits, n_grid=n_grid,
+        )
+        new_l["w_up"], deq_u = q_one(up_scaled / s_d[None, :], x2s)
+        hmid = np.asarray(jax.nn.silu(jnp.asarray(gg, jnp.float32)),
+                          np.float64) * (x2s @ deq_u)
+        new_l["w_down"], deq_d = q_one(
+            np.asarray(layer["w_down"], np.float64) * s_d[:, None], hmid,
+            row_parallel=True,
+        )
+        x = x + jnp.asarray(hmid @ deq_d, jnp.float32).reshape(b, s_len, -1)
+        new_layers.append(new_l)
+
+    out = dict(params)
+    out["layers"] = new_layers
+    if quant_lm_head:
+        w_lm = np.asarray(params["lm_head"], np.float64)
+        hf = _rms(x, params["norm"], cfg.norm_eps)
+        xf = np.asarray(hf.reshape(b * s_len, -1), np.float64)
+        s_lm, _ = awq_search_scale(w_lm, xf, group_size=cfg.group_size,
+                                   bits=bits, n_grid=n_grid)
+        out["norm"] = jnp.asarray(
+            np.asarray(params["norm"], np.float64) / s_lm,
+            np.asarray(params["norm"]).dtype,
+        )
+        out["lm_head"], _ = q_one(w_lm * s_lm[:, None], xf / s_lm[None, :])
+    return out
 
 
 def _rms(x, gamma, eps):

@@ -36,8 +36,8 @@ from composable_kernel_tpu.ops.gemm.kernel import (
 )
 
 __all__ = [
-    "softmax", "layernorm", "rmsnorm", "groupnorm", "norm_bwd",
-    "batchnorm_infer", "batchnorm_train", "batchnorm_bwd",
+    "softmax", "layernorm", "rmsnorm", "rmsnorm_quant", "groupnorm",
+    "norm_bwd", "batchnorm_infer", "batchnorm_train", "batchnorm_bwd",
 ]
 
 
@@ -264,6 +264,70 @@ def rmsnorm(x, gamma, *, eps=1e-6, pre_add=None, interpret=None):
     if pre_add is not None:
         return _rms_diff_res(x, gamma, pre_add, eps, interpret)
     return _rms_diff(x, gamma, eps, interpret)
+
+
+def _rmsnorm_quant_kernel(x_ref, g_ref, o_ref, s_ref, *, eps, n_real):
+    x = x_ref[...].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    valid = col < n_real
+    xm = jnp.where(valid, x, 0.0)
+    ms = jnp.sum(xm * xm, axis=-1, keepdims=True) * (1.0 / n_real)
+    y = xm * jax.lax.rsqrt(ms + eps) * g_ref[...].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    s = jnp.maximum(absmax * (1.0 / 127.0), 1e-8)
+    q = jnp.clip(jnp.round(y * (1.0 / s)), -127, 127)
+    o_ref[...] = q.astype(jnp.int8)
+    s_ref[...] = jnp.broadcast_to(s, s_ref.shape)
+
+
+def rmsnorm_quant(x, gamma, *, eps=1e-6, interpret=None):
+    """Fused RMSNorm + per-token int8 activation quantization.
+
+    Returns (x_q int8 with x's shape, scales f32 [*x.shape[:-1], 1]) —
+    exactly ``quantize_act_token(rmsnorm(x, gamma))`` in one kernel pass.
+    The W4A8 decode path's launch-glue killer: at B=1 the separate
+    absmax/round XLA passes per projection cost more than the GEMM win
+    (docs/performance.md). Inference-only (no VJP — training uses the
+    differentiable rmsnorm + external quant).
+
+    CK analog: device_elementwise_normalization.hpp's fuse-into-norm
+    stance combined with quantization_operation.hpp's quant epilogue.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n = x.shape[-1]
+    if n > _MAX_KERNEL_COLS:
+        from composable_kernel_tpu.ops.quant.w4a8 import quantize_act_token
+
+        y = rmsnorm(x, gamma, eps=eps, interpret=interpret)
+        q, s = quantize_act_token(y.reshape(-1, n))
+        return q.reshape(x.shape), s.reshape(*x.shape[:-1], 1)
+    x2, rows, br = _rows_blocking(x, n)
+    br = _ceil_mult(br, 32)  # int8 output tile needs 32-row sublane blocks
+    np_ = _ceil_mult(n, 128)
+    x_p = pad_to(x2, (br, 128))
+    nblocks = x_p.shape[0] // br
+    row_spec = pl.BlockSpec((br, np_), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_rmsnorm_quant_kernel, eps=eps, n_real=n),
+        out_shape=[
+            jax.ShapeDtypeStruct(x_p.shape, jnp.int8),
+            jax.ShapeDtypeStruct((x_p.shape[0], 128), jnp.float32),
+        ],
+        grid=(nblocks,),
+        in_specs=[
+            row_spec,
+            pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            row_spec,
+            pl.BlockSpec((br, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(x_p, pad_to(gamma.reshape(1, n), (None, 128)))
+    q = outs[0][:rows, :n].reshape(x.shape)
+    s = outs[1][:rows, 0].reshape(*x.shape[:-1], 1)
+    return q, s
 
 
 # ------------------------------------------------------------- backward ------

@@ -230,6 +230,53 @@ def profile_wo_quant_gemm(ns):
     )
 
 
+@register("w4a8_gemm")
+def profile_w4a8_gemm(ns):
+    """INT4-weight x per-token-INT8-activation GEMM on the int8 MXU
+    (ops/quant/w4a8.py; the per-instance sweep for the AND-only unpack
+    kernel). Verification: host f64 on exact integer dots."""
+    jax, jnp, on_tpu = _env()
+    import numpy as np
+
+    from composable_kernel_tpu import dtypes
+    from composable_kernel_tpu.ops.quant import quantize_act_token, w4a8_gemm
+    from composable_kernel_tpu.reference.quant import ref_quantize_group
+    from composable_kernel_tpu.tuning.registry import registry
+
+    m, n, k = ns.m, ns.n, ns.k
+    g = ns.group or 128
+    a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32) * 0.1
+    a_q, a_s = quantize_act_token(a)
+    w_q, s = ref_quantize_group(w, g, bits=4)
+    packed = dtypes.pack_int4_w4a8(w_q, axis=0)
+    want = None
+    if ns.verify:
+        aq = np.asarray(a_q, np.int64)
+        wq = np.asarray(w_q, np.int64)
+        dots = np.einsum(
+            "mgk,gkn->gmn", aq.reshape(m, k // g, g), wq.reshape(k // g, g, n)
+        )
+        want = (dots.astype(np.float64) * np.asarray(s, np.float64)[:, None, :]
+                ).sum(0) * np.asarray(a_s, np.float64).reshape(-1, 1)
+    cfgs = registry.get_instances("gemm", m, n, k)
+    print(f"w4a8_gemm i8xi4 g={g} {m}x{n}x{k}: {len(cfgs)} instances")
+    _run_instances(
+        cfgs,
+        lambda cfg: (
+            lambda aq_, as_, b_, s_: w4a8_gemm(
+                aq_, as_, b_, s_, group_size=g, config=cfg,
+                out_dtype=jnp.float32, interpret=not on_tpu,
+            )
+        ),
+        (a_q, a_s, packed, s),
+        want,
+        _check_rel(1e-3),
+        2.0 * m * n * k,
+        on_tpu,
+    )
+
+
 @register("attention")
 def profile_attention(ns):
     jax, jnp, on_tpu = _env()

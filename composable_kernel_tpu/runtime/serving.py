@@ -299,6 +299,156 @@ class ServingEngine:
         self.table[slot, :] = 0
 
 
+class SpeculativeServingEngine(ServingEngine):
+    """Continuous batching with draft-verify speculative decoding.
+
+    Every active slot drafts ``spec_chunk - 1`` greedy tokens with the
+    small draft model (one [B, 1] batched decode step per proposal) and the
+    target verifies the whole chunk in ONE [B, K] chunk step per round
+    (``prefill_chunk_step``'s per-slot offset mode). Slots commit 1..K
+    tokens per round independently; outputs are EXACTLY what target-only
+    greedy decoding would produce (greedy acceptance), so only greedy
+    requests (temperature == 0) are accepted.
+
+    Cache discipline matches runtime.speculative: rejected rows stay in
+    place masked by kv_seq_len; freed slots are re-prefilled over their
+    stale rows. Inactive slots ride the fixed-shape batch with frozen
+    positions. Admission reserves ``spec_chunk`` rows of slack past
+    prompt + max_new_tokens.
+
+    Beyond the reference's scope (CK has no serving layer); the serving
+    analog of the fixed-NK grouped-GEMM "one launch, many problems" idea.
+    """
+
+    def __init__(self, params, cfg: llama.LlamaConfig, draft_params,
+                 draft_cfg: llama.LlamaConfig, *, spec_chunk: int = 4,
+                 batch_slots: int = 8, kernels: bool = True, interpret=None,
+                 seed: int = 0):
+        super().__init__(params, cfg, batch_slots, kernels, interpret,
+                         seed=seed)
+        assert cfg.vocab_size == draft_cfg.vocab_size
+        self.dparams = draft_params
+        self.dcfg = draft_cfg
+        self.k = spec_chunk
+        self.dcache = llama.init_kv_cache(draft_cfg, batch_slots)
+        self.stats = {"rounds": 0, "draft_steps": 0, "accepted": 0,
+                      "committed": 0}
+
+        def _draft(p, c, t, pos):
+            return llama.decode_step_batched(
+                p, c, t, pos, draft_cfg, kernels=kernels, interpret=interpret
+            )
+
+        def _verify(p, c, t, pos):
+            return llama.prefill_chunk_step(
+                p, c, t, pos, cfg, kernels=kernels, interpret=interpret
+            )
+
+        self._draft = jax.jit(_draft, donate_argnums=(1,))
+        self._verify = jax.jit(_verify, donate_argnums=(1,))
+
+    def add(self, req: Request):
+        assert req.temperature == 0.0, (
+            "speculative serving is greedy-only (acceptance exactness)"
+        )
+        super().add(req)
+
+    def _prefill_into(self, slot: int, req: Request):
+        if len(req.prompt) + req.max_new_tokens + self.k > self.cfg.max_seq_len:
+            raise ValueError(
+                f"request {req.uid}: prompt + max_new_tokens + spec_chunk "
+                f"({len(req.prompt)} + {req.max_new_tokens} + {self.k}) "
+                f"exceeds max_seq_len ({self.cfg.max_seq_len})"
+            )
+        super()._prefill_into(slot, req)
+        if self.slot_req[slot] is not req:
+            return  # finished at prefill: no draft state needed
+        # seed the draft cache for this slot (the draft shares the prompt)
+        prompt = jnp.asarray([req.prompt], jnp.int32)
+        _, seeds = llama.forward(
+            self.dparams, prompt, self.dcfg, kernels=self.kernels,
+            interpret=self.interpret, return_cache=True,
+        )
+        self.dcache = llama.seed_kv_cache(
+            self.dcache, seeds, self.dcfg, slot=slot
+        )
+
+    def step(self):
+        """One speculative round: up to ``spec_chunk`` tokens per slot."""
+        finished, self._prefill_finished = self._prefill_finished, []
+        active = self.active_slots()
+        if not active:
+            return finished
+        k = self.k
+        pos0 = self.positions.copy()
+
+        props = [[] for _ in range(self.b)]
+        tok = self.next_token.copy()  # [B, 1]
+        for i in range(k - 1):
+            lg, self.dcache = self._draft(
+                self.dparams, self.dcache, jnp.asarray(tok),
+                jnp.asarray(pos0 + i, jnp.int32),
+            )
+            t = np.asarray(jnp.argmax(lg[:, -1], axis=-1), np.int32)
+            for b in range(self.b):
+                props[b].append(int(t[b]))
+            tok = t[:, None]
+            self.stats["draft_steps"] += 1
+
+        chunk = np.concatenate(
+            [self.next_token, np.asarray(props, np.int32)], axis=1
+        )  # [B, k]
+        lg_t, self.cache = self._verify(
+            self.params, self.cache, jnp.asarray(chunk),
+            jnp.asarray(pos0, jnp.int32),
+        )
+        targets = np.asarray(jnp.argmax(lg_t, axis=-1), np.int32)  # [B, k]
+        self.stats["rounds"] += 1
+
+        full = np.zeros(self.b, bool)
+        for slot in active:
+            req = self.slot_req[slot]
+            n_acc = 0
+            while n_acc < k - 1 and props[slot][n_acc] == targets[slot][n_acc]:
+                n_acc += 1
+            full[slot] = n_acc == k - 1
+            self.stats["accepted"] += n_acc
+            # newly produced tokens: accepted proposals + corrected/bonus
+            new_toks = props[slot][:n_acc] + [int(targets[slot][n_acc])]
+            self.positions[slot] += n_acc + 1  # committed into the cache
+            self.stats["committed"] += n_acc + 1
+            done = False
+            for t in new_toks:
+                req.output.append(t)
+                self.next_token[slot, 0] = t
+                if (
+                    (req.eos_id is not None and t == req.eos_id)
+                    or len(req.output) >= req.max_new_tokens
+                    or self.positions[slot] + k >= self.cfg.max_seq_len
+                ):
+                    done = True
+                    break
+            if done:
+                req.done = True
+                finished.append(req)
+                self.slot_req[slot] = None
+                self.positions[slot] = 0
+                full[slot] = False
+
+        if full.any() and k > 1:
+            # draft never consumed its own final proposal on fully-accepted
+            # slots; fill that row (p-1). Other slots take a masked dummy
+            # write at p (overwritten by the next round's first draft step).
+            last = np.asarray([pr[-1] for pr in props], np.int32)[:, None]
+            _, self.dcache = self._draft(
+                self.dparams, self.dcache, jnp.asarray(last),
+                jnp.asarray(self.positions - full.astype(np.int32), jnp.int32),
+            )
+
+        self._admit()
+        return finished
+
+
 class Watchdog:
     """Failure detection + bounded-retry for device steps (SURVEY.md §5:
     the serving layer must supply health checking the reference lacks).

@@ -28,7 +28,18 @@ from composable_kernel_tpu.models.llama import random_quantized_params
 
 def main():
     assert jax.default_backend() == "tpu", "run on the real chip"
-    cfg = llama.llama3_8b(max_seq_len=4096, quant="w4a16", group_size=128, fuse_qkv=True)
+    quant = "w4a16"
+    kv = "bf16"
+    for a in sys.argv[1:]:
+        if a.startswith("--quant="):
+            quant = a.split("=", 1)[1]
+        elif a.startswith("--kv="):
+            kv = a.split("=", 1)[1]
+    print(f"config: quant={quant} kv_quant={kv}", flush=True)
+    cfg = llama.llama3_8b(
+        max_seq_len=4096, quant=quant, group_size=128, fuse_qkv=True,
+        kv_quant=kv,
+    )
     print("building 8B quantized params on device ...", flush=True)
     params = jax.jit(lambda k: random_quantized_params(cfg, k))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)

@@ -136,6 +136,96 @@ class TestGPTQ:
         check_err(got, want, rtol=8e-2, atol=8e-2)
 
 
+class TestAWQ:
+    def test_scale_search_beats_identity_on_outliers(self):
+        from composable_kernel_tpu.models.quantize import awq_search_scale
+
+        rng = np.random.default_rng(0)
+        k, n, g = 128, 64, 32
+        x = rng.normal(size=(256, k))
+        x[:, ::16] *= 50.0  # salient channels: classic AWQ setting
+        w = rng.normal(size=(k, n))
+        s, alpha = awq_search_scale(w, x, group_size=g, bits=4)
+        assert alpha > 0.0  # identity must lose on outlier activations
+
+        def err(sv):
+            qmax = 7
+            ws = w * sv[:, None]
+            wg = ws.reshape(k // g, g, n)
+            sc = np.maximum(np.abs(wg).max(axis=1) / qmax, 1e-8)
+            q = np.clip(np.round(wg / sc[:, None, :]), -8, 7)
+            deq = (q * sc[:, None, :]).reshape(k, n)
+            return np.sum((x @ w - (x / sv[None, :]) @ deq) ** 2)
+
+        assert err(s) < 0.7 * err(np.ones(k)), (err(s), err(np.ones(k)))
+
+    def test_awq_llama_tree_and_accuracy(self):
+        from composable_kernel_tpu.models.quantize import awq_quantize_llama
+
+        cfg_q = llama.tiny_config(dim=128, n_layers=2, n_heads=4,
+                                  n_kv_heads=2, ffn_dim=256, vocab_size=512,
+                                  max_seq_len=128, quant="w4a16",
+                                  group_size=64, dtype="float32")
+        params = llama.init_weights(CFG, jax.random.PRNGKey(7))
+        calib = np.random.default_rng(7).integers(0, 256, (4, 64)).astype(np.int32)
+        got = awq_quantize_llama(params, cfg_q, calib, n_grid=8,
+                                 use_gptq=False)
+        want = llama.quantize_weights(params, cfg_q)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(a.shape, b.shape),
+            got, want,
+        )
+        toks = jnp.asarray(
+            np.random.default_rng(8).integers(0, 256, (2, 32)), jnp.int32
+        )
+        lf = llama.forward(params, toks, CFG, kernels=False).astype(jnp.float32)
+        la = llama.forward(got, toks, cfg_q, kernels=False).astype(jnp.float32)
+        lr = llama.forward(want, toks, cfg_q, kernels=False).astype(jnp.float32)
+        err_awq = float(jnp.linalg.norm(la - lf))
+        err_rtn = float(jnp.linalg.norm(lr - lf))
+        # random tiny models have no salient channels, so parity (not a
+        # win) is the bar; the folds must at least not corrupt the model
+        assert err_awq < 1.3 * err_rtn, (err_awq, err_rtn)
+
+    def test_awq_gptq_composition_runs(self):
+        from composable_kernel_tpu.models.quantize import awq_quantize_llama
+
+        cfg_q = llama.tiny_config(dim=128, n_layers=1, n_heads=4,
+                                  n_kv_heads=2, ffn_dim=256, vocab_size=512,
+                                  max_seq_len=128, quant="w4a8",
+                                  group_size=64, dtype="float32")
+        base = llama.tiny_config(dim=128, n_layers=1, n_heads=4, n_kv_heads=2,
+                                 ffn_dim=256, vocab_size=512, max_seq_len=128,
+                                 quant="bf16", dtype="float32")
+        params = llama.init_weights(base, jax.random.PRNGKey(9))
+        calib = np.random.default_rng(9).integers(0, 256, (2, 48)).astype(np.int32)
+        got = awq_quantize_llama(params, cfg_q, calib, n_grid=4, use_gptq=True)
+        toks = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+        out = llama.forward(got, toks, cfg_q, kernels=False)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_gptq_w4a8_tree_and_ppl():
+    # GPTQ with the W4A8 pack layout: tree matches quantize_weights'
+    # w4a8 layout and the ppl pipeline runs end-to-end on it
+    from composable_kernel_tpu.models.quantize import gptq_quantize_llama
+
+    cfg_q = llama.tiny_config(dim=128, n_layers=2, n_heads=4, n_kv_heads=2,
+                              ffn_dim=256, vocab_size=512, max_seq_len=128,
+                              quant="w4a8", group_size=64, dtype="float32")
+    params = llama.init_weights(CFG, jax.random.PRNGKey(5))
+    calib = np.random.default_rng(5).integers(0, 256, (4, 64)).astype(np.int32)
+    got = gptq_quantize_llama(params, cfg_q, calib)
+    want = llama.quantize_weights(params, cfg_q)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a.shape, b.shape),
+        got, want,
+    )
+    toks = np.random.default_rng(6).integers(0, 256, 900).astype(np.int32)
+    p = perplexity(got, cfg_q, toks, seq_len=64, batch_size=4, kernels=False)
+    assert math.isfinite(p) and p > 0
+
+
 def test_gptq_fused_qkv_layout():
     from composable_kernel_tpu.models.quantize import gptq_quantize_llama
 

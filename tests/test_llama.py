@@ -120,6 +120,24 @@ class TestW4A8:
         assert got.shape == (2, 1, self.CFG.vocab_size)
         assert jnp.isfinite(got.astype(jnp.float32)).all()
 
+    def test_decode_batched_fused_norm_quant(self):
+        # the E2E decode path: fused rmsnorm_quant feeds pre-quantized
+        # tuples into the W4A8 linears; must track the unfused reference
+        qp = llama.quantize_weights(PARAMS_BF16, self.CFG)
+        toks = TOKENS[:, :16]
+        _, seeds = llama.forward(qp, toks, self.CFG, return_cache=True)
+        seeded = llama.seed_kv_cache(llama.init_kv_cache(self.CFG, 2), seeds, self.CFG)
+        nxt = TOKENS[:, 16:17]
+        pos = jnp.asarray([16, 16], jnp.int32)
+        got, _ = llama.decode_step_batched(qp, seeded, nxt, pos, self.CFG,
+                                           kernels=True)
+        want, _ = llama.decode_step_batched(qp, seeded, nxt, pos, self.CFG,
+                                            kernels=False)
+        g = np.asarray(got, np.float32)
+        w = np.asarray(want, np.float32)
+        rel = np.linalg.norm(g - w) / np.linalg.norm(w)
+        assert rel < 0.05, rel
+
 
 class TestFusedProjections:
     def test_fused_matches_unfused(self):

@@ -335,6 +335,67 @@ class TestSpeculativeBatched:
             assert list(np.asarray(got[i])) == list(np.asarray(want[0])), i
 
 
+class TestSpeculativeServing:
+    """Speculative engine outputs must match the plain greedy engine."""
+
+    def _make(self, draft_params, **kw):
+        from composable_kernel_tpu.runtime.serving import (
+            SpeculativeServingEngine,
+        )
+
+        return SpeculativeServingEngine(
+            PARAMS, CFG, draft_params, CFG, kernels=False, **kw
+        )
+
+    def test_self_draft_matches_isolated(self):
+        eng = self._make(PARAMS, batch_slots=2, spec_chunk=4)
+        req = Request(0, [5, 9, 2, 14], max_new_tokens=9)
+        eng.add(req)
+        steps = 0
+        while eng.pending():
+            eng.step()
+            steps += 1
+        assert req.output == _isolated_greedy([5, 9, 2, 14], 9)
+        # perfect draft: ~n/chunk rounds, not n steps
+        assert steps <= 4, steps
+        assert eng.stats["accepted"] > 0
+
+    def test_weak_draft_multi_slot_exact(self):
+        draft = llama.init_weights(CFG, jax.random.PRNGKey(99))
+        eng = self._make(draft, batch_slots=2, spec_chunk=3)
+        reqs = [
+            Request(0, [1, 2, 3], max_new_tokens=8),
+            Request(1, [7, 5], max_new_tokens=5),
+            Request(2, [9, 9, 1], max_new_tokens=6),  # queued behind slot
+        ]
+        for r in reqs:
+            eng.add(r)
+        while eng.pending():
+            eng.step()
+        assert reqs[0].output == _isolated_greedy([1, 2, 3], 8)
+        assert reqs[1].output == _isolated_greedy([7, 5], 5)
+        assert reqs[2].output == _isolated_greedy([9, 9, 1], 6)
+
+    def test_eos_mid_chunk(self):
+        # pick the eos from an isolated run's 3rd new token so it lands
+        # inside a speculative chunk
+        want = _isolated_greedy([3, 1, 4], 8)
+        eos = want[2]
+        eng = self._make(PARAMS, batch_slots=1, spec_chunk=4)
+        req = Request(0, [3, 1, 4], max_new_tokens=8, eos_id=eos)
+        eng.add(req)
+        while eng.pending():
+            eng.step()
+        assert req.output == want[: want.index(eos) + 1]
+
+    def test_sampling_rejected(self):
+        import pytest as _pytest
+
+        eng = self._make(PARAMS, batch_slots=1)
+        with _pytest.raises(AssertionError):
+            eng.add(Request(0, [1, 2], max_new_tokens=4, temperature=0.8))
+
+
 class TestSampling:
     def _logits(self):
         # sharply peaked: ids 0..4 dominate in order

@@ -162,6 +162,44 @@ class TestW4A8Gemm:
         assert rel < 0.01, rel
 
 
+class TestRmsnormQuant:
+    def test_matches_unfused(self):
+        from composable_kernel_tpu.ops.normalization import rmsnorm_quant
+
+        x = _rand(KEYS[0], (2, 3, 256), jnp.float32)
+        g = _rand(KEYS[1], (256,), jnp.float32) * 0.1 + 1.0
+        q, s = rmsnorm_quant(x, g, eps=1e-6)
+        assert q.shape == x.shape and q.dtype == jnp.int8
+        assert s.shape == (2, 3, 1)
+        # unfused reference: f32 rmsnorm then per-token quant
+        xf = x.astype(jnp.float32)
+        ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(ms + 1e-6) * g
+        want_q, want_s = rq.ref_quantize_act_token(y)
+        np.testing.assert_allclose(
+            np.asarray(s).ravel(), np.asarray(want_s).ravel(), rtol=1e-5
+        )
+        # +-1 quant-step agreement (rounding of identical f32 math)
+        diff = np.abs(
+            np.asarray(q, np.int32) - np.asarray(want_q, np.int32).reshape(q.shape)
+        )
+        assert diff.max() <= 1, diff.max()
+
+    def test_feeds_w4a8_gemm(self):
+        from composable_kernel_tpu.ops.normalization import rmsnorm_quant
+
+        m, n, k, g = 8, 256, 256, 128
+        x = _rand(KEYS[2], (m, k), jnp.float32)
+        gamma = jnp.ones((k,), jnp.float32)
+        w = _rand(KEYS[3], (k, n)) * 0.1
+        w_q, w_s = rq.ref_quantize_group(w, group_size=g, bits=4)
+        packed = dtypes.pack_int4_w4a8(w_q)
+        q, s = rmsnorm_quant(x, gamma)
+        got = w4a8_gemm(q, s, packed, w_s, group_size=g)
+        want = rq.ref_w4a8_gemm(q, s, w_q, w_s, group_size=g)
+        check_err(got, want)
+
+
 class TestQuantizeActToken:
     def test_matches_reference(self):
         x = _rand(KEYS[5], (16, 384), jnp.bfloat16)
