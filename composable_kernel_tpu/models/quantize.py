@@ -36,6 +36,7 @@ __all__ = [
     "awq_quantize_llama",
     "awq_search_scale",
     "gptq_matrix",
+    "gptq_quantize_gpt2",
     "gptq_quantize_llama",
 ]
 
@@ -449,4 +450,76 @@ def gptq_quantize_llama(params, cfg_q: llama.LlamaConfig, calib_tokens,
             np.asarray(params["lm_head"], np.float32),
             np.asarray(hf.reshape(b * s, -1)),
         )
+    return out
+
+
+def gptq_quantize_gpt2(params, cfg_q, calib_tokens, *, percdamp: float = 0.01):
+    """GPTQ for the GPT-2 family (models/gpt2.py).
+
+    Same layer-sequential flow as ``gptq_quantize_llama``, walking GPT-2's
+    four linears (w_qkv / w_proj / w_fc / w_out) with the f32 reference
+    activations (LayerNorm with bias, learned positions, fused-QKV single
+    Hessian — the c_attn weight ships fused, so one pass covers q/k/v).
+    The tied embedding head stays unquantized, matching
+    ``gpt2.quantize_weights``. Returns an interchangeable tree.
+    """
+    from composable_kernel_tpu.models import gpt2 as g2
+    from composable_kernel_tpu.ops import epilogues as ep
+
+    cfg = cfg_q
+    quant = _Quantizer(cfg, percdamp)  # duck-typed: quant/group_size/tp_pack
+    toks = jnp.asarray(calib_tokens, jnp.int32)
+    b, s = toks.shape
+    hd, nh = cfg.head_dim, cfg.n_heads
+
+    def ln(x, g, bta):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        return (xf - mu) * jax.lax.rsqrt(var + cfg.norm_eps) * g + bta
+
+    x = (
+        jnp.take(params["wte"], toks, axis=0)
+        + params["wpe"][None, :s]
+    ).astype(jnp.float32)
+
+    new_layers = []
+    for layer in params["layers"]:
+        new_l = dict(layer)
+        h1 = ln(x, layer["ln1_g"], layer["ln1_b"])
+        x1 = np.asarray(h1.reshape(b * s, -1))
+        new_l["w_qkv"], deq_qkv = quant(np.asarray(layer["w_qkv"], np.float32), x1)
+        qkv = x1 @ deq_qkv + np.asarray(layer["b_qkv"], np.float32)
+        q, k, v = np.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return jnp.asarray(t, jnp.float32).reshape(b, s, nh, hd).transpose(
+                0, 2, 1, 3
+            )
+
+        o = ref_attention(heads(q), heads(k), heads(v), causal=True,
+                          out_dtype=jnp.float32)
+        o2 = np.asarray(o.transpose(0, 2, 1, 3).reshape(b * s, -1))
+        new_l["w_proj"], deq_p = quant(np.asarray(layer["w_proj"], np.float32), o2)
+        x = x + jnp.asarray(
+            o2 @ deq_p + np.asarray(layer["b_proj"], np.float32), jnp.float32
+        ).reshape(b, s, -1)
+
+        h2 = ln(x, layer["ln2_g"], layer["ln2_b"])
+        x2 = np.asarray(h2.reshape(b * s, -1))
+        new_l["w_fc"], deq_fc = quant(np.asarray(layer["w_fc"], np.float32), x2)
+        hmid = np.asarray(
+            ep.fast_gelu(
+                jnp.asarray(x2 @ deq_fc + np.asarray(layer["b_fc"], np.float32),
+                            jnp.float32)
+            )
+        )
+        new_l["w_out"], deq_o = quant(np.asarray(layer["w_out"], np.float32), hmid)
+        x = x + jnp.asarray(
+            hmid @ deq_o + np.asarray(layer["b_out"], np.float32), jnp.float32
+        ).reshape(b, s, -1)
+        new_layers.append(new_l)
+
+    out = dict(params)
+    out["layers"] = new_layers
     return out
