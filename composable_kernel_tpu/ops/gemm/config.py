@@ -110,4 +110,9 @@ DEFAULT_GEMM_CONFIGS = [
     GemmConfig(16, 4096, 1024),
     GemmConfig(16, 3584, 1024),
     GemmConfig(32, 2048, 1024),
+    # W4A8 decode winners: ~3.5-4k N chunks + the scoped-VMEM raise
+    # (632-659 GB/s at Llama shapes, scripts/bench_w4a8.py sweeps)
+    GemmConfig(32, 3712, 1024, vmem_limit_mb=64),
+    GemmConfig(32, 3584, 1024, vmem_limit_mb=64),
+    GemmConfig(32, 4096, 1024, vmem_limit_mb=64),
 ]

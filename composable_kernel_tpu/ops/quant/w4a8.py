@@ -69,6 +69,43 @@ def quantize_act_token(x, qmax: int = 127):
     return x_q.astype(jnp.int8), s.astype(jnp.float32)
 
 
+def _w4a8_heuristic(m: int, n: int, k: int) -> GemmConfig:
+    """Measured-default blocks for the int8-MXU path (v5e sweeps).
+
+    Decode differs from the bf16-dequant kernel's whole-N preference:
+    W4A8's critical path is in-kernel compute (2 int8 ANDs + 2 dot sets),
+    not a convert, so it wants >=3-4 grid steps of N x K to pipeline DMA
+    under compute. Measured M=8 K=4096: N=11008 whole 586 vs bn=3712
+    632 GB/s; N=14336 bn=3584 659. Small N (<=4096) and deep K stay
+    whole-N (N=4096 K=11008: whole 489 vs split 397 — the long k-loop
+    already pipelines, splitting just re-runs the epilogue).
+    """
+    if m <= 64:
+        import os
+
+        mode = os.environ.get("CKT_W4A8_BN", "hybrid")
+        if n <= 4096 or mode == "whole" or (mode == "hybrid" and n > 32768):
+            from composable_kernel_tpu.ops.quant.api import _decode_bn
+
+            bn = _decode_bn(n) if n > 4096 else -(-n // 128) * 128
+        else:
+            nb = -(-n // 4096)
+            bn = -(-(-(-n // nb)) // 128) * 128
+        return GemmConfig(
+            block_m=32 if m <= 32 else 64, block_n=bn, block_k=1024,
+            vmem_limit_mb=80,
+        )
+    if m % 384 == 0 and 1024 <= n <= 4096 and n % 128 == 0:
+        # prefill: the int8 A tiles halve the VMEM of the bf16 kernel's, so
+        # a shallower M panel pipelines better (222 vs 218 TOPs at the
+        # 3840x4096x4096 headline vs the shared 768-row default)
+        return GemmConfig(block_m=384, block_n=n, block_k=1024,
+                          vmem_limit_mb=64)
+    from composable_kernel_tpu.ops.quant.api import _heuristic_config
+
+    return _heuristic_config(m, n, k)
+
+
 def _kernel_w4a8(
     a_lo_ref, a_hi_ref, b_ref, s_lo_ref, s_hi_ref, as_ref, *rest,
     n_ds, c_op, n_k_steps, s_rows, gsz, external_corr,
@@ -167,9 +204,7 @@ def w4a8_gemm(
     a_scales = jnp.asarray(a_scales, jnp.float32).reshape(m, 1)
 
     if config is None:
-        from composable_kernel_tpu.ops.quant.api import _heuristic_config
-
-        config = _heuristic_config(m, n, k)
+        config = _w4a8_heuristic(m, n, k)
     cfg = config.shrink_to(m, n, k)
     # int8 A blocks need 32-row sublane alignment
     bm = max(_I8_SUBLANES, -(-cfg.block_m // _I8_SUBLANES) * _I8_SUBLANES)

@@ -49,6 +49,25 @@ def test_tp_forward_quantized():
     check_err(got, want, rtol=6e-2, atol=6e-2)
 
 
+def test_tp_forward_w4a8():
+    # W4A8 leaves shard identically to w4a16 ({"q","s"} plan); each tp
+    # shard quantizes its local activations per-token and runs the
+    # int8-dot reference path; psum combines the row-parallel halves
+    cfg = llama.tiny_config(quant="w4a8", tp_pack=4)
+    qp = llama.quantize_weights(PARAMS, cfg)
+    mesh = make_mesh(tp=4, dp=2)
+    sharded = shard_params(qp, cfg, mesh)
+    got = tp_forward(sharded, TOKENS, cfg, mesh, kernels=False)
+    want = llama.forward(qp, TOKENS, cfg, kernels=False)
+    # per-shard activation quantization differs from the unsharded run
+    # (row-parallel shards see only their K-slice when computing the
+    # per-token absmax), so the gate is aggregate, not pointwise
+    g = np.asarray(got, np.float32)
+    w = np.asarray(want, np.float32)
+    rel = np.linalg.norm(g - w) / np.linalg.norm(w)
+    assert rel < 0.06, rel
+
+
 def test_tp_decode_parity():
     mesh = make_mesh(tp=4, dp=2)
     sharded = shard_params(PARAMS, CFG, mesh)
