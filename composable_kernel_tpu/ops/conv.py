@@ -36,6 +36,7 @@ __all__ = [
     "conv_bwd_data",
     "conv_bwd_weight",
     "conv_int8",
+    "conv_w4a8_gemm",
     "conv_wo_quant",
     "conv_wo_quant_gemm",
     "quantize_conv_filter",
@@ -202,7 +203,62 @@ def conv_wo_quant(
     )
 
 
-def quantize_conv_filter(filt, *, group_size=None, bits=4):
+def conv_w4a8_gemm(
+    x,
+    w_packed,
+    scales,
+    ds=(),
+    *,
+    filter_shape,
+    strides=None,
+    dilations=None,
+    padding=None,
+    group_size,
+    c_op=None,
+    out_dtype=None,
+    config=None,
+    interpret=None,
+):
+    """Fully-quantized conv on the int8 MXU: im2col -> per-patch int8
+    activation quant -> W4A8 GEMM (ops/quant/w4a8.py).
+
+    The conv composition of the W4A8 path: each im2col row (one output
+    position's receptive field) gets its own int8 scale, the int4 filter
+    streams packed (``quantize_conv_filter(..., pack="w4a8")``), and the
+    dots run on the int8 MXU. Pad rows of the pack-aligned K contribute
+    exactly zero (the offset correction sums the zero activation columns).
+    CK analog: the int8 conv examples (example/40) + the dequant-transfer
+    conv, fused one level further.
+    """
+    from composable_kernel_tpu.ops.quant import quantize_act_token, w4a8_gemm
+    from composable_kernel_tpu.ops.tensor_ops import (
+        _conv_geometry,
+        image_to_column,
+    )
+
+    ndim = x.ndim - 2
+    strides, dilations, padding = _norm_args(ndim, strides, dilations, padding)
+    assert not isinstance(padding, str), "explicit pads only on the GEMM route"
+    cols = image_to_column(
+        x, filter_shape, strides=strides, dilations=dilations, pads=padding
+    )
+    k_w = w_packed.shape[0] * 2
+    if cols.shape[1] < k_w:
+        cols = jnp.pad(cols, ((0, 0), (0, k_w - cols.shape[1])))
+    cols_q, cols_s = quantize_act_token(cols)
+    out = w4a8_gemm(
+        cols_q, cols_s, w_packed, scales, ds,
+        group_size=group_size, c_op=c_op,
+        out_dtype=out_dtype or x.dtype, config=config, interpret=interpret,
+    )
+    out_sp = _conv_geometry(
+        x.shape[1:-1], filter_shape, strides, dilations,
+        [p[0] for p in padding], [p[1] for p in padding],
+    )
+    return out.reshape(x.shape[0], *out_sp, out.shape[-1])
+
+
+def quantize_conv_filter(filt, *, group_size=None, bits=4, pack="w4a16"):
     """Flatten an HWIO filter to GEMM rows and quantize for the explicit-
     GEMM conv route, padding K = prod(filter)*C up to the packed-int4
     alignment (the split-halves layout needs each half 128-row aligned;
@@ -232,7 +288,8 @@ def quantize_conv_filter(filt, *, group_size=None, bits=4):
     k_pad = -(-k_flat // align) * align
     wf = jnp.pad(wf, ((0, k_pad - k_flat), (0, 0)))
     w_q, s = ref_quantize_group(wf, group_size=g, bits=4)
-    return dtypes.pack_int4(w_q, axis=0), s
+    pack_fn = dtypes.pack_int4 if pack == "w4a16" else dtypes.pack_int4_w4a8
+    return pack_fn(w_q, axis=0), s
 
 
 def conv_wo_quant_gemm(

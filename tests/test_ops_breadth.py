@@ -404,3 +404,41 @@ def test_conv_wo_quant_gemm_in_kernel_dequant():
            * jnp.repeat(s4, g, axis=0))[: fh * fw * c].reshape(fh, fw, c, k)
     want4 = conv_fwd(x, deq.astype(x.dtype), padding=((1, 1), (1, 1)))
     check_err(got4, want4, rtol=5e-2, atol=0.5)
+
+
+def test_conv_w4a8_gemm():
+    """Fully-quantized W4A8 conv (per-patch int8 acts + int4 filter on the
+    int8 MXU) tracks the W4A16 explicit-GEMM conv."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from composable_kernel_tpu.ops.conv import (
+        conv_w4a8_gemm,
+        conv_wo_quant_gemm,
+        quantize_conv_filter,
+    )
+
+    n, h, w_sp, c, k = 2, 8, 8, 32, 64
+    fh = fw = 3
+    g = 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w_sp, c), jnp.float32)
+    filt = jax.random.normal(jax.random.PRNGKey(1), (fh, fw, c, k), jnp.float32) * 0.1
+
+    pk8, s = quantize_conv_filter(filt, group_size=g, bits=4, pack="w4a8")
+    got = conv_w4a8_gemm(
+        x, pk8, s, filter_shape=(fh, fw), group_size=g,
+        padding=((1, 1), (1, 1)), out_dtype=jnp.float32,
+    )
+    pk16, s16 = quantize_conv_filter(filt, group_size=g, bits=4)
+    want = conv_wo_quant_gemm(
+        x.astype(jnp.bfloat16), pk16, s16, filter_shape=(fh, fw),
+        group_size=g, packed_int4=True, padding=((1, 1), (1, 1)),
+        out_dtype=jnp.float32,
+    )
+    assert got.shape == want.shape == (n, h, w_sp, k)
+    gA, wA = np.asarray(got), np.asarray(want)
+    rel = np.linalg.norm(gA - wA) / np.linalg.norm(wA)
+    # identical W4 error cancels; the per-patch int8 activation quant and
+    # the bf16 activations of the reference both contribute ~1e-2
+    assert rel < 0.03, rel
