@@ -58,25 +58,46 @@ def init_moe_weights(cfg: MoEConfig, key):
     }
 
 
-def quantize_moe_weights(weights, bits: int = 8):
-    """Per-expert per-channel int8 quantization of the expert stacks.
+def quantize_moe_weights(weights, bits: int = 8, *, mode: str = "w8a16",
+                         group_size: int = 128):
+    """Per-expert quantization of the expert stacks.
 
-    Each w_* leaf [E, K, N] becomes {"q": int8 [E, K, N], "s": f32 [E, N]};
-    the router stays full precision (it is tiny and decides routing).
-    moe_block_ragged consumes the result via the grouped dequant GEMM
-    (CK 31_grouped_gemm_bf16Aint8B analog). W8A16 is near-lossless for
-    experts (see the model-level ppl table in docs/performance.md).
+    mode="w8a16" (default): per-channel int8 — each w_* leaf [E, K, N]
+    becomes {"q": int8 [E, K, N], "s": f32 [E, N]}; near-lossless for
+    experts (model-level ppl table in docs/performance.md).
+    mode="w4a8": group-wise int4 in the AND-only pack
+    (dtypes.pack_int4_w4a8) for the int8-MXU grouped GEMM — leaves become
+    {"q": int8 [E, K//2, N], "s": f32 [E, K//g, N], "gs": g}. The router
+    stays full precision (tiny, decides routing).
     """
-    from composable_kernel_tpu.reference.quant import ref_quantize_per_channel
+    from composable_kernel_tpu import dtypes
+    from composable_kernel_tpu.reference.quant import (
+        ref_quantize_group,
+        ref_quantize_per_channel,
+    )
 
     out = {"router": weights["router"]}
     for name in ("w_gate", "w_up", "w_down"):
         w = weights[name]
-        qs = [ref_quantize_per_channel(w[i], bits=bits) for i in range(w.shape[0])]
-        out[name] = {
-            "q": jnp.stack([q for q, _ in qs]),
-            "s": jnp.stack([sc for _, sc in qs]),
-        }
+        if mode == "w4a8":
+            qs = [
+                ref_quantize_group(w[i], group_size=group_size, bits=4)
+                for i in range(w.shape[0])
+            ]
+            out[name] = {
+                "q": jnp.stack([dtypes.pack_int4_w4a8(q) for q, _ in qs]),
+                "s": jnp.stack([sc for _, sc in qs]),
+                "gs": group_size,
+            }
+        else:
+            qs = [
+                ref_quantize_per_channel(w[i], bits=bits)
+                for i in range(w.shape[0])
+            ]
+            out[name] = {
+                "q": jnp.stack([q for q, _ in qs]),
+                "s": jnp.stack([sc for _, sc in qs]),
+            }
     return out
 
 
@@ -120,6 +141,31 @@ def moe_block(x, weights, cfg: MoEConfig, *, ep_axis=None):
     return out.astype(x.dtype)
 
 
+def _run_grouped(counts, a_in, wstack, cfg_g, interpret):
+    """One grouped GEMM over per-expert row blocks, dispatched on the
+    expert-stack quantization: W4A8 packed-int4 ({"q","s","gs"}, int8-MXU
+    path), W8A16 per-channel int8 ({"q","s"}), or full precision."""
+    if isinstance(wstack, dict) and "gs" in wstack:
+        from composable_kernel_tpu.ops.gemm.ragged import ragged_w4a8_gemm
+        from composable_kernel_tpu.ops.quant import quantize_act_token
+
+        a_q, a_s = quantize_act_token(a_in)
+        return ragged_w4a8_gemm(
+            counts, a_q, a_s, wstack["q"], wstack["s"],
+            group_size=wstack["gs"], out_dtype=jnp.float32,
+            config=cfg_g, interpret=interpret,
+        )
+    if isinstance(wstack, dict):
+        return grouped_gemm(
+            counts, a_in, wstack["q"], scales=wstack["s"],
+            out_dtype=jnp.float32, config=cfg_g, interpret=interpret,
+        )
+    return grouped_gemm(
+        counts, a_in, wstack, out_dtype=jnp.float32, config=cfg_g,
+        interpret=interpret,
+    )
+
+
 def moe_block_ragged(x, weights, cfg: MoEConfig, *, block_m: int = 16,
                      interpret=None):
     """Sorted-dispatch MoE on the ragged grouped GEMM (single device).
@@ -145,15 +191,7 @@ def moe_block_ragged(x, weights, cfg: MoEConfig, *, block_m: int = 16,
     cfg_g = GemmConfig(block_m=block_m, block_n=512, block_k=512)
 
     def run(wstack, a_in):
-        if isinstance(wstack, dict):  # quantized {"q","s"} expert stack
-            return grouped_gemm(
-                counts, a_in, wstack["q"], scales=wstack["s"],
-                out_dtype=jnp.float32, config=cfg_g, interpret=interpret,
-            )
-        return grouped_gemm(
-            counts, a_in, wstack, out_dtype=jnp.float32, config=cfg_g,
-            interpret=interpret,
-        )
+        return _run_grouped(counts, a_in, wstack, cfg_g, interpret)
 
     g = run(weights["w_gate"], a)
     u = run(weights["w_up"], a)
@@ -223,15 +261,7 @@ def moe_block_ep(x, weights, cfg: MoEConfig, *, ep_axis, capacity=None,
     cfg_g = GemmConfig(block_m=block_m, block_n=512, block_k=512)
 
     def run(wstack, a_in):
-        if isinstance(wstack, dict):  # quantized {"q","s"} expert stack
-            return grouped_gemm(
-                counts, a_in, wstack["q"], scales=wstack["s"],
-                out_dtype=jnp.float32, config=cfg_g, interpret=interpret,
-            )
-        return grouped_gemm(
-            counts, a_in, wstack, out_dtype=jnp.float32, config=cfg_g,
-            interpret=interpret,
-        )
+        return _run_grouped(counts, a_in, wstack, cfg_g, interpret)
 
     g = run(weights["w_gate"], a)
     u = run(weights["w_up"], a)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from composable_kernel_tpu import indexing
 from composable_kernel_tpu.ops.gemm.config import GemmConfig
 from composable_kernel_tpu.ops.gemm.kernel import (
     _interpret_default,
@@ -179,5 +180,184 @@ def ragged_gemm(
         ),
         interpret=interpret,
     )(tbl, *inputs)
+
+    return out[:m, :n]
+
+
+# ------------------------------------------------------- W4A8 grouped ------
+
+
+def _ragged_w4a8_kernel(tbl_ref, a_lo_ref, a_hi_ref, b_ref, s_lo_ref,
+                        s_hi_ref, as_ref, out_ref, acc_ref, *,
+                        n_k_steps, c_op, bm, bn, s_rows, gsz):
+    """Grouped W4A8: per-expert packed-int4 B on the int8 MXU.
+
+    Same step-table walk as ``_ragged_kernel``; per K-step the AND-only
+    nibble extraction + per-group int8 dots + inline offset correction of
+    ``ops/quant/w4a8.py``. s_hi rows are pre-divided by 16 on the host.
+    """
+    s = pl.program_id(1)
+    k_idx = pl.program_id(2)
+    live = tbl_ref[2, s] < tbl_ref[3, s]
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(live)
+    def _step():
+        packed = b_ref[0]
+        l8 = packed & jnp.int8(0x0F)
+        h16 = packed & jnp.int8(-16)
+        a_lo = a_lo_ref[...]
+        a_hi = a_hi_ref[...]
+        acc = acc_ref[...]
+        for r in range(s_rows):
+            ks = slice(r * gsz, (r + 1) * gsz)
+            sl = s_lo_ref[0, r : r + 1]
+            sh = s_hi_ref[0, r : r + 1]
+            a_lo_r = a_lo[:, ks]
+            d_lo = jnp.dot(a_lo_r, l8[ks], preferred_element_type=jnp.int32)
+            d_hi = jnp.dot(a_hi[:, ks], h16[ks], preferred_element_type=jnp.int32)
+            rs = jnp.sum(a_lo_r.astype(jnp.int32), axis=1, keepdims=True)
+            acc = acc + (
+                (d_lo - 8 * rs).astype(jnp.float32) * sl
+                + d_hi.astype(jnp.float32) * sh
+            )
+        acc_ref[...] = acc
+
+    @pl.when(k_idx == n_k_steps - 1)
+    def _finish():
+        acc = acc_ref[...] * as_ref[...]
+        if c_op is not None:
+            acc = c_op(acc)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+        mask = (rows >= tbl_ref[2, s]) & (rows < tbl_ref[3, s])
+        out_ref[...] = jnp.where(mask, acc.astype(out_ref.dtype), out_ref[...])
+
+
+def ragged_w4a8_gemm(
+    group_sizes,
+    a_q,
+    a_scales,
+    b_packed,
+    scales,
+    *,
+    group_size: int,
+    c_op=None,
+    out_dtype=jnp.bfloat16,
+    config: GemmConfig | None = None,
+    interpret: bool | None = None,
+):
+    """Grouped W4A8 GEMM: per-expert int4 weights x per-token int8 acts.
+
+    The MoE decode composition of the W4A8 path (CK analog: grouped
+    fixed-NK x the fpAintB dequant — client 31 with the offset-binary
+    int8-MXU layout). Arbitrary device-side ``group_sizes`` as in
+    :func:`ragged_gemm`.
+
+    a_q:      [sum_M, K] int8 (``quantize_act_token``)
+    a_scales: [sum_M] or [sum_M, 1] f32
+    b_packed: [G, K//2, N] int8, per-expert ``dtypes.pack_int4_w4a8``
+    scales:   [G, K//group_size, N] f32
+    """
+    m, k = a_q.shape
+    g, kb, n = b_packed.shape
+    assert kb * 2 == k, (kb, k)
+    assert k % group_size == 0
+    assert scales.shape == (g, k // group_size, n), scales.shape
+    if interpret is None:
+        interpret = _interpret_default()
+    a_scales = jnp.asarray(a_scales, jnp.float32).reshape(m, 1)
+    scales = jnp.asarray(scales, jnp.float32)
+
+    cfg = config or GemmConfig(
+        block_m=128, block_n=min(1024, _ceil_mult(n, 128)), block_k=1024,
+    )
+    bm = max(32, min(_ceil_mult(cfg.block_m, 32), _ceil_mult(m, 32)))
+    bn = max(128, min(cfg.block_n, _ceil_mult(n, 128)))
+    half_seg = kb
+    bpk = indexing.fit_packed_block(
+        cfg.block_k // 2 if cfg.block_k // 2 >= 128 else cfg.block_k,
+        half_seg, group_size,
+    )
+    n_k_steps = kb // bpk
+    s_rows = max(1, bpk // group_size)
+    gsz = bpk // s_rows
+
+    a_p = pad_to(a_q, (bm, None))
+    as_p = pad_to(a_scales, (bm, None))
+    b_p = pad_to(b_packed, (0, None, bn))
+    mp = a_p.shape[0]
+    np_ = b_p.shape[2]
+    n_m_tiles = mp // bm
+
+    # per-expert per-K-step scale blocks (lo rows; hi rows pre-divided by
+    # 16), 8-row aligned: [G, n_k_steps * srb, Np]
+    s_pad = pad_to(scales, (0, None, bn))
+    lo_starts, hi_starts = indexing.split_halves_scale_starts(
+        n_k_steps, bpk, half_seg, group_size
+    )
+    idx, srb = indexing.group_scale_row_table(lo_starts, s_rows)
+    s_lo = jnp.take(s_pad, jnp.asarray(idx), axis=1)
+    idx_h, _ = indexing.group_scale_row_table(hi_starts, s_rows)
+    s_hi = jnp.take(s_pad * (1.0 / 16.0), jnp.asarray(idx_h), axis=1)
+
+    tbl = _step_table(group_sizes, n_m_tiles, bm, g, mp)
+    n_steps = tbl.shape[1]
+
+    kernel = functools.partial(
+        _ragged_w4a8_kernel, n_k_steps=n_k_steps, c_op=c_op, bm=bm, bn=bn,
+        s_rows=s_rows, gsz=gsz,
+    )
+    scale_spec = lambda: pl.BlockSpec(
+        (1, srb, bn), lambda j, s, kk, tbl: (tbl[1, s], kk, j),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(np_ // bn, n_steps, n_k_steps),
+            in_specs=[
+                pl.BlockSpec(
+                    (bm, bpk),
+                    lambda j, s, kk, tbl: (
+                        tbl[0, s],
+                        indexing.split_halves_a_block(kk, bpk, half_seg, hi=False),
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (bm, bpk),
+                    lambda j, s, kk, tbl: (
+                        tbl[0, s],
+                        indexing.split_halves_a_block(kk, bpk, half_seg, hi=True),
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, bpk, bn), lambda j, s, kk, tbl: (tbl[1, s], kk, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                scale_spec(),
+                scale_spec(),
+                pl.BlockSpec(
+                    (bm, 1), lambda j, s, kk, tbl: (tbl[0, s], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda j, s, kk, tbl: (tbl[0, s], j),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(tbl, a_p, a_p, b_p, s_lo, s_hi, as_p)
 
     return out[:m, :n]

@@ -183,3 +183,39 @@ def test_grouped_gemm_wo_quant_int8():
         err = np.abs(got_i - want).max() / (np.abs(want).max() + 1e-9)
         assert err < 3e-2, (i, err)
         lo += sz
+
+
+def test_grouped_gemm_w4a8():
+    """Grouped W4A8: per-expert int4 on the int8 MXU, arbitrary sizes."""
+    import numpy as np
+
+    from composable_kernel_tpu import dtypes
+    from composable_kernel_tpu.ops.gemm.ragged import ragged_w4a8_gemm
+    from composable_kernel_tpu.ops.quant import quantize_act_token
+    from composable_kernel_tpu.reference.quant import (
+        ref_quantize_group,
+        ref_w4a8_gemm,
+    )
+
+    g_n, k, n, gs = 3, 256, 256, 128
+    sizes = [40, 17, 71]
+    a = jax.random.normal(jax.random.PRNGKey(0), (sum(sizes), k), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (g_n, k, n), jnp.float32) * 0.1
+    a_q, a_s = quantize_act_token(a)
+    qs = [ref_quantize_group(w[i], group_size=gs, bits=4) for i in range(g_n)]
+    b_packed = jnp.stack([dtypes.pack_int4_w4a8(q) for q, _ in qs])
+    scales = jnp.stack([s for _, s in qs])
+
+    got = ragged_w4a8_gemm(
+        jnp.asarray(sizes, jnp.int32), a_q, a_s, b_packed, scales,
+        group_size=gs, out_dtype=jnp.float32,
+        config=GemmConfig(block_m=32, block_n=128, block_k=256),
+    )
+    offs = np.cumsum([0] + sizes)
+    for i in range(g_n):
+        want = ref_w4a8_gemm(
+            a_q[offs[i] : offs[i + 1]], a_s[offs[i] : offs[i + 1]],
+            qs[i][0], qs[i][1], group_size=gs, out_dtype=jnp.float32,
+        )
+        check_err(got[offs[i] : offs[i + 1]], want, rtol=1e-4, atol=1e-4,
+                  msg=f"group {i}")

@@ -150,3 +150,39 @@ def test_moe_quantized_experts():
     got = moe_block_ragged(x, qw, cfg)
     want = moe_block_ragged(x, weights, cfg)
     check_err(got, want, rtol=4e-2, atol=4e-2)
+
+
+def test_moe_w4a8_experts():
+    """W4A8 expert stacks (int4 weights + per-token int8 acts on the
+    grouped int8-MXU GEMM) stay close to the bf16 MoE."""
+    import numpy as np
+
+    from composable_kernel_tpu.models.moe import (
+        MoEConfig, init_moe_weights, moe_block_ragged, quantize_moe_weights,
+    )
+
+    cfg = MoEConfig(dim=128, ffn_dim=256, n_experts=4, top_k=2,
+                    dtype="float32")
+    weights = init_moe_weights(cfg, jax.random.PRNGKey(0))
+    qw = quantize_moe_weights(weights, mode="w4a8", group_size=64)
+    assert qw["w_gate"]["q"].shape == (4, 64, 256)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, cfg.dim), jnp.float32)
+    got = np.asarray(moe_block_ragged(x, qw, cfg), np.float32)
+
+    # golden: the SAME int4 weights dequantized to full precision, through
+    # the unquantized path — the (large, ~0.2 on gaussian weights) shared
+    # W4 g=64 error cancels, leaving only the per-token int8 activation
+    # quantization to bound
+    from composable_kernel_tpu import dtypes
+
+    deq = {"router": weights["router"]}
+    for name in ("w_gate", "w_up", "w_down"):
+        q, s, g = qw[name]["q"], qw[name]["s"], qw[name]["gs"]
+        stack = []
+        for i in range(q.shape[0]):
+            wi = dtypes.unpack_int4_w4a8(q[i]).astype(jnp.float32)
+            stack.append(wi * jnp.repeat(s[i], g, axis=0))
+        deq[name] = jnp.stack(stack)
+    want = np.asarray(moe_block_ragged(x, deq, cfg), np.float32)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.02, rel
