@@ -51,6 +51,8 @@ class LlamaConfig:
     # "bf16" | "int8" (per-channel W8A16) | "w4a16" (group-wise packed int4)
     # | "w4a8" (group-wise int4 weights + per-token int8 activations on the
     #   int8 MXU — AND-only unpack, see ops/quant/w4a8.py)
+    # | "w8a8" (per-channel int8 weights + per-token int8 activations —
+    #   the SmoothQuant-style dynamic path, same leaves as "int8")
     quant: str = "w4a16"
     group_size: int = 128
     # int4 pack segmentation for row-parallel weights (wo/w_down): pack in
@@ -202,7 +204,7 @@ def quantize_weights(params: dict, cfg: LlamaConfig) -> dict:
         return params
 
     def quant_one(w, row_parallel=False):
-        if cfg.quant == "int8":
+        if cfg.quant in ("int8", "w8a8"):
             w_q, s = ref_quantize_per_channel(w, bits=8)
             return {"q": w_q, "s": s}
         if cfg.quant in ("w4a16", "w4a8"):
@@ -256,6 +258,37 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
         if cfg.quant in ("w4a16", "w4a8") and global_k is not None:
             k_local = (x[0] if isinstance(x, tuple) else x).shape[-1]
             pack_blocks = max(1, cfg.tp_pack * k_local // global_k)
+        if cfg.quant == "w8a8":
+            from composable_kernel_tpu.ops.quant import (
+                quantize_act_token,
+                w8a8_gemm,
+            )
+
+            if not kernels:
+                # reference: exact int32 dot + both scale families in f32
+                x_f = x[0].astype(jnp.float32) if isinstance(x, tuple) else None
+                if isinstance(x, tuple):
+                    x_q, x_s = x
+                else:
+                    from composable_kernel_tpu.reference.quant import (
+                        ref_quantize_act_token,
+                    )
+
+                    x_q, x_s = ref_quantize_act_token(x)
+                acc = jnp.matmul(
+                    x_q.astype(jnp.int32), w["q"].astype(jnp.int32),
+                    preferred_element_type=jnp.int32,
+                )
+                out = acc.astype(jnp.float32) * jnp.asarray(w["s"], jnp.float32)
+                return (out * x_s).astype(cfg.jdtype)
+            if isinstance(x, tuple):
+                x_q, x_s = x
+            else:
+                x_q, x_s = quantize_act_token(x)
+            return w8a8_gemm(
+                x_q, x_s, w["q"], w["s"], out_dtype=cfg.jdtype,
+                interpret=interpret,
+            )
         if cfg.quant == "w4a8":
             from composable_kernel_tpu.ops.quant import (
                 quantize_act_token,
@@ -687,7 +720,7 @@ def _decode_layer(
             )
         )(c, new, positions)
 
-    if cfg.quant == "w4a8" and kernels:
+    if cfg.quant in ("w4a8", "w8a8") and kernels:
         x2 = _norm_quant_2d(x, layer["attn_norm"], cfg, interpret)
     else:
         h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
@@ -744,7 +777,7 @@ def _decode_layer(
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
     x = x + o.reshape(b, s, -1)
-    if cfg.quant == "w4a8" and kernels:
+    if cfg.quant in ("w4a8", "w8a8") and kernels:
         x2f = _norm_quant_2d(x, layer["ffn_norm"], cfg, interpret)
         x = x + _ffn_core(
             x2f, (b, s, x.shape[-1]), layer, cfg,
@@ -791,7 +824,7 @@ def decode_step_batched(
         )
         new_cache.append(kv)
 
-    if cfg.quant == "w4a8" and kernels and isinstance(params["lm_head"], dict):
+    if (cfg.quant in ("w4a8", "w8a8") and kernels and isinstance(params["lm_head"], dict)):
         x2 = _norm_quant_2d(x, params["norm"], cfg, interpret)
         logits = _linear(x2, params["lm_head"], cfg, interpret, kernels)
     else:

@@ -52,7 +52,7 @@ from composable_kernel_tpu.ops.gemm.kernel import (
 )
 from composable_kernel_tpu.ops.quant.kernel import _expand_group_scales
 
-__all__ = ["w4a8_gemm", "quantize_act_token"]
+__all__ = ["quantize_act_token", "w4a8_gemm", "w8a8_gemm"]
 
 _I8_SUBLANES = 32  # int8 sublane tile: i8 blocks need 32-row alignment
 
@@ -356,3 +356,61 @@ def w4a8_gemm(
     if (mp, np_) != (m, n):
         out = out[:m, :n]
     return out
+
+
+def w8a8_gemm(
+    a_q,
+    a_scales,
+    b_q,
+    w_scales,
+    ds=(),
+    *,
+    config: GemmConfig | None = None,
+    c_op=None,
+    out_dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+):
+    """Dynamic W8A8 GEMM: per-token int8 activations x per-channel int8
+    weights on the int8 MXU (the SmoothQuant-style serving path).
+
+    One full-K int8 dot with int32 accumulation (``pallas_gemm``'s native
+    int path — no unpack, no per-group work); both scale families commute
+    with the K reduction, so the per-channel weight scale lands on the
+    accumulator in-kernel and the per-token scale folds into the output
+    epilogue outside (XLA fuses it with the slice). CK analogs:
+    example/14_gemm_quantization's acc*scale requant, at per-token rather
+    than per-tensor granularity (quantization_operation.hpp:25-251).
+
+    a_q:      [M, K] int8 (``quantize_act_token``)
+    a_scales: [M] or [M, 1] f32
+    b_q:      [K, N] int8
+    w_scales: [N] f32 per-output-channel
+    """
+    from composable_kernel_tpu.ops.gemm.kernel import pallas_gemm
+
+    m, k = a_q.shape
+    n = b_q.shape[1]
+    assert jnp.dtype(a_q.dtype) == jnp.int8 and jnp.dtype(b_q.dtype) == jnp.int8
+    assert w_scales.shape == (n,), w_scales.shape
+    a_scales = jnp.asarray(a_scales, jnp.float32).reshape(m, 1)
+    ws = jnp.asarray(w_scales, jnp.float32)
+
+    if config is None:
+        config = _w4a8_heuristic(m, n, k).replace(
+            # full-size int8 B (no packing): halve block_k to keep the
+            # same byte footprint per step as the packed-int4 tiles
+            block_k=max(512, _w4a8_heuristic(m, n, k).block_k // 2)
+        )
+
+    def scale_op(acc, ws_row, *rest):
+        out = acc.astype(jnp.float32) * ws_row
+        if c_op is not None:
+            out = c_op(out, *rest)
+        return out
+
+    out = pallas_gemm(
+        a_q, b_q, (ws, *ds),
+        config=config, c_op=scale_op, out_dtype=jnp.float32,
+        interpret=interpret,
+    )
+    return (out * a_scales).astype(out_dtype)

@@ -277,6 +277,46 @@ def profile_w4a8_gemm(ns):
     )
 
 
+@register("w8a8_gemm")
+def profile_w8a8_gemm(ns):
+    """Per-channel INT8 weight x per-token INT8 activation GEMM (the
+    SmoothQuant-style dynamic path, ops/quant/w4a8.py::w8a8_gemm).
+    Verification: host f64 on exact integer dots."""
+    jax, jnp, on_tpu = _env()
+    import numpy as np
+
+    from composable_kernel_tpu.ops.quant import quantize_act_token, w8a8_gemm
+    from composable_kernel_tpu.reference.quant import ref_quantize_per_channel
+    from composable_kernel_tpu.tuning.registry import registry
+
+    m, n, k = ns.m, ns.n, ns.k
+    a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32) * 0.1
+    a_q, a_s = quantize_act_token(a)
+    w_q, s = ref_quantize_per_channel(w, bits=8)
+    want = None
+    if ns.verify:
+        acc = np.asarray(a_q, np.int64) @ np.asarray(w_q, np.int64)
+        want = (acc.astype(np.float64) * np.asarray(s, np.float64)[None, :]
+                ) * np.asarray(a_s, np.float64).reshape(-1, 1)
+    cfgs = registry.get_instances("int8_gemm", m, n, k)
+    print(f"w8a8_gemm i8xi8 {m}x{n}x{k}: {len(cfgs)} instances")
+    _run_instances(
+        cfgs,
+        lambda cfg: (
+            lambda aq_, as_, b_, s_: w8a8_gemm(
+                aq_, as_, b_, s_, config=cfg,
+                out_dtype=jnp.float32, interpret=not on_tpu,
+            )
+        ),
+        (a_q, a_s, w_q, s),
+        want,
+        _check_rel(1e-4),
+        2.0 * m * n * k,
+        on_tpu,
+    )
+
+
 @register("attention")
 def profile_attention(ns):
     jax, jnp, on_tpu = _env()

@@ -139,6 +139,42 @@ class TestW4A8:
         assert rel < 0.05, rel
 
 
+class TestW8A8:
+    CFG = llama.tiny_config(quant="w8a8")
+
+    def test_kernel_vs_reference_path(self):
+        qp = llama.quantize_weights(PARAMS_BF16, self.CFG)
+        got = llama.forward(qp, TOKENS, self.CFG, kernels=True).astype(jnp.float32)
+        want = llama.forward(qp, TOKENS, self.CFG, kernels=False).astype(jnp.float32)
+        rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+        assert rel < 0.05, rel
+
+    def test_close_to_int8_weight_only(self):
+        # per-token int8 activations add little on top of the shared W8 error
+        qp8 = llama.quantize_weights(PARAMS_BF16, self.CFG)
+        qpw = llama.quantize_weights(PARAMS_BF16, CFG_I8)
+        l8 = llama.forward(qp8, TOKENS, self.CFG, kernels=False).astype(jnp.float32)
+        lw = llama.forward(qpw, TOKENS, CFG_I8, kernels=False).astype(jnp.float32)
+        rel = float(jnp.linalg.norm(l8 - lw) / jnp.maximum(jnp.linalg.norm(lw), 1e-9))
+        assert rel < 0.05, rel
+
+    def test_decode_batched_fused_norm_quant(self):
+        qp = llama.quantize_weights(PARAMS_BF16, self.CFG)
+        toks = TOKENS[:, :16]
+        _, seeds = llama.forward(qp, toks, self.CFG, return_cache=True)
+        seeded = llama.seed_kv_cache(llama.init_kv_cache(self.CFG, 2), seeds, self.CFG)
+        nxt = TOKENS[:, 16:17]
+        pos = jnp.asarray([16, 16], jnp.int32)
+        got, _ = llama.decode_step_batched(qp, seeded, nxt, pos, self.CFG,
+                                           kernels=True)
+        want, _ = llama.decode_step_batched(qp, seeded, nxt, pos, self.CFG,
+                                            kernels=False)
+        g = np.asarray(got, np.float32)
+        w = np.asarray(want, np.float32)
+        rel = np.linalg.norm(g - w) / np.linalg.norm(w)
+        assert rel < 0.05, rel
+
+
 class TestFusedProjections:
     def test_fused_matches_unfused(self):
         cfg_f = llama.tiny_config(quant="w4a16", fuse_qkv=True)

@@ -215,3 +215,60 @@ class TestQuantizeActToken:
         rec = q.astype(jnp.float32) * s
         rel = jnp.linalg.norm(rec - x) / jnp.linalg.norm(x)
         assert float(rel) < 0.01
+
+
+class TestW8A8Gemm:
+    def test_matches_f64_reference(self):
+        from composable_kernel_tpu.ops.quant import w8a8_gemm
+
+        m, n, k = 16, 384, 512
+        a = _rand(KEYS[0], (m, k))
+        w = _rand(KEYS[1], (k, n)) * 0.1
+        a_q, a_s = quantize_act_token(a)
+        w_q, w_s = rq.ref_quantize_per_channel(w, bits=8)
+        got = np.asarray(
+            w8a8_gemm(a_q, a_s, w_q, w_s, out_dtype=jnp.float32)
+        )
+        want = (
+            np.asarray(a_q, np.int64) @ np.asarray(w_q, np.int64)
+        ).astype(np.float64) * np.asarray(w_s, np.float64)[None, :]
+        want = want * np.asarray(a_s, np.float64)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_epilogue_and_decode_shape(self):
+        from composable_kernel_tpu.ops import epilogues as ep
+        from composable_kernel_tpu.ops.quant import w8a8_gemm
+
+        m, n, k = 1, 256, 256
+        a = _rand(KEYS[2], (m, k))
+        w = _rand(KEYS[3], (k, n)) * 0.1
+        bias = _rand(KEYS[4], (n,))
+        a_q, a_s = quantize_act_token(a)
+        w_q, w_s = rq.ref_quantize_per_channel(w, bits=8)
+        got = np.asarray(
+            w8a8_gemm(a_q, a_s, w_q, w_s, ds=(bias,), c_op=ep.add,
+                      out_dtype=jnp.float32)
+        )
+        base = (
+            np.asarray(a_q, np.int64) @ np.asarray(w_q, np.int64)
+        ).astype(np.float64) * np.asarray(w_s, np.float64)[None, :]
+        want = (base + np.asarray(bias, np.float64)[None, :]) * np.asarray(
+            a_s, np.float64
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    def test_close_to_w8a16(self):
+        from composable_kernel_tpu.ops.quant import dequant_gemm, w8a8_gemm
+
+        m, n, k = 32, 512, 512
+        a = _rand(KEYS[5], (m, k))
+        w = _rand(KEYS[6], (k, n)) * 0.1
+        a_q, a_s = quantize_act_token(a)
+        w_q, w_s = rq.ref_quantize_per_channel(w, bits=8)
+        got = np.asarray(w8a8_gemm(a_q, a_s, w_q, w_s, out_dtype=jnp.float32))
+        want = np.asarray(
+            dequant_gemm(a.astype(jnp.bfloat16), w_q, w_s,
+                         out_dtype=jnp.float32)
+        )
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 0.02, rel
