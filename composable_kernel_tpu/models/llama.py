@@ -1093,6 +1093,97 @@ def paged_decode_step(
     return logits.reshape(b, 1, -1), new_pools
 
 
+def paged_prefill_chunk_step(
+    params,
+    pools,
+    table,
+    tokens,
+    pos,
+    cfg: LlamaConfig,
+    *,
+    page: int,
+    interpret=None,
+    kernels: bool = True,
+):
+    """Chunk step over the paged KV pool: the speculative verify step's
+    paged composition. Processes tokens [B, C] at per-slot positions
+    [pos[b], pos[b]+C) — chunk rows scatter into their pages (straddling
+    page boundaries is fine: one scatter per chunk offset) and attention
+    runs the paged kernel with in-chunk causality
+    (ops.attention.paged.paged_flash_decode(causal=True)).
+
+    Returns (logits [B, C, V], updated pools). Contiguous counterpart:
+    prefill_chunk_step's per-slot offset mode.
+    """
+    from composable_kernel_tpu.ops.attention import paged_flash_decode
+
+    b, c = tokens.shape
+    pos_v = jnp.asarray(pos, jnp.int32)
+    assert pos_v.ndim == 1, "paged chunk step is per-slot (pos: [B])"
+    x = jnp.take(params["embed"], tokens, axis=0)
+    positions = pos_v[:, None] + jnp.arange(c)[None, :]  # [B, C]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    lens = pos_v + c
+    batch_ix = jnp.arange(b)
+
+    new_pools = []
+    hd = cfg.head_dim
+    for layer, pool in zip(params["layers"], pools):
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
+        x2 = h.reshape(b * c, -1)
+        if "wqkv" in layer:
+            qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
+            n_q, n_kv = cfg.n_heads * hd, cfg.n_kv_heads * hd
+            q, k, v = (
+                qkv[:, :n_q], qkv[:, n_q : n_q + n_kv], qkv[:, n_q + n_kv :]
+            )
+        else:
+            q = _linear(x2, layer["wq"], cfg, interpret, kernels)
+            k = _linear(x2, layer["wk"], cfg, interpret, kernels)
+            v = _linear(x2, layer["wv"], cfg, interpret, kernels)
+        nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
+        q = q.reshape(b, c, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, c, nkv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, c, nkv, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        pool = dict(pool)
+        is_i8 = "ks" in pool
+        k_in = _quantize_kv(k, pool["ks"]) if is_i8 else k
+        v_in = _quantize_kv(v, pool["vs"]) if is_i8 else v
+        # scatter the C chunk rows into their pages; C is small and static,
+        # so one vectorized [B]-row scatter per chunk offset (a row may
+        # land on a different page than its neighbor — each gets its own
+        # table lookup). Inactive slots point at page 0, the null target.
+        for i in range(c):
+            pg = table[batch_ix, (pos_v + i) // page]
+            off = (pos_v + i) % page
+            pool["k"] = pool["k"].at[pg, :, off].set(
+                k_in[:, :, i, :].astype(pool["k"].dtype)
+            )
+            pool["v"] = pool["v"].at[pg, :, off].set(
+                v_in[:, :, i, :].astype(pool["v"].dtype)
+            )
+        scales = (
+            {"k_scale": pool["ks"], "v_scale": pool["vs"]} if is_i8 else {}
+        )
+        o = paged_flash_decode(
+            q, pool["k"], pool["v"], table, lens, causal=True,
+            window=cfg.sliding_window, interpret=interpret, **scales,
+        )
+        o = o.transpose(0, 2, 1, 3).reshape(b * c, nh * hd)
+        o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
+        x = x + o.reshape(b, c, -1)
+        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
+        x = x + _ffn_block(h, layer, cfg, interpret=interpret, kernels=kernels)
+        new_pools.append(pool)
+
+    x = rmsnorm(x, params["norm"], cfg.norm_eps, kernels, interpret)
+    logits = _linear(x.reshape(b * c, -1), params["lm_head"], cfg, interpret, kernels)
+    return logits.reshape(b, c, -1), new_pools
+
+
 def seed_paged_cache(pools, seeds, table, cfg: LlamaConfig, *, page: int,
                      slot_pages, slot: int = 0):
     """Scatter prefill K/V ([1, Hkv, S, hd] per layer) into allocated pages.

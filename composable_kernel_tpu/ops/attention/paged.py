@@ -50,11 +50,17 @@ def _paged_kernel(
     rows_per_kv: int,  # group * Sq query rows share one kv head
     has_kv_scale: bool = False,
     window: int | None = None,
+    causal_sq: int = 1,
 ):
     """Grid = (B, pages): each page is DMA'd exactly once and serves every
     head — the bandwidth-shaped layout for decode, where KV streaming is
     the whole cost and per-(head, page) grids would re-read each page
-    `group` times (measured 3.4x slower)."""
+    `group` times (measured 3.4x slower).
+
+    ``causal_sq > 1``: the Sq queries sit at positions lens-Sq .. lens-1
+    and query i attends keys <= lens-Sq+i (in-chunk causality — the
+    speculative verify step over page pools). Query rows are laid out
+    (group, Sq) per kv head, so row r's chunk index is r % Sq."""
     idx = 0
     if has_kv_scale:
         k_scale_ref = rest[idx]; idx += 1
@@ -73,8 +79,10 @@ def _paged_kernel(
     if window is not None:
         # sliding window: the newest query sits at lens-1 and attends keys
         # in (lens-1-window, lens-1]; whole blocks before that are dead —
-        # the rolling-window bandwidth saving without a rolling buffer
-        live &= kk * page + page - 1 > lens_ref[0, batch] - 1 - window
+        # the rolling-window bandwidth saving without a rolling buffer.
+        # With a multi-query chunk the OLDEST query (at lens-Sq) reaches
+        # furthest back, so liveness uses its lower bound.
+        live &= kk * page + page - 1 > lens_ref[0, batch] - causal_sq - window
 
     @pl.when(live)
     def _step():
@@ -91,9 +99,19 @@ def _paged_kernel(
                 preferred_element_type=jnp.float32,
             ) * scale  # [rows_per_kv, page]
             k_pos = kk * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            mask = k_pos < lens_ref[0, batch]
-            if window is not None:
-                mask &= k_pos > lens_ref[0, batch] - 1 - window
+            if causal_sq > 1:
+                # per-query position: row r (group-major) is chunk query
+                # r % Sq, sitting at lens - Sq + (r % Sq). Padded rows get
+                # a garbage mask; their outputs are sliced off.
+                r = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                q_pos = lens_ref[0, batch] - causal_sq + (r % causal_sq)
+                mask = k_pos <= q_pos
+                if window is not None:
+                    mask &= k_pos > q_pos - window
+            else:
+                mask = k_pos < lens_ref[0, batch]
+                if window is not None:
+                    mask &= k_pos > lens_ref[0, batch] - 1 - window
             s = jnp.where(mask, s, _NEG_INF)
 
             m_prev = m_scr[rows, :]
@@ -127,6 +145,7 @@ def paged_flash_decode(
     k_scale=None,
     v_scale=None,
     window: int | None = None,
+    causal: bool = False,
     scale: float | None = None,
     config: AttentionConfig | None = None,
     out_dtype=None,
@@ -134,7 +153,10 @@ def paged_flash_decode(
 ):
     """Decode attention over a paged KV pool.
 
-    q:           [B, Hq, Sq, D] (Sq small; queries attend all live keys).
+    q:           [B, Hq, Sq, D] (Sq small; queries attend all live keys —
+                 or, with ``causal=True``, query i sits at position
+                 lens-Sq+i and attends keys <= its own position: the
+                 speculative verify step over page pools).
     k/v_pool:    [P, Hkv, page, D] global page pools (int8 with
                  ``k_scale``/``v_scale`` [B, Hkv] f32 per-sequence scales).
     block_table: [B, max_pages] int32 — page ids per sequence, in order.
@@ -214,6 +236,7 @@ def paged_flash_decode(
         rows_per_kv=rows_pad,
         has_kv_scale=has_kv_scale,
         window=window,
+        causal_sq=sq if causal else 1,
     )
 
     out = pl.pallas_call(

@@ -130,14 +130,17 @@ class ServingEngine:
         self.queue.append(req)
         self._admit()
 
+    def _pages_needed(self, req: Request) -> int:
+        """Pages a request reserves for its whole lifetime (subclasses add
+        slack, e.g. speculative chunk rows)."""
+        return -(-(len(req.prompt) + req.max_new_tokens) // self.page)
+
     def _admit(self):
         for slot in range(self.b):
             # retry the same slot while prefill-finished requests free it
             while self.slot_req[slot] is None and self.queue:
                 if self.paged:
-                    need = -(-(len(self.queue[0].prompt)
-                               + self.queue[0].max_new_tokens) // self.page)
-                    if len(self.free_pages) < need:
+                    if len(self.free_pages) < self._pages_needed(self.queue[0]):
                         return  # pool full: head-of-line waits for frees
                 req = self.queue.pop(0)
                 self._prefill_into(slot, req)
@@ -154,7 +157,7 @@ class ServingEngine:
         if self.paged:
             # reserve the full prompt+generation span up front (admission
             # checked availability) so decode never stalls mid-flight
-            need = -(-(s + req.max_new_tokens) // self.page)
+            need = self._pages_needed(req)
             pages = [self.free_pages.pop() for _ in range(need)]
             self.slot_pages[slot] = pages
             self.table[slot, : len(pages)] = pages
@@ -316,6 +319,19 @@ class SpeculativeServingEngine(ServingEngine):
     positions. Admission reserves ``spec_chunk`` rows of slack past
     prompt + max_new_tokens.
 
+    ``paged=True`` composes with the page-pool cache: the verify step is
+    ``llama.paged_prefill_chunk_step`` (chunk scatter + in-chunk-causal
+    paged attention); the draft keeps a contiguous cache (a draft model's
+    KV is small — paging it buys nothing). Page reservations include the
+    ``spec_chunk`` slack rows.
+
+    Sampled requests (temperature > 0) take the fallback path: their
+    slots ride the same fixed-shape rounds but commit exactly ONE token
+    per round, sampled from the verify step's first-position logits —
+    draft proposals for those slots are dead weight, never accepted, so
+    sampling stays exact w.r.t. the target distribution. Mixed batches
+    work; throughput gains apply to the greedy slots only.
+
     Beyond the reference's scope (CK has no serving layer); the serving
     analog of the fixed-NK grouped-GEMM "one launch, many problems" idea.
     """
@@ -323,13 +339,15 @@ class SpeculativeServingEngine(ServingEngine):
     def __init__(self, params, cfg: llama.LlamaConfig, draft_params,
                  draft_cfg: llama.LlamaConfig, *, spec_chunk: int = 4,
                  batch_slots: int = 8, kernels: bool = True, interpret=None,
-                 seed: int = 0):
+                 paged: bool = False, n_pages: int | None = None,
+                 page_size: int = 128, seed: int = 0):
+        self.k = spec_chunk  # _pages_needed runs during super().__init__-admits
         super().__init__(params, cfg, batch_slots, kernels, interpret,
+                         paged=paged, n_pages=n_pages, page_size=page_size,
                          seed=seed)
         assert cfg.vocab_size == draft_cfg.vocab_size
         self.dparams = draft_params
         self.dcfg = draft_cfg
-        self.k = spec_chunk
         self.dcache = llama.init_kv_cache(draft_cfg, batch_slots)
         self.stats = {"rounds": 0, "draft_steps": 0, "accepted": 0,
                       "committed": 0}
@@ -339,19 +357,27 @@ class SpeculativeServingEngine(ServingEngine):
                 p, c, t, pos, draft_cfg, kernels=kernels, interpret=interpret
             )
 
-        def _verify(p, c, t, pos):
-            return llama.prefill_chunk_step(
-                p, c, t, pos, cfg, kernels=kernels, interpret=interpret
-            )
-
         self._draft = jax.jit(_draft, donate_argnums=(1,))
-        self._verify = jax.jit(_verify, donate_argnums=(1,))
+        if paged:
+            def _verify(p, pools, tab, t, pos):
+                return llama.paged_prefill_chunk_step(
+                    p, pools, tab, t, pos, cfg, page=page_size,
+                    kernels=kernels, interpret=interpret,
+                )
 
-    def add(self, req: Request):
-        assert req.temperature == 0.0, (
-            "speculative serving is greedy-only (acceptance exactness)"
-        )
-        super().add(req)
+            self._verify = jax.jit(_verify, donate_argnums=(1,))
+        else:
+            def _verify(p, c, t, pos):
+                return llama.prefill_chunk_step(
+                    p, c, t, pos, cfg, kernels=kernels, interpret=interpret
+                )
+
+            self._verify = jax.jit(_verify, donate_argnums=(1,))
+
+    def _pages_needed(self, req: Request) -> int:
+        # spec_chunk slack: the verify step writes K rows past the last
+        # committed position, so the page span must cover them
+        return -(-(len(req.prompt) + req.max_new_tokens + self.k) // self.page)
 
     def _prefill_into(self, slot: int, req: Request):
         if len(req.prompt) + req.max_new_tokens + self.k > self.cfg.max_seq_len:
@@ -398,23 +424,49 @@ class SpeculativeServingEngine(ServingEngine):
         chunk = np.concatenate(
             [self.next_token, np.asarray(props, np.int32)], axis=1
         )  # [B, k]
-        lg_t, self.cache = self._verify(
-            self.params, self.cache, jnp.asarray(chunk),
-            jnp.asarray(pos0, jnp.int32),
-        )
+        if self.paged:
+            lg_t, self.pools = self._verify(
+                self.params, self.pools, jnp.asarray(self.table),
+                jnp.asarray(chunk), jnp.asarray(pos0, jnp.int32),
+            )
+        else:
+            lg_t, self.cache = self._verify(
+                self.params, self.cache, jnp.asarray(chunk),
+                jnp.asarray(pos0, jnp.int32),
+            )
         targets = np.asarray(jnp.argmax(lg_t, axis=-1), np.int32)  # [B, k]
         self.stats["rounds"] += 1
+        if any(self.temperature[s] > 0.0 for s in active):
+            # sampled-slot fallback tokens: one draw from the verify step's
+            # first-position logits (the distribution after next_token)
+            self._step_i += 1
+            key = jax.random.fold_in(self._key, self._step_i)
+            sampled = np.asarray(sample_logits(
+                lg_t[:, 0], key,
+                temperature=jnp.asarray(self.temperature),
+                top_k=jnp.asarray(self.top_k),
+                top_p=jnp.asarray(self.top_p),
+            ), np.int32)
+        else:
+            sampled = None
 
         full = np.zeros(self.b, bool)
         for slot in active:
             req = self.slot_req[slot]
-            n_acc = 0
-            while n_acc < k - 1 and props[slot][n_acc] == targets[slot][n_acc]:
-                n_acc += 1
-            full[slot] = n_acc == k - 1
+            if self.temperature[slot] > 0.0:
+                # fallback: commit exactly one sampled token; proposal rows
+                # stay masked/overwritten (never accepted)
+                n_acc = 0
+                new_toks = [int(sampled[slot])]
+            else:
+                n_acc = 0
+                while (n_acc < k - 1
+                       and props[slot][n_acc] == targets[slot][n_acc]):
+                    n_acc += 1
+                full[slot] = n_acc == k - 1
+                # newly produced tokens: accepted proposals + corrected/bonus
+                new_toks = props[slot][:n_acc] + [int(targets[slot][n_acc])]
             self.stats["accepted"] += n_acc
-            # newly produced tokens: accepted proposals + corrected/bonus
-            new_toks = props[slot][:n_acc] + [int(targets[slot][n_acc])]
             self.positions[slot] += n_acc + 1  # committed into the cache
             self.stats["committed"] += n_acc + 1
             done = False
@@ -433,7 +485,12 @@ class SpeculativeServingEngine(ServingEngine):
                 finished.append(req)
                 self.slot_req[slot] = None
                 self.positions[slot] = 0
+                self.temperature[slot] = 0.0
+                self.top_k[slot] = 0
+                self.top_p[slot] = 1.0
                 full[slot] = False
+                if self.paged:
+                    self._free_slot_pages(slot)
 
         if full.any() and k > 1:
             # draft never consumed its own final proposal on fully-accepted

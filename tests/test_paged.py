@@ -112,3 +112,117 @@ class TestPagedKVCache:
             v.transpose(1, 0, 2)[None].astype(jnp.bfloat16),
         )
         check_err(got, want, **TOL)
+
+
+def _ref_causal_chunk(q, ks, vs, lens, sq, window=None):
+    """Inline reference: query i sits at lens-sq+i and attends keys <= it
+    (and > it - window when windowed)."""
+    import math
+
+    b, hq, _, d = q.shape
+    hkv = ks.shape[1]
+    rep = hq // hkv
+    kf = jnp.repeat(ks.astype(jnp.float32), rep, axis=1)
+    vf = jnp.repeat(vs.astype(jnp.float32), rep, axis=1)
+    att = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), kf) / math.sqrt(d)
+    kpos = jnp.arange(kf.shape[2])[None, None, None, :]
+    qpos = (jnp.asarray(lens)[:, None, None, None] - sq
+            + jnp.arange(sq)[None, None, :, None])
+    mask = kpos <= qpos
+    if window is not None:
+        mask &= kpos > qpos - window
+    att = jnp.where(mask, att, -1e30)
+    p = jax.nn.softmax(att, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, vf).astype(q.dtype)
+
+
+class TestPagedCausalChunk:
+    """In-chunk causality over page pools: the speculative verify step."""
+
+    def _pools(self, b, hkv, d, page, max_len, kq, kk, kv):
+        q_sq = 4
+        q = jax.random.normal(kq, (b, 4, q_sq, d), jnp.float32).astype(jnp.bfloat16)
+        ks = jax.random.normal(kk, (b, hkv, max_len, d), jnp.float32).astype(jnp.bfloat16)
+        vs = jax.random.normal(kv, (b, hkv, max_len, d), jnp.float32).astype(jnp.bfloat16)
+        n_pages = 1 + b * (max_len // page)
+        k_pool = jnp.zeros((n_pages, hkv, page, d), jnp.bfloat16)
+        v_pool = jnp.zeros((n_pages, hkv, page, d), jnp.bfloat16)
+        rng = np.random.default_rng(3)
+        ids = rng.permutation(np.arange(1, n_pages))
+        per = max_len // page
+        table = np.stack([ids[i * per : (i + 1) * per] for i in range(b)])
+        k_pool = _scatter(k_pool, table, [ks[i] for i in range(b)])
+        v_pool = _scatter(v_pool, table, [vs[i] for i in range(b)])
+        return q, ks, vs, k_pool, v_pool, jnp.asarray(table)
+
+    def test_causal_chunk_matches_reference(self):
+        b, hkv, d, page = 2, 2, 64, 128
+        q, ks, vs, k_pool, v_pool, table = self._pools(
+            b, hkv, d, page, 384, KEYS[0], KEYS[1], KEYS[2]
+        )
+        lens = jnp.asarray([300, 135], jnp.int32)
+        got = paged_flash_decode(q, k_pool, v_pool, table, lens, causal=True)
+        want = _ref_causal_chunk(q, ks, vs, lens, sq=4)
+        check_err(got, want, **TOL)
+
+    def test_causal_chunk_windowed(self):
+        b, hkv, d, page = 2, 2, 64, 128
+        q, ks, vs, k_pool, v_pool, table = self._pools(
+            b, hkv, d, page, 384, KEYS[1], KEYS[2], KEYS[3]
+        )
+        lens = jnp.asarray([380, 200], jnp.int32)
+        got = paged_flash_decode(
+            q, k_pool, v_pool, table, lens, causal=True, window=96
+        )
+        want = _ref_causal_chunk(q, ks, vs, lens, sq=4, window=96)
+        check_err(got, want, **TOL)
+
+    def test_sq1_unchanged(self):
+        # causal with a single query degrades to the plain decode mask
+        b, hkv, d, page = 1, 2, 64, 128
+        q, ks, vs, k_pool, v_pool, table = self._pools(
+            b, hkv, d, page, 256, KEYS[2], KEYS[3], KEYS[0]
+        )
+        q1 = q[:, :, :1]
+        lens = jnp.asarray([180], jnp.int32)
+        got = paged_flash_decode(q1, k_pool, v_pool, table, lens, causal=True)
+        want = paged_flash_decode(q1, k_pool, v_pool, table, lens)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestPagedChunkStep:
+    """llama.paged_prefill_chunk_step == contiguous prefill_chunk_step."""
+
+    def test_matches_contiguous_chunk_step(self):
+        from composable_kernel_tpu.models import llama
+
+        cfg = llama.tiny_config(quant="bf16", n_layers=2, dtype="float32")
+        params = llama.init_weights(cfg, jax.random.PRNGKey(5))
+        toks = jax.random.randint(jax.random.PRNGKey(6), (2, 24), 0,
+                                  cfg.vocab_size)
+        page = 128
+        prompt = toks[:, :16]
+
+        # contiguous: full prefill then a per-slot-offset chunk step
+        _, seeds = llama.forward(params, prompt, cfg, return_cache=True)
+        cache = llama.seed_kv_cache(llama.init_kv_cache(cfg, 2), seeds, cfg)
+        chunk = toks[:, 16:20]
+        pos = jnp.asarray([16, 16], jnp.int32)
+        want, _ = llama.prefill_chunk_step(params, cache, chunk, pos, cfg)
+
+        # paged: seed each slot's pages, then the paged chunk step
+        per = -(-cfg.max_seq_len // page)
+        pools = llama.init_paged_cache(cfg, 1 + 2 * per, page, batch_slots=2)
+        table = np.zeros((2, per), np.int32)
+        nxt = 1
+        for slot in range(2):
+            pages = list(range(nxt, nxt + per))
+            nxt += per
+            table[slot, :] = pages
+            sl = [(k[slot : slot + 1], v[slot : slot + 1]) for k, v in seeds]
+            pools = llama.seed_paged_cache(pools, sl, table, cfg, page=page,
+                                           slot_pages=pages, slot=slot)
+        got, _ = llama.paged_prefill_chunk_step(
+            params, pools, jnp.asarray(table), chunk, pos, cfg, page=page
+        )
+        check_err(got, want, rtol=2e-2, atol=2e-2)

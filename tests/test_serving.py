@@ -388,12 +388,76 @@ class TestSpeculativeServing:
             eng.step()
         assert req.output == want[: want.index(eos) + 1]
 
-    def test_sampling_rejected(self):
-        import pytest as _pytest
+    def test_sampled_fallback_mixed_batch(self):
+        # sampled slots commit 1 token/round from the verify logits;
+        # greedy slots in the SAME batch must stay exact
+        eng = self._make(PARAMS, batch_slots=2, spec_chunk=3, seed=7)
+        greedy = Request(0, [1, 2, 3], max_new_tokens=8)
+        sampled = Request(1, [7, 5], max_new_tokens=5, temperature=0.9,
+                          top_k=8)
+        eng.add(greedy)
+        eng.add(sampled)
+        while eng.pending():
+            eng.step()
+        assert greedy.output == _isolated_greedy([1, 2, 3], 8)
+        assert len(sampled.output) == 5
+        assert all(0 <= t < CFG.vocab_size for t in sampled.output)
 
-        eng = self._make(PARAMS, batch_slots=1)
-        with _pytest.raises(AssertionError):
-            eng.add(Request(0, [1, 2], max_new_tokens=4, temperature=0.8))
+    def test_sampled_fallback_deterministic(self):
+        def run():
+            eng = self._make(PARAMS, batch_slots=1, spec_chunk=3, seed=11)
+            r = Request(0, [4, 4, 8], max_new_tokens=6, temperature=0.7)
+            eng.add(r)
+            while eng.pending():
+                eng.step()
+            return r.output
+
+        assert run() == run()
+
+
+class TestSpeculativePagedServing:
+    """Speculative verify composed with the page-pool cache."""
+
+    def _make(self, draft_params, **kw):
+        from composable_kernel_tpu.runtime.serving import (
+            SpeculativeServingEngine,
+        )
+
+        return SpeculativeServingEngine(
+            PARAMS, CFG, draft_params, CFG, kernels=False, paged=True, **kw
+        )
+
+    def test_self_draft_matches_isolated(self):
+        eng = self._make(PARAMS, batch_slots=2, spec_chunk=4)
+        req = Request(0, [5, 9, 2, 14], max_new_tokens=9)
+        eng.add(req)
+        steps = 0
+        while eng.pending():
+            eng.step()
+            steps += 1
+        assert req.output == _isolated_greedy([5, 9, 2, 14], 9)
+        assert steps <= 4, steps
+
+    def test_weak_draft_pool_reuse_exact(self):
+        draft = llama.init_weights(CFG, jax.random.PRNGKey(99))
+        # pool sized so the third request only fits after a free
+        per_req = -(-(3 + 8 + 3) // 128)
+        eng = self._make(draft, batch_slots=2, spec_chunk=3,
+                         n_pages=1 + 2 * per_req)
+        reqs = [
+            Request(0, [1, 2, 3], max_new_tokens=8),
+            Request(1, [7, 5], max_new_tokens=5),
+            Request(2, [9, 9, 1], max_new_tokens=6),
+        ]
+        for r in reqs:
+            eng.add(r)
+        while eng.pending():
+            eng.step()
+        assert reqs[0].output == _isolated_greedy([1, 2, 3], 8)
+        assert reqs[1].output == _isolated_greedy([7, 5], 5)
+        assert reqs[2].output == _isolated_greedy([9, 9, 1], 6)
+        # all pages returned to the pool
+        assert len(eng.free_pages) == 2 * per_req
 
 
 class TestSampling:
