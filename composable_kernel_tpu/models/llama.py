@@ -72,6 +72,11 @@ class LlamaConfig:
     # last `sliding_window` keys only (flash kernels skip dead blocks, so
     # long-context decode cost is O(window) not O(seq))
     sliding_window: int | None = None
+    # Mixtral-style MoE FFN: n_experts > 0 replaces the dense SwiGLU with
+    # top-k routed experts (models.moe — ragged grouped GEMM dispatch on
+    # the kernel path, dense einsum on the reference path)
+    n_experts: int = 0
+    top_k_experts: int = 2
     dtype: str = "bfloat16"
 
     @property
@@ -95,6 +100,26 @@ def mistral7b(**kw) -> LlamaConfig:
     )
     base.update(kw)
     return LlamaConfig(**base)
+
+
+def mixtral8x7b(**kw) -> LlamaConfig:
+    """Mixtral-8x7B architecture: Mistral attention stack + 8-expert
+    top-2 MoE FFN."""
+    base = dict(
+        dim=4096, n_layers=32, n_heads=32, n_kv_heads=8, ffn_dim=14336,
+        vocab_size=32000, rope_theta=1e6, n_experts=8, top_k_experts=2,
+    )
+    base.update(kw)
+    return LlamaConfig(**base)
+
+
+def _moe_cfg(cfg: LlamaConfig):
+    from composable_kernel_tpu.models.moe import MoEConfig
+
+    return MoEConfig(
+        dim=cfg.dim, ffn_dim=cfg.ffn_dim, n_experts=cfg.n_experts,
+        top_k=cfg.top_k_experts, dtype=cfg.dtype,
+    )
 
 
 def tiny_config(**kw) -> LlamaConfig:
@@ -122,19 +147,25 @@ def init_weights(cfg: LlamaConfig, key) -> dict:
 
     layers = []
     for _ in range(cfg.n_layers):
-        layers.append(
-            {
-                "attn_norm": jnp.ones((d,), cfg.jdtype),
-                "wq": mat(next(keys), (d, nh * hd)),
-                "wk": mat(next(keys), (d, nkv * hd)),
-                "wv": mat(next(keys), (d, nkv * hd)),
-                "wo": mat(next(keys), (nh * hd, d)),
-                "ffn_norm": jnp.ones((d,), cfg.jdtype),
-                "w_gate": mat(next(keys), (d, f)),
-                "w_up": mat(next(keys), (d, f)),
-                "w_down": mat(next(keys), (f, d)),
-            }
-        )
+        layer = {
+            "attn_norm": jnp.ones((d,), cfg.jdtype),
+            "wq": mat(next(keys), (d, nh * hd)),
+            "wk": mat(next(keys), (d, nkv * hd)),
+            "wv": mat(next(keys), (d, nkv * hd)),
+            "wo": mat(next(keys), (nh * hd, d)),
+            "ffn_norm": jnp.ones((d,), cfg.jdtype),
+        }
+        if cfg.n_experts > 0:
+            from composable_kernel_tpu.models.moe import init_moe_weights
+
+            layer["moe"] = init_moe_weights(_moe_cfg(cfg), next(keys))
+        else:
+            layer.update(
+                w_gate=mat(next(keys), (d, f)),
+                w_up=mat(next(keys), (d, f)),
+                w_down=mat(next(keys), (f, d)),
+            )
+        layers.append(layer)
     return {
         "embed": mat(next(keys), (v, d)),
         "layers": layers,
@@ -214,6 +245,18 @@ def quantize_weights(params: dict, cfg: LlamaConfig) -> dict:
             return {"q": pack(w_q, axis=0, blocks=blocks), "s": s}
         raise ValueError(cfg.quant)
 
+    def quant_moe(moe_w):
+        from composable_kernel_tpu.models.moe import quantize_moe_weights
+
+        if cfg.quant == "w4a8":
+            return quantize_moe_weights(
+                moe_w, mode="w4a8", group_size=cfg.group_size
+            )
+        # int8 / w8a8 / w4a16 experts all ride the per-channel-int8
+        # grouped path (no group-wise int4 ragged W4A16 kernel: the
+        # int8-MXU w4a8 ragged variant covers the int4-expert case)
+        return quantize_moe_weights(moe_w, mode="w8a16")
+
     out = dict(params)
     new_layers = []
     for layer in params["layers"]:
@@ -230,7 +273,7 @@ def quantize_weights(params: dict, cfg: LlamaConfig) -> dict:
                 k: (
                     quant_one(v, row_parallel=k in _ROW_PARALLEL)
                     if k in _QUANT_KEYS or k in ("wqkv", "w_gateup")
-                    else v
+                    else quant_moe(v) if k == "moe" else v
                 )
                 for k, v in layer.items()
             }
@@ -494,8 +537,32 @@ def _ffn_block(x, layer, cfg: LlamaConfig, *, tp_axis=None, interpret=None, kern
 def _ffn_core(x2, bsd, layer, cfg: LlamaConfig, *, tp_axis=None,
               interpret=None, kernels=True):
     """SwiGLU FFN on a flattened [B*S, D] input (or a pre-quantized
-    (x_q, scales) tuple from the fused W4A8 norm)."""
+    (x_q, scales) tuple from the fused W4A8 norm).
+
+    Mixtral MoE layers (``"moe" in layer``) route here to the top-k expert
+    block: ragged grouped-GEMM dispatch on the kernel path, dense einsum on
+    the reference path (quantized stacks dequantized first — the einsum is
+    the f32 golden reference)."""
     b, s, d = bsd
+    if "moe" in layer:
+        from composable_kernel_tpu.models import moe as moe_mod
+
+        assert not isinstance(x2, tuple), (
+            "MoE routing needs raw activations (fused norm-quant tuples "
+            "take the unfused path for MoE layers)"
+        )
+        assert tp_axis is None, "MoE layers shard over ep, not tp"
+        mcfg = _moe_cfg(cfg)
+        if kernels:
+            o = moe_mod.moe_block_ragged(
+                x2, layer["moe"], mcfg, interpret=interpret
+            )
+        else:
+            w = layer["moe"]
+            if isinstance(w["w_gate"], dict):
+                w = moe_mod.dequantize_moe_weights(w)
+            o = moe_mod.moe_block(x2.astype(cfg.jdtype), w, mcfg)
+        return o.reshape(b, s, d).astype(cfg.jdtype)
     if "w_gateup" in layer:
         gu = _linear(x2, layer["w_gateup"], cfg, interpret, kernels)
         f_loc = gu.shape[-1] // 2
@@ -777,7 +844,7 @@ def _decode_layer(
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)
     x = x + o.reshape(b, s, -1)
-    if cfg.quant in ("w4a8", "w8a8") and kernels:
+    if cfg.quant in ("w4a8", "w8a8") and kernels and "moe" not in layer:
         x2f = _norm_quant_2d(x, layer["ffn_norm"], cfg, interpret)
         x = x + _ffn_core(
             x2f, (b, s, x.shape[-1]), layer, cfg,

@@ -26,8 +26,9 @@ from composable_kernel_tpu.ops.gemm.api import grouped_gemm
 from composable_kernel_tpu.ops.gemm.config import GemmConfig
 
 __all__ = [
-    "MoEConfig", "init_moe_weights", "quantize_moe_weights", "moe_block",
-    "moe_block_ragged", "moe_block_ep",
+    "MoEConfig", "init_moe_weights", "quantize_moe_weights",
+    "dequantize_moe_weights", "moe_block", "moe_block_ragged",
+    "moe_block_ep",
 ]
 
 
@@ -98,6 +99,29 @@ def quantize_moe_weights(weights, bits: int = 8, *, mode: str = "w8a16",
                 "q": jnp.stack([q for q, _ in qs]),
                 "s": jnp.stack([sc for _, sc in qs]),
             }
+    return out
+
+
+def dequantize_moe_weights(weights):
+    """Inverse of quantize_moe_weights (f32 stacks) — the reference-path
+    companion: the dense einsum ``moe_block`` needs full-precision expert
+    stacks, so quantized models dequantize here before comparing."""
+    from composable_kernel_tpu import dtypes
+
+    out = {"router": weights["router"]}
+    for name in ("w_gate", "w_up", "w_down"):
+        w = weights[name]
+        if not isinstance(w, dict):
+            out[name] = w
+            continue
+        if "gs" in w:
+            g = w["gs"]
+            ints = jnp.stack(
+                [dtypes.unpack_int4_w4a8(w["q"][e]) for e in range(w["q"].shape[0])]
+            ).astype(jnp.float32)
+            out[name] = ints * jnp.repeat(w["s"], g, axis=1)
+        else:
+            out[name] = w["q"].astype(jnp.float32) * w["s"][:, None, :]
     return out
 
 
