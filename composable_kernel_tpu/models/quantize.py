@@ -38,6 +38,8 @@ __all__ = [
     "gptq_matrix",
     "gptq_quantize_gpt2",
     "gptq_quantize_llama",
+    "smoothquant_quantize_llama",
+    "smoothquant_search_scale",
 ]
 
 
@@ -175,6 +177,43 @@ def awq_search_scale(w, x, *, group_size, bits=4, n_grid=20):
         alpha = i / n_grid
         s = absmean ** alpha
         e = quant_err(s)
+        if e < best_err:
+            best_s, best_err, best_alpha = s, e, alpha
+    return best_s, best_alpha
+
+
+def smoothquant_search_scale(w, x, *, n_grid=20):
+    """SmoothQuant channel scales for W8A8 (Xiao et al., 2022 — public
+    algorithm): s[k] = amax_x[k]^alpha / amax_w[k]^(1-alpha), migrating
+    activation-outlier difficulty into the (easier) per-channel weight
+    quantization. Unlike ``awq_search_scale``, the error model quantizes
+    BOTH sides — per-token int8 activations and per-channel int8 weights —
+    because the W8A8 kernel does (``ops/quant/w4a8.py::w8a8_gemm``).
+    Returns (s [K] f64, best_alpha or None if identity won).
+    """
+    w = np.asarray(w, np.float64)
+    x = np.asarray(x, np.float64)
+    k_dim, _ = w.shape
+    a_max = np.abs(x).max(axis=0) + 1e-8
+    w_max = np.abs(w).max(axis=1) + 1e-8
+    ref = x @ w
+
+    def sq_err(s):
+        xs = x / s[None, :]
+        a_s = np.maximum(np.abs(xs).max(axis=1, keepdims=True) / 127.0, 1e-12)
+        x_q = np.round(np.clip(xs / a_s, -127, 127))
+        ws = w * s[:, None]
+        w_sc = np.maximum(np.abs(ws).max(axis=0) / 127.0, 1e-12)
+        w_q = np.round(np.clip(ws / w_sc[None, :], -127, 127))
+        approx = (x_q @ w_q) * w_sc[None, :] * a_s
+        return float(np.sum((ref - approx) ** 2))
+
+    best_s, best_err, best_alpha = np.ones(k_dim), sq_err(np.ones(k_dim)), None
+    for i in range(n_grid):
+        alpha = i / n_grid
+        s = a_max ** alpha / w_max ** (1.0 - alpha)
+        s = s / np.exp(np.log(s).mean())  # geomean-normalized fold
+        e = sq_err(s)
         if e < best_err:
             best_s, best_err, best_alpha = s, e, alpha
     return best_s, best_alpha
@@ -353,6 +392,139 @@ def _rms(x, gamma, eps):
     xf = x.astype(jnp.float32)
     ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
     return xf * jax.lax.rsqrt(ms + eps) * gamma.astype(jnp.float32)
+
+
+def smoothquant_quantize_llama(params, cfg_q: llama.LlamaConfig,
+                               calib_tokens, *, n_grid=20,
+                               quant_lm_head: bool = True):
+    """SmoothQuant calibration for the W8A8 path: per-site alpha search
+    (``smoothquant_search_scale``) + the exact fold set of
+    ``awq_quantize_llama`` (qkv -> attn_norm, o -> wv columns GQA-shared,
+    gate/up -> ffn_norm, down -> w_up columns, lm_head -> final norm), then
+    per-channel int8 RTN. Output tree is interchangeable with
+    ``llama.quantize_weights(quant="w8a8")``.
+    """
+    cfg = cfg_q
+    assert cfg.quant == "w8a8", cfg.quant
+    assert not cfg.fuse_qkv, "run SmoothQuant on the unfused tree, fuse after"
+    from composable_kernel_tpu.reference.quant import ref_quantize_per_channel
+
+    toks = jnp.asarray(calib_tokens, jnp.int32)
+    b, s_len = toks.shape
+    hd = cfg.head_dim
+    rep = cfg.n_heads // cfg.n_kv_heads
+    x = jnp.take(params["embed"], toks, axis=0).astype(jnp.float32)
+    cos, sin = llama.rope_cos_sin(jnp.arange(s_len), hd, cfg.rope_theta)
+
+    def q_one(w64):
+        w_q, sc = ref_quantize_per_channel(
+            jnp.asarray(w64, jnp.float32), bits=8
+        )
+        deq = (np.asarray(w_q, np.float64)
+               * np.asarray(sc, np.float64)[None, :])
+        return {"q": w_q, "s": sc}, deq
+
+    new_layers = []
+    for layer in params["layers"]:
+        new_l = {}
+        h1 = _rms(x, layer["attn_norm"], cfg.norm_eps)
+        x1 = np.asarray(h1.reshape(b * s_len, -1), np.float64)
+
+        # --- qkv shared input scale -> attn_norm gamma ------------------
+        w_cat = np.concatenate(
+            [np.asarray(layer[nm], np.float64) for nm in ("wq", "wk", "wv")],
+            axis=1,
+        )
+        s_qkv, _ = smoothquant_search_scale(w_cat, x1, n_grid=n_grid)
+        new_l["attn_norm"] = jnp.asarray(
+            np.asarray(layer["attn_norm"], np.float64) / s_qkv,
+            np.asarray(layer["attn_norm"]).dtype,
+        )
+        x1s = x1 / s_qkv[None, :]
+        deq = {}
+        for nm in ("wq", "wk"):
+            new_l[nm], deq[nm] = q_one(
+                np.asarray(layer[nm], np.float64) * s_qkv[:, None]
+            )
+        wv_scaled = np.asarray(layer["wv"], np.float64) * s_qkv[:, None]
+
+        qh = jnp.asarray(x1s @ deq["wq"], jnp.float32).reshape(b, s_len, -1, hd)
+        kh = jnp.asarray(x1s @ deq["wk"], jnp.float32).reshape(b, s_len, -1, hd)
+        vh = jnp.asarray(x1s @ wv_scaled, jnp.float32).reshape(b, s_len, -1, hd)
+        qh = llama.apply_rope(qh.transpose(0, 2, 1, 3), cos, sin)
+        kh = llama.apply_rope(kh.transpose(0, 2, 1, 3), cos, sin)
+        o = ref_attention(qh, kh, vh.transpose(0, 2, 1, 3), causal=True,
+                          out_dtype=jnp.float32)
+        o2 = np.asarray(o.transpose(0, 2, 1, 3).reshape(b * s_len, -1),
+                        np.float64)
+
+        # --- o-proj input scale -> wv output columns (GQA-shared) -------
+        s_o_raw, _ = smoothquant_search_scale(
+            np.asarray(layer["wo"], np.float64), o2, n_grid=n_grid
+        )
+        s_o, s_o_kv = _gqa_group_scale(s_o_raw, cfg.n_kv_heads, rep, hd)
+        new_l["wv"], deq_wv = q_one(wv_scaled / s_o_kv[None, :])
+        new_l["wo"], deq_wo = q_one(
+            np.asarray(layer["wo"], np.float64) * s_o[:, None]
+        )
+        vh_q = jnp.asarray(x1s @ deq_wv, jnp.float32).reshape(b, s_len, -1, hd)
+        o_q = ref_attention(qh, kh, vh_q.transpose(0, 2, 1, 3), causal=True,
+                            out_dtype=jnp.float32)
+        # vh_q already carries the /s_o_kv fold, so o2_q is in the scaled
+        # basis that deq_wo (wo * s_o) expects
+        o2_q = np.asarray(
+            o_q.transpose(0, 2, 1, 3).reshape(b * s_len, -1), np.float64
+        )
+        x = x + jnp.asarray(o2_q @ deq_wo, jnp.float32).reshape(b, s_len, -1)
+
+        # --- gate/up shared input scale -> ffn_norm gamma ---------------
+        h2 = _rms(x, layer["ffn_norm"], cfg.norm_eps)
+        x2 = np.asarray(h2.reshape(b * s_len, -1), np.float64)
+        gu_cat = np.concatenate(
+            [np.asarray(layer["w_gate"], np.float64),
+             np.asarray(layer["w_up"], np.float64)], axis=1,
+        )
+        s_gu, _ = smoothquant_search_scale(gu_cat, x2, n_grid=n_grid)
+        new_l["ffn_norm"] = jnp.asarray(
+            np.asarray(layer["ffn_norm"], np.float64) / s_gu,
+            np.asarray(layer["ffn_norm"]).dtype,
+        )
+        x2s = x2 / s_gu[None, :]
+        new_l["w_gate"], deq_g = q_one(
+            np.asarray(layer["w_gate"], np.float64) * s_gu[:, None]
+        )
+        up_scaled = np.asarray(layer["w_up"], np.float64) * s_gu[:, None]
+
+        gg = x2s @ deq_g
+        hmid_fp = np.asarray(jax.nn.silu(jnp.asarray(gg, jnp.float32)),
+                             np.float64) * (x2s @ up_scaled)
+
+        # --- down-proj input scale -> w_up output columns ---------------
+        s_d, _ = smoothquant_search_scale(
+            np.asarray(layer["w_down"], np.float64), hmid_fp, n_grid=n_grid
+        )
+        new_l["w_up"], deq_u = q_one(up_scaled / s_d[None, :])
+        hmid = np.asarray(jax.nn.silu(jnp.asarray(gg, jnp.float32)),
+                          np.float64) * (x2s @ deq_u)
+        new_l["w_down"], deq_d = q_one(
+            np.asarray(layer["w_down"], np.float64) * s_d[:, None]
+        )
+        x = x + jnp.asarray(hmid @ deq_d, jnp.float32).reshape(b, s_len, -1)
+        new_layers.append(new_l)
+
+    out = dict(params)
+    out["layers"] = new_layers
+    if quant_lm_head:
+        w_lm = np.asarray(params["lm_head"], np.float64)
+        hf = _rms(x, params["norm"], cfg.norm_eps)
+        xf = np.asarray(hf.reshape(b * s_len, -1), np.float64)
+        s_lm, _ = smoothquant_search_scale(w_lm, xf, n_grid=n_grid)
+        out["norm"] = jnp.asarray(
+            np.asarray(params["norm"], np.float64) / s_lm,
+            np.asarray(params["norm"]).dtype,
+        )
+        out["lm_head"], _ = q_one(w_lm * s_lm[:, None])
+    return out
 
 
 def gptq_quantize_llama(params, cfg_q: llama.LlamaConfig, calib_tokens,
