@@ -77,6 +77,10 @@ class LlamaConfig:
     # the kernel path, dense einsum on the reference path)
     n_experts: int = 0
     top_k_experts: int = 2
+    # Qwen2-style additive bias on the q/k/v projections (biases stay
+    # full-precision under every quant mode; single-device or DP — column
+    # TP would need bias sharding, unimplemented)
+    qkv_bias: bool = False
     dtype: str = "bfloat16"
 
     @property
@@ -97,6 +101,16 @@ def mistral7b(**kw) -> LlamaConfig:
     base = dict(
         dim=4096, n_layers=32, n_heads=32, n_kv_heads=8, ffn_dim=14336,
         vocab_size=32000, rope_theta=10000.0, sliding_window=4096,
+    )
+    base.update(kw)
+    return LlamaConfig(**base)
+
+
+def qwen2_7b(**kw) -> LlamaConfig:
+    """Qwen2-7B architecture: Llama stack + q/k/v projection biases."""
+    base = dict(
+        dim=3584, n_layers=28, n_heads=28, n_kv_heads=4, ffn_dim=18944,
+        vocab_size=152064, rope_theta=1e6, max_seq_len=32768, qkv_bias=True,
     )
     base.update(kw)
     return LlamaConfig(**base)
@@ -139,7 +153,7 @@ def init_weights(cfg: LlamaConfig, key) -> dict:
     """Random bf16 weights (testing / benchmarking without a checkpoint)."""
     d, f, v = cfg.dim, cfg.ffn_dim, cfg.vocab_size
     hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
-    keys = iter(jax.random.split(key, cfg.n_layers * 7 + 3))
+    keys = iter(jax.random.split(key, cfg.n_layers * 10 + 3))
     std = d ** -0.5
 
     def mat(k, shape):
@@ -155,6 +169,14 @@ def init_weights(cfg: LlamaConfig, key) -> dict:
             "wo": mat(next(keys), (nh * hd, d)),
             "ffn_norm": jnp.ones((d,), cfg.jdtype),
         }
+        if cfg.qkv_bias:
+            # random (not zero) so tests catch any dropped-bias wiring
+            layer["bq"] = (jax.random.normal(next(keys), (nh * hd,),
+                                             jnp.float32) * 0.1).astype(cfg.jdtype)
+            layer["bk"] = (jax.random.normal(next(keys), (nkv * hd,),
+                                             jnp.float32) * 0.1).astype(cfg.jdtype)
+            layer["bv"] = (jax.random.normal(next(keys), (nkv * hd,),
+                                             jnp.float32) * 0.1).astype(cfg.jdtype)
         if cfg.n_experts > 0:
             from composable_kernel_tpu.models.moe import init_moe_weights
 
@@ -265,6 +287,10 @@ def quantize_weights(params: dict, cfg: LlamaConfig) -> dict:
             layer["wqkv"] = jnp.concatenate(
                 [layer.pop("wq"), layer.pop("wk"), layer.pop("wv")], axis=1
             )
+            if "bq" in layer:
+                layer["bqkv"] = jnp.concatenate(
+                    [layer.pop("bq"), layer.pop("bk"), layer.pop("bv")]
+                )
             layer["w_gateup"] = jnp.concatenate(
                 [layer.pop("w_gate"), layer.pop("w_up")], axis=1
             )
@@ -439,6 +465,29 @@ def apply_rope(x, cos, sin):
     ).astype(x.dtype)
 
 
+def _qkv_proj(x2, layer, cfg: LlamaConfig, interpret=None, kernels=True):
+    """Shared q/k/v projection on flattened [T, D] input: fused or split
+    weights, optional Qwen2-style additive bias (bias stays fp under every
+    quant mode; added post-GEMM, XLA fuses it into the epilogue)."""
+
+    def _bias(t, b_):
+        return (t.astype(jnp.float32) + b_.astype(jnp.float32)).astype(t.dtype)
+
+    hd = cfg.head_dim
+    if "wqkv" in layer:
+        qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
+        if "bqkv" in layer:
+            qkv = _bias(qkv, layer["bqkv"])
+        n_q, n_kv = cfg.n_heads * hd, cfg.n_kv_heads * hd
+        return qkv[:, :n_q], qkv[:, n_q : n_q + n_kv], qkv[:, n_q + n_kv :]
+    q = _linear(x2, layer["wq"], cfg, interpret, kernels)
+    k = _linear(x2, layer["wk"], cfg, interpret, kernels)
+    v = _linear(x2, layer["wv"], cfg, interpret, kernels)
+    if "bq" in layer:
+        q, k, v = _bias(q, layer["bq"]), _bias(k, layer["bk"]), _bias(v, layer["bv"])
+    return q, k, v
+
+
 def _attn_block(
     x, layer, cfg: LlamaConfig, cos, sin, *, cache=None, pos=None,
     kv_seq_len=None, tp_axis=None, interpret=None, kernels=True,
@@ -453,17 +502,7 @@ def _attn_block(
     hd = cfg.head_dim
 
     x2 = x.reshape(b * s, -1)
-    if "wqkv" in layer:
-        qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
-        n_q = cfg.n_heads * hd
-        n_kv = cfg.n_kv_heads * hd
-        q = qkv[:, :n_q]
-        k = qkv[:, n_q : n_q + n_kv]
-        v = qkv[:, n_q + n_kv :]
-    else:
-        q = _linear(x2, layer["wq"], cfg, interpret, kernels)
-        k = _linear(x2, layer["wk"], cfg, interpret, kernels)
-        v = _linear(x2, layer["wv"], cfg, interpret, kernels)
+    q, k, v = _qkv_proj(x2, layer, cfg, interpret, kernels)
     # local head counts derive from the (possibly TP-sharded) weight shapes
     nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
     q = q.reshape(b, s, nh, hd)
@@ -793,17 +832,7 @@ def _decode_layer(
         h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
         x2 = h.reshape(b * s, -1)
     hd = cfg.head_dim
-    if "wqkv" in layer:
-        qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
-        n_q = cfg.n_heads * hd
-        n_kv = cfg.n_kv_heads * hd
-        q, k, v = (
-            qkv[:, :n_q], qkv[:, n_q : n_q + n_kv], qkv[:, n_q + n_kv :]
-        )
-    else:
-        q = _linear(x2, layer["wq"], cfg, interpret, kernels)
-        k = _linear(x2, layer["wk"], cfg, interpret, kernels)
-        v = _linear(x2, layer["wv"], cfg, interpret, kernels)
+    q, k, v = _qkv_proj(x2, layer, cfg, interpret, kernels)
     nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
     q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
@@ -945,16 +974,7 @@ def prefill_chunk_step(
         h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
         x2 = h.reshape(b * c, -1)
         hd = cfg.head_dim
-        if "wqkv" in layer:
-            qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
-            n_q, n_kv = cfg.n_heads * hd, cfg.n_kv_heads * hd
-            q, k, v = (
-                qkv[:, :n_q], qkv[:, n_q : n_q + n_kv], qkv[:, n_q + n_kv :]
-            )
-        else:
-            q = _linear(x2, layer["wq"], cfg, interpret, kernels)
-            k = _linear(x2, layer["wk"], cfg, interpret, kernels)
-            v = _linear(x2, layer["wv"], cfg, interpret, kernels)
+        q, k, v = _qkv_proj(x2, layer, cfg, interpret, kernels)
         nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
         q = q.reshape(b, c, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, c, nkv, hd).transpose(0, 2, 1, 3)
@@ -1107,17 +1127,7 @@ def paged_decode_step(
     for layer, pool in zip(params["layers"], pools):
         h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
         x2 = h.reshape(b, -1)
-        if "wqkv" in layer:
-            qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
-            n_q = cfg.n_heads * hd
-            n_kv = cfg.n_kv_heads * hd
-            q, k, v = (
-                qkv[:, :n_q], qkv[:, n_q : n_q + n_kv], qkv[:, n_q + n_kv :]
-            )
-        else:
-            q = _linear(x2, layer["wq"], cfg, interpret, kernels)
-            k = _linear(x2, layer["wk"], cfg, interpret, kernels)
-            v = _linear(x2, layer["wv"], cfg, interpret, kernels)
+        q, k, v = _qkv_proj(x2, layer, cfg, interpret, kernels)
         nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
         q = q.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
@@ -1198,16 +1208,7 @@ def paged_prefill_chunk_step(
     for layer, pool in zip(params["layers"], pools):
         h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
         x2 = h.reshape(b * c, -1)
-        if "wqkv" in layer:
-            qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
-            n_q, n_kv = cfg.n_heads * hd, cfg.n_kv_heads * hd
-            q, k, v = (
-                qkv[:, :n_q], qkv[:, n_q : n_q + n_kv], qkv[:, n_q + n_kv :]
-            )
-        else:
-            q = _linear(x2, layer["wq"], cfg, interpret, kernels)
-            k = _linear(x2, layer["wk"], cfg, interpret, kernels)
-            v = _linear(x2, layer["wv"], cfg, interpret, kernels)
+        q, k, v = _qkv_proj(x2, layer, cfg, interpret, kernels)
         nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
         q = q.reshape(b, c, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, c, nkv, hd).transpose(0, 2, 1, 3)

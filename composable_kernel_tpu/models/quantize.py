@@ -249,6 +249,10 @@ def awq_quantize_llama(params, cfg_q: llama.LlamaConfig, calib_tokens, *,
     cfg = cfg_q
     assert cfg.quant in ("w4a16", "w4a8"), cfg.quant
     assert not cfg.fuse_qkv, "run AWQ on the unfused tree, fuse after"
+    assert not cfg.qkv_bias, (
+        "qkv-bias models: the o-proj fold would also rescale bv; "
+        "calibration folds for biased trees are unimplemented"
+    )
     bits = 4
     quant = _Quantizer(cfg, percdamp)
     toks = jnp.asarray(calib_tokens, jnp.int32)
@@ -407,6 +411,10 @@ def smoothquant_quantize_llama(params, cfg_q: llama.LlamaConfig,
     cfg = cfg_q
     assert cfg.quant == "w8a8", cfg.quant
     assert not cfg.fuse_qkv, "run SmoothQuant on the unfused tree, fuse after"
+    assert not cfg.qkv_bias, (
+        "qkv-bias models: the o-proj fold would also rescale bv; "
+        "calibration folds for biased trees are unimplemented"
+    )
     from composable_kernel_tpu.reference.quant import ref_quantize_per_channel
 
     toks = jnp.asarray(calib_tokens, jnp.int32)
@@ -541,6 +549,9 @@ def gptq_quantize_llama(params, cfg_q: llama.LlamaConfig, calib_tokens,
     tree interchangeable with ``llama.quantize_weights`` output.
     """
     cfg = cfg_q
+    assert not cfg.qkv_bias, (
+        "qkv-bias trees: GPTQ propagation/Hessians don't add the bias yet"
+    )
     quant = _Quantizer(cfg, percdamp)
     toks = jnp.asarray(calib_tokens, jnp.int32)
     b, s = toks.shape

@@ -175,6 +175,62 @@ class TestW8A8:
         assert rel < 0.05, rel
 
 
+class TestQwen2Bias:
+    CFG = llama.tiny_config(quant="bf16", dtype="float32", qkv_bias=True)
+    PARAMS = llama.init_weights(CFG, KEY)
+
+    def test_bias_changes_output(self):
+        # dropped-bias wiring would make these equal
+        import dataclasses
+
+        nob = dataclasses.replace(self.CFG, qkv_bias=False)
+        p0 = {**self.PARAMS, "layers": [
+            {k: v for k, v in l.items() if k not in ("bq", "bk", "bv")}
+            for l in self.PARAMS["layers"]
+        ]}
+        with_b = llama.forward(self.PARAMS, TOKENS, self.CFG, kernels=False)
+        without = llama.forward(p0, TOKENS, nob, kernels=False)
+        assert float(jnp.linalg.norm(with_b - without)) > 1e-3
+
+    def test_kernel_vs_reference_path(self):
+        got = llama.forward(self.PARAMS, TOKENS, self.CFG, kernels=True)
+        want = llama.forward(self.PARAMS, TOKENS, self.CFG, kernels=False)
+        rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+        assert rel < 1e-3, rel
+
+    def test_decode_consistent_with_prefill(self):
+        full = llama.forward(self.PARAMS, TOKENS[:, :17], self.CFG)
+        _, seeds = llama.forward(self.PARAMS, TOKENS[:, :16], self.CFG,
+                                 return_cache=True)
+        cache = llama.seed_kv_cache(
+            llama.init_kv_cache(self.CFG, 2), seeds, self.CFG
+        )
+        got, _ = llama.decode_step(self.PARAMS, cache, TOKENS[:, 16:17], 16,
+                                   self.CFG)
+        g = np.asarray(got[:, -1], np.float32)
+        w = np.asarray(full[:, -1], np.float32)
+        rel = np.linalg.norm(g - w) / np.linalg.norm(w)
+        assert rel < 1e-3, rel
+
+    def test_fused_qkv_concats_bias(self):
+        cfg_f = llama.tiny_config(quant="w4a16", qkv_bias=True, fuse_qkv=True)
+        cfg_b = llama.tiny_config(quant="bf16", qkv_bias=True)
+        params = llama.init_weights(cfg_b, KEY)
+        qp = llama.quantize_weights(params, cfg_f)
+        assert "bqkv" in qp["layers"][0]
+        toks = TOKENS[:, :12]
+        out = llama.forward(qp, toks, cfg_f, kernels=True)
+        # same quant, unfused: bias must land identically (up to the fused
+        # GEMM's group-boundary quantization differences)
+        cfg_u = llama.tiny_config(quant="w4a16", qkv_bias=True)
+        qu = llama.quantize_weights(params, cfg_u)
+        want = llama.forward(qu, toks, cfg_u, kernels=True)
+        g = np.asarray(out, np.float32)
+        w = np.asarray(want, np.float32)
+        rel = np.linalg.norm(g - w) / np.linalg.norm(w)
+        assert rel < 0.05, rel
+
+
 class TestFusedProjections:
     def test_fused_matches_unfused(self):
         cfg_f = llama.tiny_config(quant="w4a16", fuse_qkv=True)
