@@ -549,9 +549,6 @@ def gptq_quantize_llama(params, cfg_q: llama.LlamaConfig, calib_tokens,
     tree interchangeable with ``llama.quantize_weights`` output.
     """
     cfg = cfg_q
-    assert not cfg.qkv_bias, (
-        "qkv-bias trees: GPTQ propagation/Hessians don't add the bias yet"
-    )
     quant = _Quantizer(cfg, percdamp)
     toks = jnp.asarray(calib_tokens, jnp.int32)
     b, s = toks.shape
@@ -584,12 +581,27 @@ def gptq_quantize_llama(params, cfg_q: llama.LlamaConfig, calib_tokens,
             for name in ("wq", "wk", "wv"):
                 new_l[name], deq[name] = quant(np.asarray(layer[name], np.float32), x1)
 
-        def lin(inp, w_f32):
-            return jnp.matmul(inp, jnp.asarray(w_f32))
+        # Qwen2-style biases: pass through full-precision (GPTQ quantizes
+        # weights only) and include them in the propagated activations so
+        # downstream Hessians see the true input distribution
+        bias = {n: jnp.asarray(layer[n], jnp.float32)
+                for n in ("bq", "bk", "bv") if n in layer}
+        if bias and cfg.fuse_qkv:
+            new_l["bqkv"] = jnp.concatenate(
+                [layer["bq"], layer["bk"], layer["bv"]]
+            )
+        else:
+            new_l.update({n: layer[n] for n in bias})
 
-        q = lin(h1.reshape(b * s, -1), deq["wq"]).reshape(b, s, -1, hd)
-        k = lin(h1.reshape(b * s, -1), deq["wk"]).reshape(b, s, -1, hd)
-        v = lin(h1.reshape(b * s, -1), deq["wv"]).reshape(b, s, -1, hd)
+        def lin(inp, w_f32, b_name=None):
+            out_ = jnp.matmul(inp, jnp.asarray(w_f32))
+            if b_name in bias:
+                out_ = out_ + bias[b_name]
+            return out_
+
+        q = lin(h1.reshape(b * s, -1), deq["wq"], "bq").reshape(b, s, -1, hd)
+        k = lin(h1.reshape(b * s, -1), deq["wk"], "bk").reshape(b, s, -1, hd)
+        v = lin(h1.reshape(b * s, -1), deq["wv"], "bv").reshape(b, s, -1, hd)
         q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
         k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
         v = v.transpose(0, 2, 1, 3)

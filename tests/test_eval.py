@@ -321,3 +321,35 @@ class TestSmoothQuant:
         toks = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
         out = llama.forward(got, toks, cfg_q, kernels=True)
         assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_gptq_qkv_bias_tree():
+    # Qwen2-style biased tree: biases pass through full-precision, the
+    # propagation includes them, and the output drops into llama.forward
+    from composable_kernel_tpu.models.quantize import gptq_quantize_llama
+
+    cfg_b = llama.tiny_config(dim=128, n_layers=2, n_heads=4, n_kv_heads=2,
+                              ffn_dim=256, vocab_size=512, max_seq_len=128,
+                              quant="bf16", dtype="float32", qkv_bias=True)
+    cfg_q = llama.tiny_config(dim=128, n_layers=2, n_heads=4, n_kv_heads=2,
+                              ffn_dim=256, vocab_size=512, max_seq_len=128,
+                              quant="w4a16", group_size=64, dtype="float32",
+                              qkv_bias=True)
+    params = llama.init_weights(cfg_b, jax.random.PRNGKey(3))
+    calib = np.random.default_rng(3).integers(0, 256, (2, 48)).astype(np.int32)
+    got = gptq_quantize_llama(params, cfg_q, calib)
+    assert "bq" in got["layers"][0] and "bv" in got["layers"][1]
+    # eval on the CALIBRATION tokens: that's the distribution GPTQ
+    # optimizes (a 2-sequence random tiny model does not generalize —
+    # measured the same 1.3x fresh-token loss with bias disabled)
+    toks = jnp.asarray(calib[:, :24], jnp.int32)
+    lf = llama.forward(params, toks, cfg_b, kernels=False).astype(jnp.float32)
+    lg = llama.forward(got, toks, cfg_q, kernels=False).astype(jnp.float32)
+    lr = llama.forward(llama.quantize_weights(params, cfg_q), toks, cfg_q,
+                       kernels=False).astype(jnp.float32)
+    err_g = float(jnp.linalg.norm(lg - lf))
+    err_r = float(jnp.linalg.norm(lr - lf))
+    # GPTQ must clearly beat plain RTN on its calibration distribution
+    # (measured ~0.51x with or without bias — a dropped/mis-added bias
+    # in the propagation breaks this)
+    assert err_g < 0.8 * err_r, (err_g, err_r)
