@@ -32,7 +32,17 @@ _HF_LAYER_MAP = {
     "mlp.gate_proj.weight": ("w_gate", True),
     "mlp.up_proj.weight": ("w_up", True),
     "mlp.down_proj.weight": ("w_down", True),
+    # Qwen2-style projection biases (absent in Llama/Mistral checkpoints;
+    # required only when cfg.qkv_bias)
+    "self_attn.q_proj.bias": ("bq", False),
+    "self_attn.k_proj.bias": ("bk", False),
+    "self_attn.v_proj.bias": ("bv", False),
 }
+
+#: HF Mixtral MoE names: block_sparse_moe.gate.weight [E, d] (router) and
+#: block_sparse_moe.experts.{e}.w{1,2,3}.weight — w1=gate [f,d], w3=up
+#: [f,d], w2=down [d,f]; all transpose to our [K, N]
+_HF_MOE_EXPERT_MAP = {"w1": "w_gate", "w3": "w_up", "w2": "w_down"}
 
 
 def _open_shards(ckpt_dir: Path):
@@ -96,7 +106,11 @@ def load_llama(ckpt_dir, cfg: LlamaConfig):
     # BEFORE quantization so the params tree matches quantize_weights();
     # stage their f32 forms here since shards may split a layer
     _FUSE = {"wq", "wk", "wv", "w_gate", "w_up"} if cfg.fuse_qkv else set()
+    if cfg.fuse_qkv and cfg.qkv_bias:
+        _FUSE |= {"bq", "bk", "bv"}
     staging: list[dict] = [dict() for _ in range(cfg.n_layers)]
+    # MoE expert stacks assemble across shards: {key: {expert: f32 [K, N]}}
+    moe_staging: list[dict] = [dict() for _ in range(cfg.n_layers)]
 
     def as_model_dtype(x):
         return jnp.asarray(native.f32_to_bf16_raw(_to_f32(x))).view(jnp.bfloat16)
@@ -119,7 +133,19 @@ def load_llama(ckpt_dir, cfg: LlamaConfig):
             rest = name[len("model.layers.") :]
             idx_s, sub = rest.split(".", 1)
             i = int(idx_s)
-            if i >= cfg.n_layers or sub not in _HF_LAYER_MAP:
+            if i >= cfg.n_layers:
+                continue
+            if sub == "block_sparse_moe.gate.weight":
+                moe_staging[i]["router"] = native.transpose_f32(_to_f32(raw))
+                continue
+            if sub.startswith("block_sparse_moe.experts."):
+                e_s, w_name, _ = sub[len("block_sparse_moe.experts.") :].split(".")
+                key = _HF_MOE_EXPERT_MAP[w_name]
+                moe_staging[i].setdefault(key, {})[int(e_s)] = (
+                    native.transpose_f32(_to_f32(raw))
+                )
+                continue
+            if sub not in _HF_LAYER_MAP:
                 continue
             key, needs_t = _HF_LAYER_MAP[sub]
             if key in _FUSE:
@@ -145,10 +171,43 @@ def load_llama(ckpt_dir, cfg: LlamaConfig):
                 np.concatenate([stage["wq"], stage["wk"], stage["wv"]], axis=1),
                 cfg, row_parallel=False,
             )
+            if cfg.qkv_bias:
+                layers[i]["bqkv"] = as_model_dtype(
+                    np.concatenate([stage["bq"], stage["bk"], stage["bv"]])
+                )
             layers[i]["w_gateup"] = _quantize_leaf(
                 np.concatenate([stage["w_gate"], stage["w_up"]], axis=1),
                 cfg, row_parallel=False,
             )
+
+    if cfg.n_experts > 0:
+        from composable_kernel_tpu.models.moe import quantize_moe_weights
+
+        for i, st in enumerate(moe_staging):
+            missing_moe = {"router", "w_gate", "w_up", "w_down"} - set(st)
+            if missing_moe:
+                raise ValueError(f"layer {i}: MoE needs {sorted(missing_moe)}")
+            stacks = {"router": jnp.asarray(st["router"], jnp.float32)}
+            for key in ("w_gate", "w_up", "w_down"):
+                by_e = st[key]
+                assert len(by_e) == cfg.n_experts, (i, key, sorted(by_e))
+                stacks[key] = jnp.stack(
+                    [jnp.asarray(by_e[e], jnp.float32)
+                     for e in range(cfg.n_experts)]
+                )
+            if cfg.quant == "bf16":
+                layers[i]["moe"] = {
+                    k: v.astype(jnp.bfloat16) if k != "router" else v
+                    for k, v in stacks.items()
+                }
+            elif cfg.quant == "w4a8":
+                layers[i]["moe"] = quantize_moe_weights(
+                    stacks, mode="w4a8", group_size=cfg.group_size
+                )
+            else:
+                # int8 / w8a8 / w4a16 experts ride the per-channel-int8
+                # grouped path (llama.quantize_weights.quant_moe stance)
+                layers[i]["moe"] = quantize_moe_weights(stacks, mode="w8a16")
 
     if "lm_head" not in top and "embed" in top:
         # tied embeddings (Llama-3.2 style): lm_head = embed^T
@@ -158,10 +217,17 @@ def load_llama(ckpt_dir, cfg: LlamaConfig):
         top["lm_head"] = _quantize_leaf(w, cfg, False)
     fused_to = {"wq": "wqkv", "wk": "wqkv", "wv": "wqkv",
                 "w_gate": "w_gateup", "w_up": "w_gateup"} if cfg.fuse_qkv else {}
+    if cfg.fuse_qkv:
+        fused_to.update({"bq": "bqkv", "bk": "bqkv", "bv": "bqkv"})
+    required = {k for k, _ in _HF_LAYER_MAP.values()}
+    if not cfg.qkv_bias:
+        required -= {"bq", "bk", "bv"}
+    if cfg.n_experts > 0:
+        required -= {"w_gate", "w_up", "w_down"}  # checked in the MoE pass
     missing = [
         (i, k)
         for i, layer in enumerate(layers)
-        for k, _ in _HF_LAYER_MAP.values()
+        for k in sorted(required)
         if fused_to.get(k, k) not in layer
     ]
     if missing:

@@ -83,6 +83,14 @@ def _write_hf_checkpoint(tmp_path, params, cfg):
     tensors["lm_head.weight"] = raw(params["lm_head"]).T.copy()
     for i, layer in enumerate(params["layers"]):
         for key, w in layer.items():
+            if key == "moe":
+                p = f"model.layers.{i}.block_sparse_moe"
+                tensors[f"{p}.gate.weight"] = raw(w["router"]).T.copy()
+                for e in range(w["w_gate"].shape[0]):
+                    tensors[f"{p}.experts.{e}.w1.weight"] = raw(w["w_gate"][e]).T.copy()
+                    tensors[f"{p}.experts.{e}.w3.weight"] = raw(w["w_up"][e]).T.copy()
+                    tensors[f"{p}.experts.{e}.w2.weight"] = raw(w["w_down"][e]).T.copy()
+                continue
             hf_name, needs_t = inv[key]
             a = raw(w)
             if needs_t:
@@ -141,3 +149,57 @@ class TestLoader:
             np.asarray(loaded["embed"].astype(jnp.float32)),
             np.asarray(params["embed"].astype(jnp.float32)),
         )
+
+
+class TestLoaderFamilies:
+    def test_load_qwen2_bias(self, tmp_path):
+        cfg = llama.tiny_config(quant="w4a16", qkv_bias=True)
+        params = llama.init_weights(cfg, jax.random.PRNGKey(2))
+        _write_hf_checkpoint(tmp_path, params, cfg)
+        loaded = load_llama(tmp_path, cfg)
+        want = llama.quantize_weights(params, cfg)
+        for i in range(cfg.n_layers):
+            for bname in ("bq", "bk", "bv"):
+                np.testing.assert_array_equal(
+                    np.asarray(loaded["layers"][i][bname].astype(jnp.float32)),
+                    np.asarray(want["layers"][i][bname].astype(jnp.float32)),
+                )
+        toks = jax.random.randint(jax.random.PRNGKey(3), (1, 12), 0,
+                                  cfg.vocab_size)
+        got = llama.forward(loaded, toks, cfg, kernels=False)
+        ref = llama.forward(want, toks, cfg, kernels=False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_load_qwen2_bias_fused(self, tmp_path):
+        cfg = llama.tiny_config(quant="w4a16", qkv_bias=True, fuse_qkv=True)
+        base = llama.tiny_config(quant="bf16", qkv_bias=True)
+        params = llama.init_weights(base, jax.random.PRNGKey(4))
+        _write_hf_checkpoint(tmp_path, params, base)
+        loaded = load_llama(tmp_path, cfg)
+        assert "bqkv" in loaded["layers"][0]
+        want = llama.quantize_weights(params, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(loaded["layers"][0]["bqkv"].astype(jnp.float32)),
+            np.asarray(want["layers"][0]["bqkv"].astype(jnp.float32)),
+        )
+
+    def test_load_mixtral_moe(self, tmp_path):
+        cfg = llama.tiny_config(quant="int8", n_experts=4)
+        base = llama.tiny_config(quant="bf16", n_experts=4)
+        params = llama.init_weights(base, jax.random.PRNGKey(5))
+        _write_hf_checkpoint(tmp_path, params, base)
+        loaded = load_llama(tmp_path, cfg)
+        want = llama.quantize_weights(params, cfg)
+        for i in range(cfg.n_layers):
+            for key in ("w_gate", "w_up", "w_down"):
+                np.testing.assert_array_equal(
+                    np.asarray(loaded["layers"][i]["moe"][key]["q"]),
+                    np.asarray(want["layers"][i]["moe"][key]["q"]),
+                    err_msg=f"layer {i} moe {key}",
+                )
+        toks = jax.random.randint(jax.random.PRNGKey(6), (1, 12), 0,
+                                  cfg.vocab_size)
+        got = llama.forward(loaded, toks, cfg, kernels=False)
+        ref = llama.forward(want, toks, cfg, kernels=False)
+        # router stays fp; expert int8 leaves bit-match -> logits bit-match
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
