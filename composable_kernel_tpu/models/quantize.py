@@ -113,7 +113,7 @@ class _Quantizer:
         # w4a8 shares w4a16's weight quantization (GPTQ calibrates weights
         # against full-precision activations; the per-token int8 activation
         # quant is a runtime step) — only the pack layout differs.
-        assert cfg.quant in ("w4a16", "w4a8", "int8"), cfg.quant
+        assert cfg.quant in ("w4a16", "w4a8", "int8", "w8a8"), cfg.quant
         self.cfg = cfg
         self.percdamp = percdamp
 
@@ -122,7 +122,7 @@ class _Quantizer:
         and the dequantized f32 weight (for propagating activations)."""
         cfg = self.cfg
         h = _hessian(x)
-        if cfg.quant == "int8":
+        if cfg.quant in ("int8", "w8a8"):
             w_q, s = gptq_matrix(w, h, group_size=None, bits=8,
                                  percdamp=self.percdamp)
             deq = w_q.astype(np.float32) * s[None, :]
@@ -535,6 +535,80 @@ def smoothquant_quantize_llama(params, cfg_q: llama.LlamaConfig,
     return out
 
 
+def _np_silu(x):
+    return x / (1.0 + np.exp(-x))
+
+
+def _gptq_moe(moe_w, x2, cfg, percdamp):
+    """GPTQ for a Mixtral expert stack (models.moe layout).
+
+    Per-expert Hessians come from the tokens the router actually sends
+    there — the distribution each expert sees at inference. Experts with
+    no routed calibration tokens fall back to RTN (an identity Hessian;
+    an all-zero Hessian would zero the expert via the dead-row rule).
+    Output layout matches ``quantize_moe_weights`` (per-channel int8
+    stacks; the AND-only int4 pack when cfg.quant == "w4a8"). Returns
+    (leaves, y [T, d] f64): y is the dense top-k combine computed from
+    the DEQUANTIZED experts, for activation propagation.
+    """
+    from composable_kernel_tpu.models.moe import _route
+
+    t, d = x2.shape
+    e_total = moe_w["w_gate"].shape[0]
+    w4a8 = cfg.quant == "w4a8"
+    g = cfg.group_size
+    w_r, idx = _route(
+        jnp.asarray(x2, jnp.float32), moe_w["router"], cfg.top_k_experts
+    )
+    idx_np = np.asarray(idx)
+    w_np = np.asarray(w_r, np.float64)
+
+    def q_mat(w64, x_e):
+        h = np.eye(w64.shape[0]) if x_e.shape[0] == 0 else _hessian(x_e)
+        if w4a8:
+            w_q, sc = gptq_matrix(w64, h, group_size=g, bits=4,
+                                  percdamp=percdamp)
+            return w_q, sc, w_q.astype(np.float64) * np.repeat(sc, g, axis=0)
+        w_q, sc = gptq_matrix(w64, h, group_size=None, bits=8,
+                              percdamp=percdamp)
+        return w_q, sc, w_q.astype(np.float64) * sc[None, :]
+
+    stacks = {k: ([], []) for k in ("w_gate", "w_up", "w_down")}
+    y = np.zeros((t, d), np.float64)
+    x64 = np.asarray(x2, np.float64)
+    for e in range(e_total):
+        mask = idx_np == e  # [T, top_k]
+        rows = np.where(mask.any(axis=1))[0]
+        x_e = x64[rows]
+        wq_g, s_g, deq_g = q_mat(np.asarray(moe_w["w_gate"][e], np.float64), x_e)
+        wq_u, s_u, deq_u = q_mat(np.asarray(moe_w["w_up"][e], np.float64), x_e)
+        hmid_e = _np_silu(x_e @ deq_g) * (x_e @ deq_u)
+        wq_d, s_d, deq_d = q_mat(np.asarray(moe_w["w_down"][e], np.float64),
+                                 hmid_e)
+        gate_w = (w_np * mask).sum(axis=1)  # [T]
+        y[rows] += gate_w[rows, None] * (hmid_e @ deq_d)
+        for k, (wq, sc) in zip(("w_gate", "w_up", "w_down"),
+                               ((wq_g, s_g), (wq_u, s_u), (wq_d, s_d))):
+            stacks[k][0].append(wq)
+            stacks[k][1].append(sc)
+
+    leaves = {"router": moe_w["router"]}
+    for k, (wqs, scs) in stacks.items():
+        if w4a8:
+            leaves[k] = {
+                "q": jnp.stack([dtypes.pack_int4_w4a8(jnp.asarray(q))
+                                for q in wqs]),
+                "s": jnp.stack([jnp.asarray(s, jnp.float32) for s in scs]),
+                "gs": g,
+            }
+        else:
+            leaves[k] = {
+                "q": jnp.stack([jnp.asarray(q) for q in wqs]),
+                "s": jnp.stack([jnp.asarray(s, jnp.float32) for s in scs]),
+            }
+    return leaves, y
+
+
 def gptq_quantize_llama(params, cfg_q: llama.LlamaConfig, calib_tokens,
                         *, percdamp: float = 0.01,
                         quant_lm_head: bool = True):
@@ -616,6 +690,11 @@ def gptq_quantize_llama(params, cfg_q: llama.LlamaConfig, calib_tokens,
 
         h2 = _rms(x, layer["ffn_norm"], cfg.norm_eps)
         x2 = np.asarray(h2.reshape(b * s, -1))
+        if "moe" in layer:
+            new_l["moe"], y = _gptq_moe(layer["moe"], x2, cfg, percdamp)
+            x = x + jnp.asarray(y, jnp.float32).reshape(b, s, -1)
+            new_layers.append(new_l)
+            continue
         if cfg.fuse_qkv:
             gu = np.concatenate(
                 [np.asarray(layer["w_gate"], np.float32),

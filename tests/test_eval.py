@@ -353,3 +353,62 @@ def test_gptq_qkv_bias_tree():
     # (measured ~0.51x with or without bias — a dropped/mis-added bias
     # in the propagation breaks this)
     assert err_g < 0.8 * err_r, (err_g, err_r)
+
+
+class TestGPTQMoE:
+    def _cfgs(self, quant):
+        kw = dict(dim=128, n_layers=2, n_heads=4, n_kv_heads=2, ffn_dim=256,
+                  vocab_size=512, max_seq_len=128, dtype="float32",
+                  n_experts=4, group_size=64)
+        return (llama.tiny_config(quant="bf16", **kw),
+                llama.tiny_config(quant=quant, **kw))
+
+    def test_int8_experts_beat_rtn_on_calib(self):
+        from composable_kernel_tpu.models.quantize import gptq_quantize_llama
+
+        cfg_b, cfg_q = self._cfgs("int8")
+        params = llama.init_weights(cfg_b, jax.random.PRNGKey(11))
+        calib = np.random.default_rng(11).integers(0, 256, (2, 48)).astype(np.int32)
+        got = gptq_quantize_llama(params, cfg_q, calib)
+        want = llama.quantize_weights(params, cfg_q)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.shape(a), np.shape(b)),
+            got, want,
+        )
+        toks = jnp.asarray(calib[:, :24], jnp.int32)
+        lf = llama.forward(params, toks, cfg_b, kernels=False).astype(jnp.float32)
+        lg = llama.forward(got, toks, cfg_q, kernels=False).astype(jnp.float32)
+        lr = llama.forward(want, toks, cfg_q, kernels=False).astype(jnp.float32)
+        err_g = float(jnp.linalg.norm(lg - lf))
+        err_r = float(jnp.linalg.norm(lr - lf))
+        # int8 experts are near-lossless either way; GPTQ must not lose
+        assert err_g < 1.05 * err_r, (err_g, err_r)
+
+    def test_w4a8_experts_tree_runs_kernels(self):
+        from composable_kernel_tpu.models.quantize import gptq_quantize_llama
+
+        cfg_b, cfg_q = self._cfgs("w4a8")
+        params = llama.init_weights(cfg_b, jax.random.PRNGKey(12))
+        calib = np.random.default_rng(12).integers(0, 256, (2, 32)).astype(np.int32)
+        got = gptq_quantize_llama(params, cfg_q, calib)
+        assert "gs" in got["layers"][0]["moe"]["w_gate"]
+        toks = jnp.asarray(calib[:, :16], jnp.int32)
+        out = llama.forward(got, toks, cfg_q, kernels=True)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    def test_w4a16_experts_beat_rtn_on_calib(self):
+        # int4 experts: where error compensation actually matters
+        from composable_kernel_tpu.models.quantize import gptq_quantize_llama
+
+        cfg_b, cfg_q = self._cfgs("w4a16")
+        params = llama.init_weights(cfg_b, jax.random.PRNGKey(13))
+        calib = np.random.default_rng(13).integers(0, 256, (2, 48)).astype(np.int32)
+        got = gptq_quantize_llama(params, cfg_q, calib)
+        want = llama.quantize_weights(params, cfg_q)
+        toks = jnp.asarray(calib[:, :24], jnp.int32)
+        lf = llama.forward(params, toks, cfg_b, kernels=False).astype(jnp.float32)
+        lg = llama.forward(got, toks, cfg_q, kernels=False).astype(jnp.float32)
+        lr = llama.forward(want, toks, cfg_q, kernels=False).astype(jnp.float32)
+        err_g = float(jnp.linalg.norm(lg - lf))
+        err_r = float(jnp.linalg.norm(lr - lf))
+        assert err_g < 0.9 * err_r, (err_g, err_r)
