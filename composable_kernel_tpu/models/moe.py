@@ -125,6 +125,12 @@ def dequantize_moe_weights(weights):
     return out
 
 
+def _stack_size(w):
+    """Expert count of a stack leaf (raw [E, K, N] array or quantized
+    {"q", "s"[, "gs"]} dict)."""
+    return (w["q"] if isinstance(w, dict) else w).shape[0]
+
+
 def _route(x2, router, top_k):
     """Returns (weights [T, k], experts [T, k]) with renormalized softmax."""
     logits = jnp.matmul(x2.astype(jnp.float32), router.astype(jnp.float32))
@@ -142,7 +148,7 @@ def moe_block(x, weights, cfg: MoEConfig, *, ep_axis=None):
     expert shard of the (E, ...) weights and contributes partial sums.
     """
     t, d = x.shape
-    n_local = weights["w_gate"].shape[0]
+    n_local = _stack_size(weights["w_gate"])
     w, idx = _route(x, weights["router"], cfg.top_k)
     if ep_axis is not None:
         # global expert id -> local slot (or out of range = contribute 0)
@@ -245,7 +251,7 @@ def moe_block_ep(x, weights, cfg: MoEConfig, *, ep_axis, capacity=None,
     sharded on dim 0 over ``ep_axis`` (router replicated).
     """
     t, d = x.shape
-    n_local = weights["w_gate"].shape[0]
+    n_local = _stack_size(weights["w_gate"])
     ep = jax.lax.psum(1, ep_axis)
     w, idx = _route(x, weights["router"], cfg.top_k)
     p = t * cfg.top_k
