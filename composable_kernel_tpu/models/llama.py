@@ -1014,7 +1014,20 @@ def prefill_chunk_step(
                 kv["v"], v_in.astype(kv["v"].dtype), (0, 0, pos, 0)
             )
         scales = {"k_scale": kv["ks"], "v_scale": kv["vs"]} if is_i8 else {}
-        if kernels:
+        if kernels and c <= 8:
+            # small chunks against a long cache are bandwidth-bound, not
+            # MXU-bound: the head-grouped single-stream kernel reads each
+            # KV block once for ALL heads (the flash grid re-reads it per
+            # query head) — the speculative-verify fast path. causal=True
+            # places query i at lens-c+i = offs+i, matching the flash
+            # causal_offset semantics.
+            from composable_kernel_tpu.ops.attention import decode_attention
+
+            o = decode_attention(
+                q, kv["k"], kv["v"], kv_seq_len=lens, causal=True,
+                interpret=interpret, **scales,
+            )
+        elif kernels:
             o = flash_attention(
                 q, kv["k"], kv["v"], causal=True, kv_seq_len=lens,
                 causal_offset=offs, interpret=interpret, **scales,

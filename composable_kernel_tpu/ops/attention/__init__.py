@@ -6,6 +6,7 @@ from composable_kernel_tpu.ops.attention.backward import flash_attention_grad
 from composable_kernel_tpu.ops.attention.kernel import flash_attention, flash_decode
 from composable_kernel_tpu.ops.attention.paged import (
     PagedKVCache,
+    decode_attention,
     paged_flash_decode,
 )
 
@@ -13,6 +14,7 @@ __all__ = [
     "AttentionConfig",
     "DEFAULT_ATTENTION_CONFIGS",
     "PagedKVCache",
+    "decode_attention",
     "flash_attention",
     "flash_attention_grad",
     "flash_decode",

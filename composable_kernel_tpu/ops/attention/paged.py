@@ -273,6 +273,7 @@ def decode_attention(
     k_scale=None,
     v_scale=None,
     window: int | None = None,
+    causal: bool = False,
     block_k: int = 512,
     scale: float | None = None,
     out_dtype=None,
@@ -288,6 +289,9 @@ def decode_attention(
 
     q: [B, Hq, Sq, D] (Sq small); k, v: [B, Hkv, S, D] (int8 with
     ``k_scale``/``v_scale`` [B, Hkv] for the quantized cache).
+    ``causal=True`` places query i at position kv_seq_len-Sq+i with
+    in-chunk causality — the bandwidth-shaped kernel for the speculative
+    verify step and small chunked-prefill tails.
     """
     b, hq, sq, d = q.shape
     _, hkv, sk, dv = v.shape
@@ -351,8 +355,11 @@ def decode_attention(
             jnp.asarray(v_scale, jnp.float32).reshape(-1, 1, hkv),
         ]
 
-    if window is not None:
-        assert sq == 1, "sliding-window decode is per-token (sq == 1)"
+    if window is not None and not causal:
+        assert sq == 1, (
+            "sliding-window decode is per-token (sq == 1) unless causal "
+            "(per-query windows)"
+        )
     kernel = functools.partial(
         _paged_kernel,
         scale=scale,
@@ -362,6 +369,7 @@ def decode_attention(
         rows_per_kv=rows_pad,
         has_kv_scale=has_kv_scale,
         window=window,
+        causal_sq=sq if causal else 1,
     )
 
     out = pl.pallas_call(

@@ -226,3 +226,32 @@ class TestPagedChunkStep:
             params, pools, jnp.asarray(table), chunk, pos, cfg, page=page
         )
         check_err(got, want, rtol=2e-2, atol=2e-2)
+
+
+class TestDenseCausalChunk:
+    """decode_attention(causal=True): the contiguous-cache verify path."""
+
+    def test_matches_reference(self):
+        from composable_kernel_tpu.ops.attention import decode_attention
+
+        b, hq, hkv, d, sq = 2, 8, 2, 64, 4
+        q = jax.random.normal(KEYS[0], (b, hq, sq, d), jnp.float32).astype(jnp.bfloat16)
+        ks = jax.random.normal(KEYS[1], (b, hkv, 384, d), jnp.float32).astype(jnp.bfloat16)
+        vs = jax.random.normal(KEYS[2], (b, hkv, 384, d), jnp.float32).astype(jnp.bfloat16)
+        lens = jnp.asarray([300, 135], jnp.int32)
+        got = decode_attention(q, ks, vs, kv_seq_len=lens, causal=True)
+        want = _ref_causal_chunk(q, ks, vs, lens, sq=4)
+        check_err(got, want, **TOL)
+
+    def test_windowed_causal(self):
+        from composable_kernel_tpu.ops.attention import decode_attention
+
+        b, hq, hkv, d, sq = 1, 4, 2, 64, 4
+        q = jax.random.normal(KEYS[3], (b, hq, sq, d), jnp.float32).astype(jnp.bfloat16)
+        ks = jax.random.normal(KEYS[0], (b, hkv, 256, d), jnp.float32).astype(jnp.bfloat16)
+        vs = jax.random.normal(KEYS[1], (b, hkv, 256, d), jnp.float32).astype(jnp.bfloat16)
+        lens = jnp.asarray([240], jnp.int32)
+        got = decode_attention(q, ks, vs, kv_seq_len=lens, causal=True,
+                               window=96)
+        want = _ref_causal_chunk(q, ks, vs, lens, sq=4, window=96)
+        check_err(got, want, **TOL)
