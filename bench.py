@@ -187,6 +187,50 @@ def bench_w4a8_decode(on_tpu):
     }
 
 
+def bench_w8a8_decode(on_tpu):
+    """Dynamic W8A8 (SmoothQuant-style serving) GEMM on the int8 MXU.
+
+    Decode shape per config 2; verified int64-exact before timing
+    (measured round 2: 731 GB/s at N=14336 = 89% HBM SOL).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from composable_kernel_tpu.ops.quant import quantize_act_token, w8a8_gemm
+    from composable_kernel_tpu.utils.timing import benchmark_chained
+
+    m, n, k = (8, 14336, 4096) if on_tpu else (8, 512, 512)
+    a = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32) * 0.5
+    a_q, a_s = quantize_act_token(a)
+    rng = np.random.default_rng(0)
+    w_q = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    w_s = jnp.asarray(rng.random(n) * 0.01 + 1e-4, jnp.float32)
+
+    def fn(aq):
+        return w8a8_gemm(aq, a_s, w_q, w_s, out_dtype=jnp.float32,
+                         interpret=not on_tpu)
+
+    got = np.asarray(fn(a_q))
+    want = (np.asarray(a_q, np.int64) @ np.asarray(w_q, np.int64)).astype(
+        np.float64) * np.asarray(w_s, np.float64)[None, :]
+    want = want * np.asarray(a_s, np.float64)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 1e-5, rel
+
+    lo, hi = (50, 250) if on_tpu else (2, 4)
+    r = benchmark_chained(fn, a_q, iters_lo=lo, iters_hi=hi,
+                          bytes_accessed=float(k * n + n * 4))
+    _stderr(f"# w8a8 decode M={m}: {r.gbps:.1f} GB/s weight stream")
+    return {
+        "metric": f"w8a8_decode_weight_stream_k{k}_n{n}_gbps",
+        "value": round(r.gbps, 1),
+        "unit": "GB/s",
+        "vs_baseline": round(r.gbps / 819.0, 3),
+        "verified": True,
+    }
+
+
 def bench_int8_requant(on_tpu):
     import jax
     import jax.numpy as jnp
@@ -476,6 +520,7 @@ def main() -> None:
         ("w8a16 verify", bench_w8a16_verify),
         ("w4a16 decode", bench_w4a16_decode),
         ("w4a8 decode", bench_w4a8_decode),
+        ("w8a8 decode", bench_w8a8_decode),
         ("int8 requant", bench_int8_requant),
         ("int8kv attention", bench_int8kv_attention),
         ("llama e2e", bench_llama_e2e),

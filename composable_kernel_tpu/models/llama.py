@@ -590,8 +590,36 @@ def _ffn_core(x2, bsd, layer, cfg: LlamaConfig, *, tp_axis=None,
             "MoE routing needs raw activations (fused norm-quant tuples "
             "take the unfused path for MoE layers)"
         )
-        assert tp_axis is None, "MoE layers shard over ep, not tp"
         mcfg = _moe_cfg(cfg)
+        if tp_axis is not None:
+            # Expert parallelism rides the tp mesh axis (shard_params puts
+            # each device's expert shard on dim 0 of the stacks). The
+            # activations are tp-replicated at this point, so the kernel
+            # path splits tokens across the axis, runs the capacity-bucketed
+            # all-to-all dispatch (moe_block_ep), and all_gathers back to
+            # the replicated layout the surrounding attention TP expects.
+            ep = jax.lax.psum(1, tp_axis)
+            t = x2.shape[0]
+            if kernels and t % ep == 0:
+                n_loc = t // ep
+                x_loc = jax.lax.dynamic_slice_in_dim(
+                    x2, jax.lax.axis_index(tp_axis) * n_loc, n_loc, 0
+                )
+                o_loc = moe_mod.moe_block_ep(
+                    x_loc, layer["moe"], mcfg, ep_axis=tp_axis,
+                    interpret=interpret,
+                )
+                o = jax.lax.all_gather(o_loc, tp_axis, axis=0, tiled=True)
+            else:
+                # replicated-token psum fallback (tiny decode batches or
+                # the dense reference path)
+                w = layer["moe"]
+                if isinstance(w["w_gate"], dict):
+                    w = moe_mod.dequantize_moe_weights(w)
+                o = moe_mod.moe_block(
+                    x2.astype(cfg.jdtype), w, mcfg, ep_axis=tp_axis
+                )
+            return o.reshape(b, s, d).astype(cfg.jdtype)
         if kernels:
             o = moe_mod.moe_block_ragged(
                 x2, layer["moe"], mcfg, interpret=interpret

@@ -59,17 +59,51 @@ def param_specs(params, cfg: llama.LlamaConfig):
             return {"q": P("tp", None), "s": s_spec}
         return P(None, "tp") if col else P("tp", None)
 
-    layer_spec = lambda layer: {
-        "attn_norm": P(),
-        "ffn_norm": P(),
-        "wq": w_spec(layer["wq"], True),
-        "wk": w_spec(layer["wk"], True),
-        "wv": w_spec(layer["wv"], True),
-        "wo": w_spec(layer["wo"], False),
-        "w_gate": w_spec(layer["w_gate"], True),
-        "w_up": w_spec(layer["w_up"], True),
-        "w_down": w_spec(layer["w_down"], False),
-    }
+    def moe_spec(w):
+        # Expert parallelism over the same mesh axis: stacks [E, ...]
+        # shard experts on 'tp' (router replicated; non-array leaves like
+        # the "gs" group-size marker get P() and are skipped at placement)
+        def stack(v):
+            if isinstance(v, dict):
+                return {k: P("tp") if hasattr(v[k], "ndim") else P()
+                        for k in v}
+            return P("tp")
+
+        return {
+            "router": P(),
+            "w_gate": stack(w["w_gate"]),
+            "w_up": stack(w["w_up"]),
+            "w_down": stack(w["w_down"]),
+        }
+
+    def layer_spec(layer):
+        if "wqkv" in layer or "w_gateup" in layer:
+            raise NotImplementedError(
+                "TP sharding needs unfused trees: the fused wqkv/w_gateup "
+                "concat dim interleaves q/k/v (gate/up) segments that one "
+                "PartitionSpec cannot split per-shard — load or quantize "
+                "with fuse_qkv=False for tensor parallelism"
+            )
+        spec = {
+            "attn_norm": P(),
+            "ffn_norm": P(),
+            "wq": w_spec(layer["wq"], True),
+            "wk": w_spec(layer["wk"], True),
+            "wv": w_spec(layer["wv"], True),
+            "wo": w_spec(layer["wo"], False),
+        }
+        for b in ("bq", "bk", "bv"):
+            if b in layer:  # Qwen2-style projection biases: column-parallel
+                spec[b] = P("tp")
+        if "moe" in layer:
+            spec["moe"] = moe_spec(layer["moe"])
+        else:
+            spec.update(
+                w_gate=w_spec(layer["w_gate"], True),
+                w_up=w_spec(layer["w_up"], True),
+                w_down=w_spec(layer["w_down"], False),
+            )
+        return spec
     return {
         "embed": P(),
         "layers": [layer_spec(l) for l in params["layers"]],
@@ -82,9 +116,18 @@ def param_specs(params, cfg: llama.LlamaConfig):
 
 def shard_params(params, cfg: llama.LlamaConfig, mesh: Mesh):
     """Place ``params`` on ``mesh`` with the TP plan (jax.device_put)."""
+    if cfg.n_experts > 0:
+        tp = mesh.shape["tp"]
+        assert cfg.n_experts % tp == 0, (
+            f"expert stacks shard over 'tp' as EP: n_experts="
+            f"{cfg.n_experts} must divide by tp={tp}"
+        )
     specs = param_specs(params, cfg)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: (
+            jax.device_put(x, NamedSharding(mesh, s))
+            if hasattr(x, "shape") else x
+        ),
         params,
         specs,
         is_leaf=lambda x: isinstance(x, jnp.ndarray) or hasattr(x, "shape"),

@@ -78,6 +78,76 @@ def test_tp_decode_parity():
     check_err(got, want, rtol=6e-2, atol=6e-2)
 
 
+def test_tp_forward_qwen2_biases():
+    # Qwen2-style q/k/v projection biases shard column-parallel with their
+    # weights (param_specs maps bq/bk/bv to P('tp'))
+    cfg = llama.tiny_config(quant="bf16", qkv_bias=True)
+    params = llama.init_weights(cfg, jax.random.PRNGKey(3))
+    mesh = make_mesh(tp=4, dp=2)
+    sharded = shard_params(params, cfg, mesh)
+    got = tp_forward(sharded, TOKENS, cfg, mesh, kernels=False)
+    want = llama.forward(params, TOKENS, cfg, kernels=False)
+    check_err(got, want, rtol=6e-2, atol=6e-2)
+
+
+def test_tp_forward_moe_ep():
+    # MoE layers ride the tp axis as EP: expert stacks shard on dim 0,
+    # tokens split -> all-to-all dispatch (moe_block_ep) -> all_gather
+    cfg = llama.tiny_config(quant="bf16", dtype="float32", n_experts=4,
+                            top_k_experts=2)
+    params = llama.init_weights(cfg, jax.random.PRNGKey(4))
+    mesh = make_mesh(tp=4, dp=2)
+    sharded = shard_params(params, cfg, mesh)
+    # expert stacks actually sharded over tp
+    gate = sharded["layers"][0]["moe"]["w_gate"]
+    assert "tp" in gate.sharding.spec
+    got = tp_forward(sharded, TOKENS, cfg, mesh, kernels=True)
+    want = llama.forward(params, TOKENS, cfg, kernels=True)
+    check_err(got, want, rtol=6e-2, atol=6e-2)
+    # reference path exercises the replicated-token psum fallback
+    got_ref = tp_forward(sharded, TOKENS, cfg, mesh, kernels=False)
+    want_ref = llama.forward(params, TOKENS, cfg, kernels=False)
+    check_err(got_ref, want_ref, rtol=6e-2, atol=6e-2)
+
+
+def test_tp_forward_moe_quantized():
+    # int8 expert stacks keep the {"q","s"} leaves sharded per expert
+    cfg = llama.tiny_config(quant="int8", dtype="float32", n_experts=4,
+                            top_k_experts=2)
+    params = llama.init_weights(llama.tiny_config(
+        quant="bf16", dtype="float32", n_experts=4, top_k_experts=2),
+        jax.random.PRNGKey(5))
+    qp = llama.quantize_weights(params, cfg)
+    mesh = make_mesh(tp=4, dp=2)
+    sharded = shard_params(qp, cfg, mesh)
+    got = tp_forward(sharded, TOKENS, cfg, mesh, kernels=True)
+    want = llama.forward(qp, TOKENS, cfg, kernels=True)
+    check_err(got, want, rtol=6e-2, atol=6e-2)
+
+
+def test_tp_decode_moe_fallback():
+    # decode batch (2 tokens) is not divisible by ep=4: the replicated
+    # psum fallback keeps decode correct under the same sharded tree
+    cfg = llama.tiny_config(quant="bf16", dtype="float32", n_experts=4,
+                            top_k_experts=2)
+    params = llama.init_weights(cfg, jax.random.PRNGKey(6))
+    mesh = make_mesh(tp=4, dp=2)
+    sharded = shard_params(params, cfg, mesh)
+    cache = llama.init_kv_cache(cfg, 2)
+    nxt = TOKENS[:, :1]
+    got, _ = tp_decode_step(sharded, cache, nxt, 0, cfg, mesh, kernels=True)
+    want, _ = llama.decode_step(params, cache, nxt, 0, cfg, kernels=True)
+    check_err(got, want, rtol=6e-2, atol=6e-2)
+
+
+def test_shard_params_rejects_fused_trees():
+    cfg = llama.tiny_config(quant="w4a16", fuse_qkv=True)
+    qp = llama.quantize_weights(PARAMS, cfg)
+    mesh = make_mesh(tp=4, dp=2)
+    with pytest.raises(NotImplementedError, match="fuse_qkv=False"):
+        shard_params(qp, cfg, mesh)
+
+
 def test_train_step():
     mesh = make_mesh(tp=4, dp=2)
     sharded = shard_params(PARAMS, CFG, mesh)
