@@ -161,8 +161,10 @@ def bench_w4a8_decode(on_tpu):
         )
 
         def fn(a_, b_, s_):
-            a_q, a_s = quantize_act_token(a_)
-            return w4a8_gemm(a_q, a_s, b_, s_, group_size=g,
+            # a_scales=None: per-token act-quant runs fused inside the
+            # kernel (bit-identical to quantize_act_token; round-3 fix for
+            # the 361 GB/s unfused serving-step number)
+            return w4a8_gemm(a_, None, b_, s_, group_size=g,
                              interpret=not on_tpu)
 
         if m == 1:

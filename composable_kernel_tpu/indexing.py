@@ -81,6 +81,40 @@ def fit_packed_block(target, half_seg, group_size=1, lane=128):
     return best * base
 
 
+def snap_divisor_bn(n: int, target: int, lane: int = 128) -> int:
+    """Snap a decode N-block to a lane-multiple DIVISOR of ``n``.
+
+    A non-dividing block forces ``pad_to`` on the weight matrix at call
+    time; with weights flowing through jit/scan as *arguments* XLA does not
+    hoist that pad out of the decode loop, so every step pays a full HBM
+    copy of the weights (measured: 375 vs 663 GB/s at M=8 K=4096 N=11008).
+    Preference: the smallest dividing block >= target (bigger blocks keep
+    the B stream contiguous); fallback the largest one below; ``target``
+    unchanged when n is not lane-aligned (the caller pads once via
+    ``ops.quant.prepared``). CK analog: the GemmSpecialization M/N/KPadding
+    dispatch — CK templates on whether padding is needed at all
+    (gridwise_gemm_pipeline_selector + MatrixPadder), because the padded
+    path is known slower; here the pad is avoidable by block choice.
+    """
+    if n % lane != 0 or target >= n:
+        return target
+    units = n // lane
+    above, below = None, None
+    for d in range(1, units + 1):
+        if units % d:
+            continue
+        bn = d * lane
+        if bn >= target:
+            above = bn if above is None else min(above, bn)
+        else:
+            below = bn if below is None else max(below, bn)
+    if above is not None and above <= 2 * target:
+        return above
+    if below is not None and below * 2 >= target:
+        return below
+    return above if above is not None else (below or target)
+
+
 # ------------------------------------------ split-halves int4 pack algebra
 #
 # dtypes.pack_int4 stores logical K-rows (k, k + K/2) in one byte (lo, hi

@@ -34,13 +34,18 @@ def _decode_bn(n: int) -> int:
     500 whole vs 541 split; N=28672: 508 whole vs 563 at bn=7168), so split
     into even chunks of <= 7168.
     """
+    from composable_kernel_tpu import indexing
+
     if n <= 12288:
         return max(-(-n // 128) * 128, 128)
     for nb in range(2, 64):
         bn = -(-n // nb // 128) * 128
         if bn <= 7168:
-            return bn
-    return 7168
+            # snap to a divisor of N: a non-dividing block pads the weight
+            # matrix per call, a full HBM copy inside the decode loop when
+            # weights are jit arguments (indexing.snap_divisor_bn)
+            return indexing.snap_divisor_bn(n, bn)
+    return indexing.snap_divisor_bn(n, 7168)
 
 
 def _heuristic_config(m: int, n: int, k: int) -> GemmConfig:
@@ -85,7 +90,7 @@ def _heuristic_config(m: int, n: int, k: int) -> GemmConfig:
 def wo_quant_gemm(
     a,
     b_q,
-    scales,
+    scales=None,
     ds=(),
     *,
     group_size: int | None = None,
@@ -101,7 +106,15 @@ def wo_quant_gemm(
 
     The B dequant (int8, or packed int4 two-per-byte) happens inside the
     Pallas kernel, upstream of the MXU — never materialized in HBM.
+    ``b_q`` may be a ``prepare_wo_quant`` PreparedWeights (scales=None).
     """
+    from composable_kernel_tpu.ops.quant.prepared import PreparedWeights
+
+    if isinstance(b_q, PreparedWeights):
+        return dequant_gemm(
+            a, b_q, None, ds, config=config, c_op=c_op,
+            out_dtype=out_dtype, interpret=interpret,
+        )
     m, k = a.shape
     n = b_q.shape[1]
     if config is None:

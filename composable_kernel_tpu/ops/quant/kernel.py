@@ -165,7 +165,7 @@ def _kernel_i4(
 def dequant_gemm(
     a,
     b_q,
-    scales,
+    scales=None,
     ds=(),
     *,
     group_size: int | None = None,
@@ -181,10 +181,38 @@ def dequant_gemm(
     a:      [M, K] fp32/bf16/fp16 activations
     b_q:    [K, N] int8, or [K//2, N] int8 holding packed int4 pairs
             (``dtypes.pack_int4`` split-halves layout; ``pack_blocks`` > 1
-            for the TP row-block layout) when ``packed_int4``
+            for the TP row-block layout) when ``packed_int4`` — OR a
+            :class:`~composable_kernel_tpu.ops.quant.prepared.PreparedWeights`
+            from ``prepare_wo_quant`` (the serving fast path: no per-call
+            weight padding or scale expansion)
     scales: [N] f32 per-channel, or [K//group_size, N] f32 group-wise
     ds:     extra epilogue operands ([M, N] or [N]), per CK multiple-D
     """
+    from composable_kernel_tpu.ops.quant.prepared import PreparedWeights
+
+    prepared = b_q if isinstance(b_q, PreparedWeights) else None
+    if prepared is not None:
+        assert prepared.kind in ("w4a16", "w8a16"), prepared.kind
+        assert scales is None and group_size is None and pack_blocks == 1
+        per_chan_prep = prepared.group_size is None
+        mismatch = config is not None and (
+            config.block_n != prepared.bn or config.block_k != prepared.bk
+        )
+        if mismatch or (config is None and a.shape[0] > 64):
+            out = dequant_gemm(
+                a, prepared.b_p,
+                prepared.scales_p[0] if per_chan_prep else prepared.scales_p,
+                ds, group_size=prepared.group_size,
+                packed_int4=prepared.kind == "w4a16",
+                pack_blocks=prepared.pack_blocks, config=config, c_op=c_op,
+                out_dtype=out_dtype, interpret=interpret,
+            )
+            return out[:, : prepared.n] if out.shape[1] != prepared.n else out
+        b_q = prepared.b_p
+        scales = prepared.scales_p[0] if per_chan_prep else prepared.scales_p
+        group_size = prepared.group_size
+        packed_int4 = prepared.kind == "w4a16"
+        pack_blocks = prepared.pack_blocks
     m, k_a = a.shape
     kb, n = b_q.shape
     k = kb * 2 if packed_int4 else kb
@@ -206,11 +234,15 @@ def dequant_gemm(
     scales = jnp.asarray(scales, jnp.float32)
 
     if config is None:
-        # measured-default blocks (the generic GemmConfig() default costs
-        # 2x at e.g. M=N=K=1024: 78 vs 157 TF) — lazy import, api imports us
-        from composable_kernel_tpu.ops.quant.api import _heuristic_config
+        if prepared is not None:
+            config = prepared.decode_config(m)
+        else:
+            # measured-default blocks (the generic GemmConfig() default
+            # costs 2x at e.g. M=N=K=1024: 78 vs 157 TF) — lazy import,
+            # api imports us
+            from composable_kernel_tpu.ops.quant.api import _heuristic_config
 
-        config = _heuristic_config(m, n, k)
+            config = _heuristic_config(m, n, k)
     cfg = config.shrink_to(m, n, k)
     m_align = max(sublane_align(a.dtype), 8)
     bm = max(m_align, -(-cfg.block_m // m_align) * m_align)
@@ -265,18 +297,24 @@ def dequant_gemm(
         scale_hi_spec = scale_spec
         srb = 1
     else:
-        s_p = pad_to(scales, (None, bn))
         blk = bpk if packed_int4 else bk
         s_rows = max(1, blk // gsz)
-        if packed_int4:
+        if prepared is not None:
+            assert bn == prepared.bn and blk == (
+                prepared.bpk if packed_int4 else prepared.bk
+            ), ((bn, blk), (prepared.bn, prepared.bpk, prepared.bk))
+            s_lo, s_hi, srb = prepared.s_lo, prepared.s_hi, prepared.srb
+        elif packed_int4:
             # scale-row starts for each step's lo/hi nibbles, honoring the
             # segmented (tensor-parallel) pack layout
+            s_p = pad_to(scales, (None, bn))
             lo_starts, hi_starts = indexing.split_halves_scale_starts(
                 n_k_steps, bpk, half_seg, gsz
             )
             s_lo, srb = _expand_group_scales(s_p, lo_starts, s_rows)
             s_hi, _ = _expand_group_scales(s_p, hi_starts, s_rows)
         else:
+            s_p = pad_to(scales, (None, bn))
             lo_starts = [(i * blk) // gsz for i in range(n_k_steps)]
             s_lo, srb = _expand_group_scales(s_p, lo_starts, s_rows)
             s_hi = s_lo
@@ -393,6 +431,7 @@ def dequant_gemm(
             interpret=interpret,
         )(a_p, a_p, b_p, s_lo, s_hi, *ds_p)
 
-    if (mp, np_) != (m, n):
-        out = out[:m, :n]
+    n_true = prepared.n if prepared is not None else n
+    if (mp, np_) != (m, n_true):
+        out = out[:m, :n_true]
     return out

@@ -62,9 +62,14 @@ def quantize_act_token(x, qmax: int = 127):
 
     Pure-jnp on purpose: XLA fuses the absmax/scale/round chain into the
     producer (usually the preceding norm), so a Pallas kernel buys nothing.
+    The scale uses an explicit multiply-by-reciprocal (not ``/ qmax``): XLA
+    rewrites division-by-constant to that form under jit but NOT eagerly,
+    so only the explicit multiply is bit-stable across jit boundaries and
+    between XLA and Mosaic (the fused in-kernel quant in ``w4a8_gemm`` must
+    reproduce this bit-for-bit).
     """
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    s = jnp.maximum(absmax / qmax, 1e-8)
+    s = jnp.maximum(absmax * jnp.float32(1.0 / qmax), 1e-8)
     x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -qmax, qmax)
     return x_q.astype(jnp.int8), s.astype(jnp.float32)
 
@@ -91,6 +96,10 @@ def _w4a8_heuristic(m: int, n: int, k: int) -> GemmConfig:
         else:
             nb = -(-n // 4096)
             bn = -(-(-(-n // nb)) // 128) * 128
+        # never let the N block force a per-call weight pad (see
+        # indexing.snap_divisor_bn): N=11008 measured 663 GB/s at the
+        # dividing 5504 vs 375 at the padded 3712 when weights are jit args
+        bn = indexing.snap_divisor_bn(n, bn)
         return GemmConfig(
             block_m=32 if m <= 32 else 64, block_n=bn, block_k=1024,
             vmem_limit_mb=80,
@@ -109,10 +118,23 @@ def _w4a8_heuristic(m: int, n: int, k: int) -> GemmConfig:
 def _kernel_w4a8(
     a_lo_ref, a_hi_ref, b_ref, s_lo_ref, s_hi_ref, as_ref, *rest,
     n_ds, c_op, n_k_steps, s_rows, gsz, external_corr,
+    fused_quant=False, bpk=0, half_seg=0,
 ):
     """Grid = (m, n, k) over packed K-steps.
 
-    rest = ([corr], *ds, out, acc_scratch). s_hi rows are pre-divided by 16.
+    rest = ([corr], *ds, out, acc_scratch[, aq_scratch, as_scratch]).
+    s_hi rows are pre-divided by 16.
+
+    Fused activation quant (``fused_quant``): a_lo_ref/a_hi_ref alias ONE
+    bf16 [bm, K] block (full K rows, DMA'd once per m-block); at k-step 0
+    the kernel computes the per-token absmax/scale/round in-VMEM into an
+    int8 scratch (bit-identical to ``quantize_act_token``), and every
+    K-step slices its lo/hi nibble columns out of the scratch. This is the
+    serving-honest path: the unfused XLA act-quant costs more than the
+    whole decode GEMM at M<=64 (BENCH_r02: 361 vs 632 GB/s kernel-only).
+    CK analog: fused pre-op transfer in
+    thread_group_tensor_slice_transfer_v4r1_dequant.hpp, inverted to
+    quantize A rather than dequantize B.
 
     Offset-correction placement (both measured on v5e, see w4a8_gemm):
       - inline (decode default): per group, subtract 8 * rowsum(a_lo_group)
@@ -130,6 +152,22 @@ def _kernel_w4a8(
     acc_ref = rest[n_ds + 1]
     k_idx = pl.program_id(2)
 
+    if fused_quant:
+        aq_ref = rest[n_ds + 2]
+        as_scr = rest[n_ds + 3]
+
+        @pl.when(k_idx == 0)
+        def _quant():
+            # bit-identical to quantize_act_token: f32 absmax over the full
+            # row, s = max(absmax/127, 1e-8), round-half-even, clip.
+            x = a_lo_ref[...].astype(jnp.float32)
+            absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+            s = jnp.maximum(absmax * jnp.float32(1.0 / 127.0), 1e-8)
+            aq_ref[...] = jnp.clip(
+                jnp.round(x / s), -127.0, 127.0
+            ).astype(jnp.int8)
+            as_scr[...] = jnp.broadcast_to(s, as_scr.shape)
+
     @pl.when(k_idx == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -138,8 +176,20 @@ def _kernel_w4a8(
     # AND-only nibble extraction (see module docstring). 0xF0 as int8 is -16.
     l8 = packed & jnp.int8(0x0F)          # w_lo + 8, in [0, 15]
     h16 = packed & jnp.int8(-16)          # 16 * w_hi, sign preserved
-    a_lo = a_lo_ref[...]
-    a_hi = a_hi_ref[...]
+    if fused_quant:
+        # logical column offsets of this packed step's nibbles (the in-kernel
+        # form of indexing.split_halves_a_block; offsets are bpk-aligned
+        # because half_seg % bpk == 0)
+        p0 = k_idx * bpk
+        seg_base = (p0 // half_seg) * (2 * half_seg)
+        off = p0 % half_seg
+        lo_c = pl.multiple_of(seg_base + off, 128)
+        hi_c = pl.multiple_of(seg_base + off + half_seg, 128)
+        a_lo = aq_ref[:, pl.ds(lo_c, bpk)]
+        a_hi = aq_ref[:, pl.ds(hi_c, bpk)]
+    else:
+        a_lo = a_lo_ref[...]
+        a_hi = a_hi_ref[...]
     acc = acc_ref[...]
     for r in range(s_rows):
         ks = slice(r * gsz, (r + 1) * gsz)
@@ -161,7 +211,10 @@ def _kernel_w4a8(
         res = acc_ref[...]
         if external_corr:
             res = res - corr_ref[...]
-        res = res * as_ref[...]           # [bm, 1] per-token scale broadcast
+        if fused_quant:
+            res = res * as_scr[:, :1]     # [bm, 1] per-token scale broadcast
+        else:
+            res = res * as_ref[...]       # [bm, 1] per-token scale broadcast
         if c_op is not None:
             res = c_op(res, *[d[...] for d in d_refs])
         out_ref[...] = res.astype(out_ref.dtype)
@@ -171,10 +224,10 @@ def w4a8_gemm(
     a_q,
     a_scales,
     b_packed,
-    scales,
+    scales=None,
     ds=(),
     *,
-    group_size: int,
+    group_size: int | None = None,
     pack_blocks: int = 1,
     config: GemmConfig | None = None,
     c_op=None,
@@ -185,26 +238,71 @@ def w4a8_gemm(
     """C[M, N] = c_op(a_s * (A_q @ (W_int4 * g_scales)), *Ds), int8 MXU dots.
 
     a_q:      [M, K] int8 per-token-quantized activations
-              (``quantize_act_token``)
-    a_scales: [M] or [M, 1] f32 per-token scales
+              (``quantize_act_token``) — OR, with ``a_scales=None``, raw
+              [M, K] bf16/f32 activations: the per-token quant then runs
+              fused inside the kernel on the resident A tile (the honest
+              serving-step path; see _kernel_w4a8).
+    a_scales: [M] or [M, 1] f32 per-token scales (None = fused act-quant)
     b_packed: [K//2, N] int8, ``dtypes.pack_int4_w4a8`` layout
-              (``pack_blocks`` > 1 for the TP row-block layout)
+              (``pack_blocks`` > 1 for the TP row-block layout) — OR a
+              :class:`~composable_kernel_tpu.ops.quant.prepared.PreparedWeights`
+              from ``prepare_w4a8`` (then ``scales``/``group_size`` are
+              taken from it; the serving fast path: no per-call weight
+              padding or scale expansion)
     scales:   [K // group_size, N] f32 group scales
     """
+    from composable_kernel_tpu.ops.quant.prepared import PreparedWeights
+
+    prepared = b_packed if isinstance(b_packed, PreparedWeights) else None
+    if prepared is not None:
+        assert prepared.kind == "w4a8", prepared.kind
+        assert scales is None and group_size is None and pack_blocks == 1
+        mismatch = config is not None and (
+            config.block_n != prepared.bn or config.block_k != prepared.bk
+        )
+        if mismatch or (config is None and a_q.shape[0] > 64):
+            # prefill / explicit-config calls re-run the generic path on the
+            # prepared (padded) arrays; only the frozen decode blocks ride
+            # the expanded scales
+            out = w4a8_gemm(
+                a_q, a_scales, prepared.b_p, prepared.scales_p, ds,
+                group_size=prepared.group_size,
+                pack_blocks=prepared.pack_blocks, config=config, c_op=c_op,
+                out_dtype=out_dtype, offset_corr=offset_corr,
+                interpret=interpret,
+            )
+            return out[:, : prepared.n] if out.shape[1] != prepared.n else out
+        b_packed = prepared.b_p
+        scales = prepared.scales_p
+        group_size = prepared.group_size
+        pack_blocks = prepared.pack_blocks
+    assert group_size is not None
     m, k = a_q.shape
     kb, n = b_packed.shape
     assert kb * 2 == k, f"K mismatch: A has {k}, packed B implies {kb * 2}"
-    assert jnp.dtype(a_q.dtype) == jnp.int8, a_q.dtype
+    fused_quant = a_scales is None
+    if fused_quant:
+        assert jnp.issubdtype(a_q.dtype, jnp.floating), (
+            "a_scales=None (fused act-quant) needs float activations, got "
+            f"{a_q.dtype}"
+        )
+        assert offset_corr != "external", (
+            "external offset correction needs host-side a_q; use inline"
+        )
+    else:
+        assert jnp.dtype(a_q.dtype) == jnp.int8, a_q.dtype
     assert k % group_size == 0
     assert scales.shape == (k // group_size, n), scales.shape
     assert (k // 2) % group_size == 0 or group_size % (k // 2) == 0
     if interpret is None:
         interpret = _interpret_default()
     scales = jnp.asarray(scales, jnp.float32)
-    a_scales = jnp.asarray(a_scales, jnp.float32).reshape(m, 1)
+    if not fused_quant:
+        a_scales = jnp.asarray(a_scales, jnp.float32).reshape(m, 1)
 
     if config is None:
-        config = _w4a8_heuristic(m, n, k)
+        config = (prepared.decode_config(m) if prepared is not None
+                  else _w4a8_heuristic(m, n, k))
     cfg = config.shrink_to(m, n, k)
     # int8 A blocks need 32-row sublane alignment
     bm = max(_I8_SUBLANES, -(-cfg.block_m // _I8_SUBLANES) * _I8_SUBLANES)
@@ -224,6 +322,16 @@ def w4a8_gemm(
     n_k_steps = kb // bpk
     s_rows = max(1, bpk // group_size)
     gsz = bpk // s_rows  # packed rows per scale row
+
+    if fused_quant and bpk % 128 != 0:
+        # in-kernel nibble slices need lane-aligned offsets; tiny misaligned
+        # shapes (test-only) fall back to the host quant + kernel path
+        aq_f, as_f = quantize_act_token(a_q)
+        return w4a8_gemm(
+            aq_f, as_f, b_packed, scales, ds, group_size=group_size,
+            pack_blocks=pack_blocks, config=config, c_op=c_op,
+            out_dtype=out_dtype, offset_corr=offset_corr, interpret=interpret,
+        )
 
     # ---- lo-nibble offset correction placement --------------------------
     # The lo nibbles store w + 8; the +8 contributes
@@ -257,7 +365,7 @@ def w4a8_gemm(
     # ---- pad operands ---------------------------------------------------
     a_p = pad_to(a_q, (bm, None))
     b_p = pad_to(b_packed, (None, bn))
-    as_p = pad_to(a_scales, (bm, None))
+    as_p = None if fused_quant else pad_to(a_scales, (bm, None))
     corr_ops = [pad_to(corr, (bm, bn))] if external_corr else []
     corr_specs = (
         [pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM)]
@@ -267,12 +375,18 @@ def w4a8_gemm(
     mp, np_ = a_p.shape[0], b_p.shape[1]
 
     # ---- scale blocks: one srb-row block per K-step, hi rows / 16 -------
-    s_p = pad_to(scales, (None, bn))
-    lo_starts, hi_starts = indexing.split_halves_scale_starts(
-        n_k_steps, bpk, half_seg, group_size
-    )
-    s_lo, srb = _expand_group_scales(s_p, lo_starts, s_rows)
-    s_hi, _ = _expand_group_scales(s_p * (1.0 / 16.0), hi_starts, s_rows)
+    if prepared is not None:
+        assert bpk == prepared.bpk and bn == prepared.bn, (
+            (bpk, bn), (prepared.bpk, prepared.bn)
+        )
+        s_lo, s_hi, srb = prepared.s_lo, prepared.s_hi, prepared.srb
+    else:
+        s_p = pad_to(scales, (None, bn))
+        lo_starts, hi_starts = indexing.split_halves_scale_starts(
+            n_k_steps, bpk, half_seg, group_size
+        )
+        s_lo, srb = _expand_group_scales(s_p, lo_starts, s_rows)
+        s_hi, _ = _expand_group_scales(s_p * (1.0 / 16.0), hi_starts, s_rows)
     scale_spec = pl.BlockSpec(
         (srb, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
     )
@@ -310,51 +424,84 @@ def w4a8_gemm(
     kernel = functools.partial(
         _kernel_w4a8,
         n_ds=len(ds_p), c_op=c_op, n_k_steps=n_k_steps, s_rows=s_rows, gsz=gsz,
-        external_corr=external_corr,
+        external_corr=external_corr, fused_quant=fused_quant,
+        bpk=bpk, half_seg=half_seg,
     )
+    b_spec = pl.BlockSpec(
+        (bpk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+    )
+    scratch_shapes = [pltpu.VMEM((bm, bn), jnp.float32)]
+    if fused_quant:
+        # one full-K bf16 A block per m-row (DMA'd once per i), quantized
+        # in-kernel at k-step 0 into the int8 scratch
+        kernel_inner = kernel
+
+        def kernel_f(a_ref, b_ref, s_lo_ref, s_hi_ref, *rest):
+            return kernel_inner(
+                a_ref, a_ref, b_ref, s_lo_ref, s_hi_ref, None, *rest
+            )
+
+        in_specs = [
+            pl.BlockSpec(
+                (bm, k), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM
+            ),
+            b_spec,
+            scale_spec,
+            scale_spec,
+            *corr_specs,
+            *d_specs,
+        ]
+        operands = (a_p, b_p, s_lo, s_hi, *corr_ops, *ds_p)
+        scratch_shapes += [
+            pltpu.VMEM((bm, k), jnp.int8),
+            pltpu.VMEM((bm, 128), jnp.float32),
+        ]
+        kernel = kernel_f
+    else:
+        in_specs = [
+            # A columns for the step's lo / hi nibbles (segment-aware)
+            pl.BlockSpec(
+                (bm, bpk),
+                lambda i, j, kk: (
+                    i,
+                    indexing.split_halves_a_block(kk, bpk, half_seg, hi=False),
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bm, bpk),
+                lambda i, j, kk: (
+                    i,
+                    indexing.split_halves_a_block(kk, bpk, half_seg, hi=True),
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            b_spec,
+            scale_spec,
+            scale_spec,
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+            *corr_specs,
+            *d_specs,
+        ]
+        operands = (a_p, a_p, b_p, s_lo, s_hi, as_p, *corr_ops, *ds_p)
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
-            in_specs=[
-                # A columns for the step's lo / hi nibbles (segment-aware)
-                pl.BlockSpec(
-                    (bm, bpk),
-                    lambda i, j, kk: (
-                        i,
-                        indexing.split_halves_a_block(kk, bpk, half_seg, hi=False),
-                    ),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (bm, bpk),
-                    lambda i, j, kk: (
-                        i,
-                        indexing.split_halves_a_block(kk, bpk, half_seg, hi=True),
-                    ),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (bpk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
-                ),
-                scale_spec,
-                scale_spec,
-                pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
-                *corr_specs,
-                *d_specs,
-            ],
+            in_specs=in_specs,
             out_specs=out_spec,
-            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            scratch_shapes=scratch_shapes,
         ),
         compiler_params=cparams,
         cost_estimate=cost,
         interpret=interpret,
-    )(a_p, a_p, b_p, s_lo, s_hi, as_p, *corr_ops, *ds_p)
+    )(*operands)
 
-    if (mp, np_) != (m, n):
-        out = out[:m, :n]
+    n_true = prepared.n if prepared is not None else n
+    if (mp, np_) != (m, n_true):
+        out = out[:m, :n_true]
     return out
 
 

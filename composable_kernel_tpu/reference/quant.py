@@ -113,7 +113,9 @@ def ref_quantize_act_token(x, bits: int = 8):
     """
     qmax = 2 ** (bits - 1) - 1
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    s = jnp.maximum(absmax / qmax, 1e-8)
+    # explicit reciprocal-multiply: bit-stable across jit boundaries (XLA
+    # rewrites /const to this form under jit; see ops.quant.w4a8)
+    s = jnp.maximum(absmax * jnp.float32(1.0 / qmax), 1e-8)
     x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -qmax, qmax)
     return x_q.astype(jnp.int8), s
 

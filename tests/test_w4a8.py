@@ -139,6 +139,55 @@ class TestW4A8Gemm:
         )
         check_err(got, want, rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize(
+        "m,n,k,g",
+        [(1, 256, 512, 128), (8, 384, 1024, 128), (130, 300, 512, 128),
+         (16, 256, 1024, 64), (8, 256, 256, 256)],
+    )
+    def test_fused_act_quant(self, m, n, k, g):
+        """a_scales=None: in-kernel per-token quant must be bit-identical
+        to quantize_act_token + the pre-quantized kernel path."""
+        a, a_q, a_s, w_q, w_s = _setup(m, n, k, g)
+        a16 = a.astype(jnp.bfloat16)
+        a_q, a_s = quantize_act_token(a16)
+        packed = dtypes.pack_int4_w4a8(w_q)
+        want = w4a8_gemm(a_q, a_s, packed, w_s, group_size=g)
+        got = w4a8_gemm(a16, None, packed, w_s, group_size=g)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_fused_act_quant_pack_blocks(self):
+        m, n, k, g = 16, 256, 1024, 128
+        a, a_q, a_s, w_q, w_s = _setup(m, n, k, g)
+        a16 = a.astype(jnp.bfloat16)
+        a_q, a_s = quantize_act_token(a16)
+        packed = dtypes.pack_int4_w4a8(w_q, blocks=2)
+        want = w4a8_gemm(a_q, a_s, packed, w_s, group_size=g, pack_blocks=2)
+        got = w4a8_gemm(a16, None, packed, w_s, group_size=g, pack_blocks=2)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_fused_act_quant_epilogue(self):
+        m, n, k, g = 8, 256, 512, 128
+        a, a_q, a_s, w_q, w_s = _setup(m, n, k, g)
+        a16 = a.astype(jnp.bfloat16)
+        a_q, a_s = quantize_act_token(a16)
+        bias = _rand(KEYS[4], (n,))
+        packed = dtypes.pack_int4_w4a8(w_q)
+        want = w4a8_gemm(a_q, a_s, packed, w_s, ds=(bias,), group_size=g,
+                         c_op=ep.add)
+        got = w4a8_gemm(a16, None, packed, w_s, ds=(bias,), group_size=g,
+                        c_op=ep.add)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_quantize_act_token_jit_stable(self):
+        """The scale chain must be bit-stable across the jit boundary (XLA
+        rewrites /const under jit; the reciprocal-multiply form is used
+        everywhere so eager == jit == in-kernel)."""
+        x = _rand(KEYS[6], (16, 1024), jnp.bfloat16)
+        q1, s1 = quantize_act_token(x)
+        q2, s2 = jax.jit(quantize_act_token)(x)
+        np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
     def test_end_to_end_accuracy(self):
         """Isolate the A8 cost: W4A8 must track the W4A16 path closely.
 
