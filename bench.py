@@ -334,6 +334,11 @@ def bench_llama_e2e(on_tpu, quant="w4a16"):
         jax.random.PRNGKey(0)
     )
     jax.block_until_ready(params)
+    if on_tpu:
+        # load-time weight prep: pad + scale-expand the vocab-sized lm_head
+        # once (otherwise every decode step pays its pad copy in-loop)
+        params = jax.jit(lambda p: llama.prepare_params(p, cfg))(params)
+        jax.block_until_ready(params)
 
     tok_s = {}
     for batch in (1, 8):

@@ -108,11 +108,15 @@ def snap_divisor_bn(n: int, target: int, lane: int = 128) -> int:
             above = bn if above is None else min(above, bn)
         else:
             below = bn if below is None else max(below, bn)
-    if above is not None and above <= 2 * target:
+    # accept a dividing block only within sane bounds: <= 2x the tuned
+    # target and <= 14336 (wider dequant tiles degrade past ~12k, see
+    # _decode_bn); otherwise keep the target — the caller pads once via
+    # ops.quant.prepared (e.g. vocab-sized lm_head, N=128256)
+    if above is not None and above <= 2 * target and above <= 14336:
         return above
     if below is not None and below * 2 >= target:
         return below
-    return above if above is not None else (below or target)
+    return target
 
 
 # ------------------------------------------ split-halves int4 pack algebra

@@ -246,6 +246,59 @@ _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 _ROW_PARALLEL = ("wo", "w_down")
 
 
+def prepare_params(params: dict, cfg: LlamaConfig) -> dict:
+    """Load-time weight prep for single-device serving (after quantization).
+
+    Wraps each 2-D quantized linear whose decode N-block cannot divide N in
+    an ``ops.quant.prepared.PreparedWeights``, so the weight pad + scale
+    expansion happen ONCE here instead of inside every decode step (XLA
+    does not hoist them out of scan/fori loops; the vocab-sized lm_head
+    N=128256 otherwise pays a ~263 MB HBM pad copy per token). Leaves whose
+    heuristic block divides N stay raw: measured, the in-jit scale gather
+    lands in scoped VMEM and slightly beats the prepared layout there.
+
+    CK analog: device-op ``MakeArgument`` descriptor precomputation
+    (``device_gemm_dequantB.hpp:24``). Apply AFTER gptq/awq quantization
+    and only for the kernel serving path (``kernels=True``).
+    """
+    from composable_kernel_tpu.ops.quant import prepare_w4a8, prepare_wo_quant
+    from composable_kernel_tpu.ops.quant.api import _decode_bn
+    from composable_kernel_tpu.ops.quant.w4a8 import _w4a8_heuristic
+
+    if cfg.quant not in ("w4a16", "int8", "w4a8"):
+        return params
+
+    def needs_prep(k: int, n: int) -> bool:
+        if cfg.quant == "w4a8":
+            bn = _w4a8_heuristic(8, n, k).block_n
+        else:
+            bn = _decode_bn(n)
+        return n % bn != 0
+
+    def prep_leaf(w):
+        if not (isinstance(w, dict) and "q" in w and w["q"].ndim == 2):
+            return w
+        kb, n = w["q"].shape
+        k = kb * 2 if cfg.quant in ("w4a16", "w4a8") else kb
+        if not needs_prep(k, n):
+            return w
+        if cfg.quant == "w4a8":
+            return prepare_w4a8(w["q"], w["s"], group_size=cfg.group_size)
+        if cfg.quant == "w4a16":
+            return prepare_wo_quant(w["q"], w["s"], group_size=cfg.group_size,
+                                    packed_int4=True)
+        return prepare_wo_quant(w["q"], w["s"])  # int8 per-channel
+
+    out = dict(params)
+    out["layers"] = [
+        {kk: prep_leaf(vv) for kk, vv in layer.items()}
+        for layer in params["layers"]
+    ]
+    if isinstance(params.get("lm_head"), dict):
+        out["lm_head"] = prep_leaf(params["lm_head"])
+    return out
+
+
 def quantize_weights(params: dict, cfg: LlamaConfig) -> dict:
     """bf16 params -> quantized per ``cfg.quant``.
 
@@ -322,6 +375,21 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
     local int4 pack segmentation (under TP each shard holds a self-contained
     sub-pack, so local blocks = tp_pack * K_local / K_global).
     """
+    from composable_kernel_tpu.ops.quant.prepared import PreparedWeights
+
+    if isinstance(w, PreparedWeights):
+        # load-time prepared leaf (prepare_params) — kernel serving only
+        assert kernels, "prepared weights have no reference path"
+        if cfg.quant == "w4a8":
+            from composable_kernel_tpu.ops.quant import w4a8_gemm
+
+            if isinstance(x, tuple):
+                x_q, x_s = x  # pre-quantized by the fused rmsnorm_quant
+                return w4a8_gemm(x_q, x_s, w, out_dtype=cfg.jdtype,
+                                 interpret=interpret)
+            return w4a8_gemm(x, None, w, out_dtype=cfg.jdtype,
+                             interpret=interpret)
+        return wo_quant_gemm(x, w, interpret=interpret)
     if isinstance(w, dict):
         pack_blocks = 1
         if cfg.quant in ("w4a16", "w4a8") and global_k is not None:
@@ -877,8 +945,18 @@ def _decode_layer(
     k_in = _quantize_kv(k, kv["ks"]) if is_i8 else k
     v_in = _quantize_kv(v, kv["vs"]) if is_i8 else v
     kv = dict(kv)
-    kv["k"] = upd(kv["k"], k_in)
-    kv["v"] = upd(kv["v"], v_in)
+    if kernels and s == 1 and kv["k"].shape[2] % 32 == 0:
+        # in-place slab-rewrite kernel: the jnp scatter costs ~52 us per
+        # cache per layer at B=8 (ops/kv_update.py)
+        from composable_kernel_tpu.ops.kv_update import kv_cache_update
+
+        kv["k"], kv["v"] = kv_cache_update(
+            kv["k"], kv["v"], k_in.astype(kv["k"].dtype),
+            v_in.astype(kv["v"].dtype), positions, interpret=interpret,
+        )
+    else:
+        kv["k"] = upd(kv["k"], k_in)
+        kv["v"] = upd(kv["v"], v_in)
     scales = {"k_scale": kv["ks"], "v_scale": kv["vs"]} if is_i8 else {}
     if kernels:
         o = flash_decode(
@@ -948,7 +1026,10 @@ def decode_step_batched(
         )
         new_cache.append(kv)
 
-    if (cfg.quant in ("w4a8", "w8a8") and kernels and isinstance(params["lm_head"], dict)):
+    from composable_kernel_tpu.ops.quant.prepared import PreparedWeights
+
+    if (cfg.quant in ("w4a8", "w8a8") and kernels
+            and isinstance(params["lm_head"], (dict, PreparedWeights))):
         x2 = _norm_quant_2d(x, params["norm"], cfg, interpret)
         logits = _linear(x2, params["lm_head"], cfg, interpret, kernels)
     else:

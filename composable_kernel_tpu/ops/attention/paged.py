@@ -86,32 +86,37 @@ def _paged_kernel(
 
     @pl.when(live)
     def _step():
+        # mask geometry is head-independent: compute once per step
+        shape = (rows_per_kv, page)
+        k_pos = kk * page + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        if causal_sq > 1:
+            # per-query position: row r (group-major) is chunk query
+            # r % Sq, sitting at lens - Sq + (r % Sq). Padded rows get
+            # a garbage mask; their outputs are sliced off.
+            r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            q_pos = lens_ref[0, batch] - causal_sq + (r % causal_sq)
+            mask = k_pos <= q_pos
+            if window is not None:
+                mask &= k_pos > q_pos - window
+        else:
+            mask = k_pos < lens_ref[0, batch]
+            if window is not None:
+                mask &= k_pos > lens_ref[0, batch] - 1 - window
         for h in range(n_kv_heads):
             rows = slice(h * rows_per_kv, (h + 1) * rows_per_kv)
             q = q_ref[0, rows, :]  # [rows_per_kv, D]
-            k = k_ref[0, h]  # [page, D]
-            v = v_ref[0, h]
-            if has_kv_scale:
-                k = (k.astype(jnp.float32) * k_scale_ref[0, 0, h]).astype(q.dtype)
-                v = (v.astype(jnp.float32) * v_scale_ref[0, 0, h]).astype(q.dtype)
+            # int8 cache: ONE convert per tile; the per-head k scale folds
+            # into the scalar s multiply and the v scale into the finish
+            # epilogue (linearity) — the old dequant chain re-walked every
+            # KV byte 3x on the VPU per head per step, the decode kernel's
+            # dominant cost at GQA sizes.
+            k = k_ref[0, h].astype(q.dtype)  # [page, D]
+            v = v_ref[0, h].astype(q.dtype)
+            s_mul = (scale * k_scale_ref[0, 0, h]) if has_kv_scale else scale
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale  # [rows_per_kv, page]
-            k_pos = kk * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            if causal_sq > 1:
-                # per-query position: row r (group-major) is chunk query
-                # r % Sq, sitting at lens - Sq + (r % Sq). Padded rows get
-                # a garbage mask; their outputs are sliced off.
-                r = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-                q_pos = lens_ref[0, batch] - causal_sq + (r % causal_sq)
-                mask = k_pos <= q_pos
-                if window is not None:
-                    mask &= k_pos > q_pos - window
-            else:
-                mask = k_pos < lens_ref[0, batch]
-                if window is not None:
-                    mask &= k_pos > lens_ref[0, batch] - 1 - window
+            ) * s_mul  # [rows_per_kv, page]
             s = jnp.where(mask, s, _NEG_INF)
 
             m_prev = m_scr[rows, :]
@@ -132,7 +137,16 @@ def _paged_kernel(
     def _finish():
         l = l_scr[...][:, :1]
         l_safe = jnp.where(l > 0.0, l, 1.0)
-        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        if has_kv_scale:
+            # deferred per-head v scale (exact: constant along the summed
+            # key axis, and the int8->bf16 v convert is lossless); SMEM
+            # loads are scalar-only, so apply per head slice
+            for h in range(n_kv_heads):
+                rows = slice(h * rows_per_kv, (h + 1) * rows_per_kv)
+                o_h = acc_scr[rows, :] / l_safe[rows] * v_scale_ref[0, 0, h]
+                o_ref[0, rows, :] = o_h.astype(o_ref.dtype)
+        else:
+            o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
 
 
 def paged_flash_decode(

@@ -1,0 +1,89 @@
+"""In-place decode KV-cache row update.
+
+The decode step appends one token's K/V per slot at a per-slot position.
+The jnp formulation (``vmap(dynamic_update_slice)`` with traced per-slot
+offsets) lowers to a scatter — measured ~52 us per cache per layer at
+B=8 on v5e (16.8 MB cache), i.e. ~3.3 ms of a Llama-8B decode step, by
+far the largest non-GEMM cost. This kernel aliases the cache buffer
+(``input_output_aliases``) and rewrites only the 32-row slab containing
+the target row per slot: grid (B,), one slab DMA in, one out.
+
+The slab (not single-row) granularity satisfies Mosaic's tiling rule
+(second-minor block dim must be a sublane multiple: 32 for int8, which
+also covers bf16's 16); the row is merged with a vector select, no
+dynamic sublane stores.
+
+CK analog: none — the reference has no serving runtime; this is the page
+-row append its later splitkv-paged trait assumes the runtime provides.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from composable_kernel_tpu.ops.gemm.kernel import _interpret_default
+
+__all__ = ["kv_cache_update"]
+
+_SLAB = 32  # int8 sublane tile; covers bf16 (16) and f32 (8) too
+
+
+def _kernel(pos_ref, kc_ref, vc_ref, kn_ref, vn_ref, ko_ref, vo_ref):
+    b = pl.program_id(0)
+    row = pos_ref[b] % _SLAB
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (1, _SLAB, 1), 1)
+    keep = ridx != row
+    ko_ref[0] = jnp.where(keep, kc_ref[0], kn_ref[0])
+    vo_ref[0] = jnp.where(keep, vc_ref[0], vn_ref[0])
+
+
+def kv_cache_update(k_cache, v_cache, k_new, v_new, positions, *,
+                    interpret: bool | None = None):
+    """Write ``k_new/v_new [B, H, 1, D]`` at ``positions [B]`` into the
+    caches ``[B, H, S, D]`` in place (buffers are donated via aliasing).
+
+    Returns the updated (k_cache, v_cache). S must be a multiple of 32.
+    """
+    b, h, s, d = k_cache.shape
+    assert k_new.shape == (b, h, 1, d) and v_new.shape == (b, h, 1, d)
+    assert v_cache.shape == (b, h, s, d)
+    assert s % _SLAB == 0, f"cache length {s} must be a multiple of {_SLAB}"
+    if interpret is None:
+        interpret = _interpret_default()
+    positions = jnp.asarray(positions, jnp.int32)
+
+    def slab_idx(bb, pos_ref):
+        return (bb, 0, pos_ref[bb] // _SLAB, 0)
+
+    def new_idx(bb, pos_ref):
+        return (bb, 0, 0, 0)
+
+    cache_spec = pl.BlockSpec((1, h, _SLAB, d), slab_idx,
+                              memory_space=pltpu.VMEM)
+    new_spec = pl.BlockSpec((1, h, 1, d), new_idx, memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[cache_spec, cache_spec, new_spec, new_spec],
+            out_specs=(cache_spec, cache_spec),
+        ),
+        # operand indices include the scalar-prefetch arg: positions=0,
+        # k_cache=1, v_cache=2 alias outputs 0/1
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(positions, k_cache, v_cache, k_new, v_new)

@@ -139,6 +139,29 @@ class TestW4A8:
         assert rel < 0.05, rel
 
 
+class TestPrepareParams:
+    @pytest.mark.parametrize("quant", ["w4a16", "w4a8"])
+    def test_decode_matches_unprepared(self, quant):
+        # vocab 320 is not lane-aligned at its decode block -> the lm_head
+        # becomes a PreparedWeights leaf (the llama-8B N=128256 case)
+        cfg = llama.tiny_config(quant=quant, vocab_size=320)
+        qp = llama.quantize_weights(
+            llama.init_weights(cfg, jax.random.PRNGKey(3)), cfg
+        )
+        pp = llama.prepare_params(qp, cfg)
+        from composable_kernel_tpu.ops.quant.prepared import PreparedWeights
+
+        assert isinstance(pp["lm_head"], PreparedWeights)
+        cache = llama.init_kv_cache(cfg, 2)
+        toks = TOKENS[:, :1] % cfg.vocab_size
+        pos = jnp.zeros((2,), jnp.int32)
+        want, c1 = llama.decode_step_batched(qp, cache, toks, pos, cfg)
+        got, c2 = llama.decode_step_batched(pp, cache, toks, pos, cfg)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        for a, b in zip(jax.tree.leaves(c1), jax.tree.leaves(c2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestW8A8:
     CFG = llama.tiny_config(quant="w8a8")
 
