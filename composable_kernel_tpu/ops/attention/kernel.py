@@ -83,6 +83,7 @@ def _fa_kernel(
     bk: int,
     heads_q: int,
     static_quant: tuple[float, float, float] | None = None,
+    mxu_int8: bool = False,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -122,8 +123,7 @@ def _fa_kernel(
     if window is not None:
         live &= kv_idx * bk + bk - 1 > q_blk * bq + lens_ref[1, batch] - window
 
-    @pl.when(live)
-    def _step():
+    def _step(masked: bool):
         q = q_ref[0]  # [bq, D]
         k = k_ref[0]  # [bk, D]
         v = v_ref[0]  # [bk, Dv]
@@ -138,47 +138,70 @@ def _fa_kernel(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32) * (scale * sq_s * sk_s)
+        elif mxu_int8 and has_kv_scale:
+            # dynamic int8 QK^T: quantize the q tile per row in-VMEM and
+            # ride the int8 MXU (2x bf16 peak) against the int8 K cache;
+            # the per-row q scale and per-head k scale fold into one
+            # broadcast multiply on s. Same pipeline structure as the CK
+            # fp8 static-quant path, with dynamic instead of calibrated
+            # scales (block_fmha_pipeline_qr_ks_vs_fp8.hpp:241,316).
+            qf = q.astype(jnp.float32)
+            q_abs = jnp.max(jnp.abs(qf), axis=1, keepdims=True)  # [bq, 1]
+            q_s = jnp.maximum(q_abs * jnp.float32(1.0 / 127.0), 1e-12)
+            q_i8 = jnp.clip(jnp.round(qf / q_s), -127, 127).astype(jnp.int8)
+            s = jax.lax.dot_general(
+                q_i8, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (q_s * (scale * k_scale_ref[0, 0, 0]))
         else:
+            s_mul = scale
             if has_kv_scale:
-                k = (k.astype(jnp.float32) * k_scale_ref[0, 0, 0]).astype(q.dtype)
-                v = (v.astype(jnp.float32) * v_scale_ref[0, 0, 0]).astype(q.dtype)
-
+                # int8 cache: one convert per tile; the per-head k scale
+                # folds into the q pre-scale and the v scale into the
+                # finish epilogue (both constant along the reduced axes) —
+                # the 3-op dequant chain re-walked every KV byte on the VPU
+                # once per q-block otherwise
+                k = k.astype(q.dtype)
+                v = v.astype(q.dtype)
+                s_mul = scale * k_scale_ref[0, 0, 0]
+            # pre-scale q ([bq, D] — bk/128x cheaper than scaling s) in f32
+            # so tiny scales don't flush bf16
+            q = (q.astype(jnp.float32) * s_mul).astype(q.dtype)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )  # [bq, bk]
-            s = s * scale
         if has_bias:
             s = s + bias_ref[0].astype(jnp.float32)
 
-        # ---- masking ----
-        q_pos = (
-            q_blk * bq
-            + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            + lens_ref[1, batch]  # causal alignment offset (may be traced)
-        )
-        k_pos = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        mask = k_pos < lens_ref[0, batch]  # varlen + Sk padding
-        if causal:
-            mask &= k_pos <= q_pos
-        if window is not None:
-            mask &= k_pos > q_pos - window
-        s = jnp.where(mask, s, _NEG_INF)
+        if masked:
+            q_pos = (
+                q_blk * bq
+                + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+                + lens_ref[1, batch]  # causal alignment offset (may be traced)
+            )
+            k_pos = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            mask = k_pos < lens_ref[0, batch]  # varlen + Sk padding
+            if causal:
+                mask &= k_pos <= q_pos
+            if window is not None:
+                mask &= k_pos > q_pos - window
+            s = jnp.where(mask, s, _NEG_INF)
 
         # ---- online softmax (Dao et al.) ----
         m_prev = m_scr[...]  # [bq, LANES] broadcast storage
         row_max = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
         m_new = jnp.maximum(m_prev, row_max)  # broadcast -> [bq, LANES]
         corr = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new[:, :1])  # [bq, bk]
-        l_new = l_scr[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_new
-        l_scr[...] = l_new
-        p_v = p
+        int8_p = static_quant is not None or (mxu_int8 and has_kv_scale)
+
         if dropout_rate > 0.0:
-            # attention dropout AFTER softmax (torch semantics): the
-            # denominator l uses undropped p; only the PV path is masked +
-            # rescaled. Deterministic per-tile seed so backward can
-            # regenerate the mask (ck_tile block_dropout.hpp analog).
+            # training path (unchanged semantics): the denominator l uses
+            # undropped p; only the PV path is masked + rescaled.
+            # Deterministic per-tile seed so backward can regenerate the
+            # mask (ck_tile block_dropout.hpp analog).
+            p = jnp.exp(s - m_new[:, :1])  # [bq, bk]
+            l_scr[...] = l_scr[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
             tile_seed = (
                 dropout_seed
                 + (bh * pl.num_programs(1) + q_blk) * pl.num_programs(2)
@@ -188,29 +211,91 @@ def _fa_kernel(
             threshold = jnp.uint32(int(dropout_rate * (2**32 - 1)))
             keep = bits >= threshold
             p_v = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
-        if static_quant is not None:
+            if int8_p:
+                p_q = jnp.clip(jnp.round(p_v * 127.0), 0, 127).astype(jnp.int8)
+                dsv = (static_quant[2] if static_quant is not None else 1.0)
+                pv = jax.lax.dot_general(
+                    p_q, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * jnp.float32(dsv / 127.0)
+            else:
+                pv = jax.lax.dot_general(
+                    p_v.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        elif int8_p:
             # requantize P to int8 (cast_tile<PDataType> analog :452): p in
             # [0,1] maps to 0..127, PV rides the int8 MXU, descale_sv
-            # (v_scale/127) applied on the int32 partial (:504). Dropout's
-            # 1/(1-rate) upscale can push p past 1 — saturate like fp8 would.
-            p_q = jnp.clip(jnp.round(p_v * 127.0), 0, 127).astype(jnp.int8)
+            # (v_scale/127 — static) or 1/127 (dynamic, v_scale deferred to
+            # the finish) on the int32 partial (:504). The row-sum of P
+            # rides the MXU too (dot with a ones matrix, output layout
+            # matching the [bq, LANES] l scratch) with the SAME quantized
+            # p, so the p-quant error cancels between numerator and
+            # denominator at the finish divide.
+            p_q = jnp.clip(
+                jnp.round(jnp.exp(s - m_new[:, :1]) * 127.0), 0, 127
+            ).astype(jnp.int8)
+            ones_c = jnp.ones((bk, _LANES), jnp.int8)
+            l_add = jax.lax.dot_general(
+                p_q, ones_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * jnp.float32(1.0 / 127.0)
+            l_scr[...] = l_scr[...] * corr + l_add
+            dsv = (static_quant[2] if static_quant is not None else 1.0)
             pv = jax.lax.dot_general(
                 p_q, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * (static_quant[2] / 127.0)
+            ).astype(jnp.float32) * jnp.float32(dsv / 127.0)
         else:
+            # serving fast path: exp lands directly in the compute dtype
+            # (one [bq, bk] VPU pass) and the row-sum of P rides the MXU as
+            # a dot against ones — the VPU-bound chain drops from ~4 to ~2
+            # passes over the s tile. bf16 p rounding (~0.4%) hits the PV
+            # numerator and the l denominator with the same weights, so it
+            # largely cancels in the finish divide.
+            p16 = jnp.exp(s - m_new[:, :1]).astype(v.dtype)  # [bq, bk]
+            ones_c = jnp.ones((bk, _LANES), v.dtype)
+            l_add = jax.lax.dot_general(
+                p16, ones_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_scr[...] = l_scr[...] * corr + l_add
             pv = jax.lax.dot_general(
-                p_v.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                p16, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         acc_scr[...] = acc_scr[...] * corr[:, :1] + pv
+
+    # ---- interior-tile specialization -------------------------------------
+    # A tile needs masking only if it touches the varlen tail, the causal
+    # diagonal, or the window's trailing edge. Interior tiles (most of a
+    # long causal prefill) skip the iota/compare/where chain — ~4 VPU
+    # passes over [bq, bk] per tile on a VPU-bound kernel. CK analog:
+    # MaskingSpecialization dispatch (mask disabled inside the full region,
+    # block_masking.hpp IsEdgeTile).
+    interior = (kv_idx + 1) * bk <= lens_ref[0, batch]
+    if causal:
+        interior &= (kv_idx * bk + bk - 1) <= (q_blk * bq + lens_ref[1, batch])
+    if window is not None:
+        interior &= kv_idx * bk > (q_blk * bq + bq - 1 + lens_ref[1, batch]) - window
+
+    @pl.when(live & interior)
+    def _step_plain():
+        _step(False)
+
+    @pl.when(live & jnp.logical_not(interior))
+    def _step_masked():
+        _step(True)
 
     @pl.when(kv_idx == n_k_steps - 1)
     def _finish():
         l = l_scr[...][:, :1]
         # fully-masked rows (tiny windows / zero-length KV): emit zeros
         l_safe = jnp.where(l > 0.0, l, 1.0)
-        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        o = acc_scr[...] / l_safe
+        if has_kv_scale and static_quant is None:
+            o = o * v_scale_ref[0, 0, 0]  # deferred per-head v scale
+        o_ref[0] = o.astype(o_ref.dtype)
         if return_lse:
             m = m_scr[...]
             lse = jnp.where(
@@ -233,6 +318,7 @@ def flash_attention(
     k_scale=None,
     v_scale=None,
     static_quant_scales: tuple[float, float, float] | None = None,
+    mxu_int8: bool = False,
     dropout_rate: float = 0.0,
     dropout_seed: int = 0,
     config: AttentionConfig | None = None,
@@ -406,6 +492,7 @@ def flash_attention(
         bk=bk,
         heads_q=hq,
         static_quant=static_quant,
+        mxu_int8=mxu_int8,
     )
 
     flops = 4 * b * hq * sq * sk * (d + dv) // 2
