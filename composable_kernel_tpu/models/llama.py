@@ -668,19 +668,29 @@ def _ffn_core(x2, bsd, layer, cfg: LlamaConfig, *, tp_axis=None,
             # the replicated layout the surrounding attention TP expects.
             ep = jax.lax.psum(1, tp_axis)
             t = x2.shape[0]
-            if kernels and t % ep == 0:
-                n_loc = t // ep
+            if kernels:
+                # pad the token rows to a multiple of ep so EVERY batch
+                # (including decode's tiny ones) takes the all-to-all
+                # kernel path — the old dense fallback dequantized the
+                # full [E, K, N] expert stacks to f32 inside every traced
+                # decode step (advisor r2 finding). Pad tokens route
+                # normally but their outputs are sliced off.
+                t_pad = -(-t // ep) * ep
+                x_p = (
+                    jnp.pad(x2, ((0, t_pad - t), (0, 0)))
+                    if t_pad != t else x2
+                )
+                n_loc = t_pad // ep
                 x_loc = jax.lax.dynamic_slice_in_dim(
-                    x2, jax.lax.axis_index(tp_axis) * n_loc, n_loc, 0
+                    x_p, jax.lax.axis_index(tp_axis) * n_loc, n_loc, 0
                 )
                 o_loc = moe_mod.moe_block_ep(
                     x_loc, layer["moe"], mcfg, ep_axis=tp_axis,
                     interpret=interpret,
                 )
-                o = jax.lax.all_gather(o_loc, tp_axis, axis=0, tiled=True)
+                o = jax.lax.all_gather(o_loc, tp_axis, axis=0, tiled=True)[:t]
             else:
-                # replicated-token psum fallback (tiny decode batches or
-                # the dense reference path)
+                # replicated-token psum fallback (the dense reference path)
                 w = layer["moe"]
                 if isinstance(w["w_gate"], dict):
                     w = moe_mod.dequantize_moe_weights(w)

@@ -3,7 +3,11 @@ from composable_kernel_tpu.ops.attention.config import (
     AttentionConfig,
 )
 from composable_kernel_tpu.ops.attention.backward import flash_attention_grad
-from composable_kernel_tpu.ops.attention.kernel import flash_attention, flash_decode
+from composable_kernel_tpu.ops.attention.kernel import (
+    alibi_slopes_for_heads,
+    flash_attention,
+    flash_decode,
+)
 from composable_kernel_tpu.ops.attention.paged import (
     PagedKVCache,
     decode_attention,

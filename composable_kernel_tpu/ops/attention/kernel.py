@@ -39,7 +39,19 @@ from composable_kernel_tpu import indexing
 from composable_kernel_tpu.ops.attention.config import AttentionConfig
 from composable_kernel_tpu.ops.gemm.kernel import _ceil_mult, _interpret_default, pad_to
 
-__all__ = ["flash_attention", "flash_decode"]
+__all__ = ["alibi_slopes_for_heads", "flash_attention", "flash_decode"]
+
+
+def alibi_slopes_for_heads(n_heads: int):
+    """Standard ALiBi geometric slopes (Press et al.): head i gets
+    2**(-8 * (i + 1) / n_heads). CK analog: the get_alibi_slopes generator
+    feeding block_position_encoding.hpp's Alibi struct."""
+    import numpy as np
+
+    return np.asarray(
+        [2.0 ** (-8.0 * (i + 1) / n_heads) for i in range(n_heads)],
+        np.float32,
+    )
 
 _NEG_INF = -1e30  # large-negative instead of -inf: keeps exp() NaN-free
 _LANES = 128
@@ -70,6 +82,7 @@ def _fa_kernel(
     lens_ref,  # scalar prefetch: [2, B] int32 — row 0: kv lens, row 1: causal offsets
     *refs,
     has_bias: bool,
+    has_alibi: bool,
     has_kv_scale: bool,
     return_lse: bool,
     scale: float,
@@ -91,6 +104,8 @@ def _fa_kernel(
     v_ref = refs[idx]; idx += 1
     if has_bias:
         bias_ref = refs[idx]; idx += 1
+    if has_alibi:
+        alibi_ref = refs[idx]; idx += 1
     if has_kv_scale:
         k_scale_ref = refs[idx]; idx += 1
         v_scale_ref = refs[idx]; idx += 1
@@ -173,13 +188,21 @@ def _fa_kernel(
         if has_bias:
             s = s + bias_ref[0].astype(jnp.float32)
 
-        if masked:
+        if masked or has_alibi:
             q_pos = (
                 q_blk * bq
                 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
                 + lens_ref[1, batch]  # causal alignment offset (may be traced)
             )
             k_pos = kv_idx * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        if has_alibi:
+            # in-kernel alibi: bias = slope_h * (k_pos - q_pos), computed
+            # from the position iotas — 2 flops/element instead of an
+            # O(S^2 * H) HBM bias tensor. CK analog: Alibi struct slopes
+            # applied per element inside the pipeline
+            # (block_position_encoding.hpp:47-88).
+            s = s + alibi_ref[0, 0, 0] * (k_pos - q_pos).astype(jnp.float32)
+        if masked:
             mask = k_pos < lens_ref[0, batch]  # varlen + Sk padding
             if causal:
                 mask &= k_pos <= q_pos
@@ -227,19 +250,15 @@ def _fa_kernel(
             # requantize P to int8 (cast_tile<PDataType> analog :452): p in
             # [0,1] maps to 0..127, PV rides the int8 MXU, descale_sv
             # (v_scale/127 — static) or 1/127 (dynamic, v_scale deferred to
-            # the finish) on the int32 partial (:504). The row-sum of P
-            # rides the MXU too (dot with a ones matrix, output layout
-            # matching the [bq, LANES] l scratch) with the SAME quantized
-            # p, so the p-quant error cancels between numerator and
-            # denominator at the finish divide.
+            # the finish) on the int32 partial (:504). l sums the SAME
+            # quantized p so the p-quant error cancels between numerator
+            # and denominator at the finish divide.
             p_q = jnp.clip(
                 jnp.round(jnp.exp(s - m_new[:, :1]) * 127.0), 0, 127
             ).astype(jnp.int8)
-            ones_c = jnp.ones((bk, _LANES), jnp.int8)
-            l_add = jax.lax.dot_general(
-                p_q, ones_c, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * jnp.float32(1.0 / 127.0)
+            l_add = jnp.sum(
+                p_q.astype(jnp.float32), axis=-1, keepdims=True
+            ) * jnp.float32(1.0 / 127.0)
             l_scr[...] = l_scr[...] * corr + l_add
             dsv = (static_quant[2] if static_quant is not None else 1.0)
             pv = jax.lax.dot_general(
@@ -248,17 +267,14 @@ def _fa_kernel(
             ).astype(jnp.float32) * jnp.float32(dsv / 127.0)
         else:
             # serving fast path: exp lands directly in the compute dtype
-            # (one [bq, bk] VPU pass) and the row-sum of P rides the MXU as
-            # a dot against ones — the VPU-bound chain drops from ~4 to ~2
-            # passes over the s tile. bf16 p rounding (~0.4%) hits the PV
-            # numerator and the l denominator with the same weights, so it
-            # largely cancels in the finish divide.
+            # (Mosaic fuses sub+exp+convert into one pass over s); l sums
+            # the SAME bf16 p the PV dot consumes, so the p rounding
+            # (~0.4%) hits numerator and denominator with equal weights
+            # and largely cancels at the finish divide. (A row-sum via an
+            # MXU ones-dot was measured SLOWER — 82 vs 104 TF: the VPU
+            # reduction was already fused, the extra dot was pure cost.)
             p16 = jnp.exp(s - m_new[:, :1]).astype(v.dtype)  # [bq, bk]
-            ones_c = jnp.ones((bk, _LANES), v.dtype)
-            l_add = jax.lax.dot_general(
-                p16, ones_c, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            l_add = jnp.sum(p16.astype(jnp.float32), axis=-1, keepdims=True)
             l_scr[...] = l_scr[...] * corr + l_add
             pv = jax.lax.dot_general(
                 p16, v, (((1,), (0,)), ((), ())),
@@ -273,7 +289,9 @@ def _fa_kernel(
     # passes over [bq, bk] per tile on a VPU-bound kernel. CK analog:
     # MaskingSpecialization dispatch (mask disabled inside the full region,
     # block_masking.hpp IsEdgeTile).
-    interior = (kv_idx + 1) * bk <= lens_ref[0, batch]
+    interior = jnp.bool_(not has_alibi) & (
+        (kv_idx + 1) * bk <= lens_ref[0, batch]
+    )
     if causal:
         interior &= (kv_idx * bk + bk - 1) <= (q_blk * bq + lens_ref[1, batch])
     if window is not None:
@@ -313,6 +331,7 @@ def flash_attention(
     causal: bool = False,
     window: int | None = None,
     bias=None,
+    alibi_slopes=None,
     kv_seq_len=None,
     causal_offset=None,
     k_scale=None,
@@ -338,7 +357,12 @@ def flash_attention(
                 be int8 (x ≈ x_q · x_scale); both GEMMs run on the int8
                 MXU (int32 acc), P is requantized to int8 between them.
                 Output is bf16 unless ``out_dtype`` overrides.
-    bias:       optional [B, Hq, Sq, Sk] additive (alibi / attention bias).
+    bias:       optional [B, Hq, Sq, Sk] additive attention bias.
+    alibi_slopes: optional [Hq] f32 — in-kernel ALiBi: adds
+                slope_h * (k_pos - q_pos) to the scores (q positions
+                bottom-right aligned, matching the causal convention).
+                2 flops/element in-VMEM instead of a materialized
+                O(S^2 * H) bias tensor (block_position_encoding.hpp:47-88).
     kv_seq_len: optional [B] int32 — keys at positions >= len are masked
                 (ragged batches; also how Sk padding is neutralized).
     causal_offset: optional [B] int32 (may be traced) — overrides the
@@ -457,6 +481,20 @@ def flash_attention(
             pl.BlockSpec((1, bq, bk), lambda bh, i, kk, *_: (bh, i, kk), memory_space=pltpu.VMEM)
         )
         inputs.append(bias_p)
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        # per-head slope as an SMEM scalar; the index map picks the head.
+        # bias = slope * (k_pos - q_pos) computed in-kernel (CK
+        # block_position_encoding.hpp:47-88) — no O(S^2 * H) bias tensor.
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(hq, 1, 1)
+        assert slopes.shape[0] == hq, (slopes.shape, hq)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1), lambda bh, i, kk, *_: (bh % hq, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        inputs.append(slopes)
     if has_kv_scale:
         ks = jnp.asarray(k_scale, jnp.float32).reshape(b * hkv, 1, 1)
         vs = jnp.asarray(v_scale, jnp.float32).reshape(b * hkv, 1, 1)
@@ -479,6 +517,7 @@ def flash_attention(
     kernel = functools.partial(
         _fa_kernel,
         has_bias=has_bias,
+        has_alibi=has_alibi,
         has_kv_scale=has_kv_scale,
         return_lse=return_lse,
         scale=scale,

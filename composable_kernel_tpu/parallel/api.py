@@ -137,14 +137,51 @@ def shard_params(params, cfg: llama.LlamaConfig, mesh: Mesh):
 # ----------------------------------------------------- shard_map wrappers ---
 
 
+def _strip_gs(tree):
+    """Split static ``gs`` group-size markers out of quant dicts.
+
+    shard_map canonicalizes every P()-specced leaf to a device array, so a
+    Python-int ``gs`` crossing the boundary becomes a tracer and the w4a8
+    kernels' ``k % group_size`` shape math raises
+    TracerBoolConversionError. Returns (stripped tree, {path: gs}) —
+    re-attach inside the shard_map body with :func:`_restore_gs`.
+    """
+    found = {}
+
+    def walk(x, path):
+        if isinstance(x, dict):
+            out = {}
+            for k, v in x.items():
+                if k == "gs" and not hasattr(v, "shape"):
+                    found[path] = v
+                else:
+                    out[k] = walk(v, path + (k,))
+            return out
+        if isinstance(x, list):
+            return [walk(v, path + (i,)) for i, v in enumerate(x)]
+        return x
+
+    return walk(tree, ()), found
+
+
+def _restore_gs(tree, found):
+    for path, gs in found.items():
+        node = tree
+        for p in path:
+            node = node[p]
+        node["gs"] = gs
+    return tree
+
+
 def tp_forward(params, tokens, cfg: llama.LlamaConfig, mesh: Mesh, *, kernels=True):
     """TP+DP prefill: logits [B, S, V]. Run under jit for real use."""
+    params, gs_map = _strip_gs(params)
     specs = param_specs(params, cfg)
 
     fwd = partial(llama.forward, cfg=cfg, tp_axis="tp", kernels=kernels)
 
     def inner(params, tokens):
-        return fwd(params, tokens)
+        return fwd(_restore_gs(params, gs_map), tokens)
 
     return shard_map(
         inner,
@@ -158,6 +195,7 @@ def tp_forward(params, tokens, cfg: llama.LlamaConfig, mesh: Mesh, *, kernels=Tr
 def tp_decode_step(params, cache, tokens, pos, cfg: llama.LlamaConfig, mesh: Mesh,
                    *, kernels=True):
     """TP+DP one-token decode over a head-sharded KV cache."""
+    params, gs_map = _strip_gs(params)
     specs = param_specs(params, cfg)
     kv_spec = P("dp", "tp", None, None)
     entry_spec = {"k": kv_spec, "v": kv_spec}
@@ -167,7 +205,8 @@ def tp_decode_step(params, cache, tokens, pos, cfg: llama.LlamaConfig, mesh: Mes
 
     def inner(params, cache, tokens, pos):
         return llama.decode_step(
-            params, cache, tokens, pos[0], cfg, tp_axis="tp", kernels=kernels
+            _restore_gs(params, gs_map), cache, tokens, pos[0], cfg,
+            tp_axis="tp", kernels=kernels,
         )
 
     return shard_map(

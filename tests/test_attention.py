@@ -355,6 +355,52 @@ class TestStaticQuant:
         check_err(got, want, rtol=6e-2, atol=6e-2)
 
 
+class TestAlibi:
+    """In-kernel alibi slopes vs a materialized bias tensor (the reference
+    formulation): identical math, zero extra HBM traffic."""
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_matches_bias_tensor(self, causal):
+        from composable_kernel_tpu.ops.attention import alibi_slopes_for_heads
+
+        b, hq, hkv, sq, sk, d = 2, 4, 2, 128, 256, 64
+        q, k, v = _qkv(b, hq, hkv, sq, sk, d)
+        slopes = alibi_slopes_for_heads(hq)
+        # bottom-right-aligned positions, matching the kernel convention
+        q_pos = np.arange(sq)[:, None] + (sk - sq)
+        k_pos = np.arange(sk)[None, :]
+        bias = np.broadcast_to(
+            slopes[None, :, None, None]
+            * (k_pos - q_pos)[None, None].astype(np.float32),
+            (b, hq, sq, sk),
+        )
+        got = flash_attention(q, k, v, causal=causal,
+                              alibi_slopes=jnp.asarray(slopes))
+        want = flash_attention(q, k, v, causal=causal,
+                               bias=jnp.asarray(bias, jnp.float32))
+        check_err(got, want, **TOL)
+
+    def test_with_varlen(self):
+        from composable_kernel_tpu.ops.attention import alibi_slopes_for_heads
+
+        b, hq, hkv, sq, sk, d = 2, 4, 2, 128, 256, 64
+        q, k, v = _qkv(b, hq, hkv, sq, sk, d)
+        slopes = alibi_slopes_for_heads(hq)
+        lens = jnp.asarray([100, 256], jnp.int32)
+        q_pos = np.arange(sq)[:, None] + (sk - sq)
+        k_pos = np.arange(sk)[None, :]
+        bias = np.broadcast_to(
+            slopes[None, :, None, None]
+            * (k_pos - q_pos)[None, None].astype(np.float32),
+            (b, hq, sq, sk),
+        )
+        got = flash_attention(q, k, v, causal=True, kv_seq_len=lens,
+                              alibi_slopes=jnp.asarray(slopes))
+        want = flash_attention(q, k, v, causal=True, kv_seq_len=lens,
+                               bias=jnp.asarray(bias, jnp.float32))
+        check_err(got, want, **TOL)
+
+
 def test_tune_selects_and_caches(tmp_path, monkeypatch):
     """flash_attention(tune=True): CPU path returns the first supported
     instance without timing (tuning is a real-backend activity)."""

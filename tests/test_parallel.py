@@ -125,6 +125,34 @@ def test_tp_forward_moe_quantized():
     check_err(got, want, rtol=6e-2, atol=6e-2)
 
 
+def test_tp_forward_moe_w4a8():
+    # w4a8 expert stacks carry a static "gs" group-size marker that must
+    # NOT cross shard_map (P() would canonicalize it to a tracer and the
+    # ragged kernel's k % group_size shape math would raise) — the
+    # _strip_gs/_restore_gs pair keeps it a Python int inside
+    cfg = llama.tiny_config(quant="w4a8", dtype="float32", n_experts=4,
+                            top_k_experts=2, tp_pack=4)
+    params = llama.init_weights(llama.tiny_config(
+        quant="bf16", dtype="float32", n_experts=4, top_k_experts=2),
+        jax.random.PRNGKey(7))
+    qp = llama.quantize_weights(params, cfg)
+    assert qp["layers"][0]["moe"]["w_gate"]["gs"] == cfg.group_size
+    mesh = make_mesh(tp=4, dp=2)
+    sharded = shard_params(qp, cfg, mesh)
+    got = tp_forward(sharded, TOKENS, cfg, mesh, kernels=True)
+    want = llama.forward(qp, TOKENS, cfg, kernels=True)
+    # per-shard activation quantization differs from the unsharded run
+    # (row-parallel shards quantize their K-slice), and the shifted
+    # attention outputs can flip top-k routing decisions near score ties —
+    # discrete expert swaps on a few tokens. The aggregate gate is sized
+    # to catch structural bugs (a broken shard plan measured rel=0.87)
+    # while absorbing quant + routing noise (measured 0.066).
+    g = np.asarray(got, np.float32)
+    w = np.asarray(want, np.float32)
+    rel = np.linalg.norm(g - w) / np.linalg.norm(w)
+    assert rel < 0.12, rel
+
+
 def test_tp_decode_moe_fallback():
     # decode batch (2 tokens) is not divisible by ep=4: the replicated
     # psum fallback keeps decode correct under the same sharded tree
