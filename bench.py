@@ -402,6 +402,7 @@ def bench_ppl_gate(on_tpu):
     + random tokens as a pipeline smoke when the checkpoint is absent.
     vs_baseline = delta / 0.1 (the BASELINE.json budget): <= 1.0 passes.
     """
+    import json
     from pathlib import Path
 
     import jax
@@ -410,18 +411,31 @@ def bench_ppl_gate(on_tpu):
     from composable_kernel_tpu.models import llama
     from composable_kernel_tpu.models.eval import ppl_delta
 
-    ckpt = Path(__file__).resolve().parent / "checkpoints" / "tinylm_byte.npz"
-    base = dict(dim=256, n_layers=4, n_heads=8, n_kv_heads=4, ffn_dim=1024,
-                vocab_size=512, max_seq_len=512, dtype="float32")
+    ckdir = Path(__file__).resolve().parent / "checkpoints"
+    # prefer the GPT-2-small-scale model (82M params, train_tiny_lm.py
+    # --size small on the 40MB stdlib+packages corpus) when present —
+    # the BASELINE "Llama-class" gate wants >=10M params
+    small = ckdir / "tinylm_small.npz"
+    if on_tpu and small.exists():
+        ckpt = small
+        arch = json.loads((ckdir / "tinylm_small_meta.json").read_text())
+        eval_npy = ckdir / "tinylm_small_eval_tokens.npy"
+        calib = ckdir / "tinylm_small_calib_tokens.npy"
+    else:
+        ckpt = ckdir / "tinylm_byte.npz"
+        arch = dict(dim=256, n_layers=4, n_heads=8, n_kv_heads=4,
+                    ffn_dim=1024)
+        eval_npy = ckdir / "tinylm_eval_tokens.npy"
+        calib = ckdir / "tinylm_calib_tokens.npy"
+    base = dict(**arch, vocab_size=512, max_seq_len=512, dtype="float32")
     cfg_full = llama.tiny_config(**base, quant="bf16", group_size=128)
     cfg_q = llama.tiny_config(**base, quant="w4a16", group_size=128)
     trained = ckpt.exists()
-    calib = ckpt.parent / "tinylm_calib_tokens.npy"
     if trained:
         from composable_kernel_tpu.models.loader import load_quantized
 
         params = load_quantized(ckpt)
-        toks = np.load(ckpt.parent / "tinylm_eval_tokens.npy")
+        toks = np.load(eval_npy)
         max_windows = 128 if on_tpu else 4
     else:
         _stderr("# no trained checkpoint; random-weights smoke only")
@@ -453,6 +467,9 @@ def bench_ppl_gate(on_tpu):
         "ppl_full": round(p_full, 4),
         "ppl_w4a16": round(p_quant, 4),
         "trained_checkpoint": trained,
+        "checkpoint": ckpt.name,
+        "n_params_m": round(sum(
+            x.size for x in jax.tree.leaves(params)) / 1e6, 1),
         "quantizer": "gptq" if (trained and calib.exists()) else "rtn",
     }
 

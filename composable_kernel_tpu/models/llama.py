@@ -546,7 +546,13 @@ def _qkv_proj(x2, layer, cfg: LlamaConfig, interpret=None, kernels=True):
         qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
         if "bqkv" in layer:
             qkv = _bias(qkv, layer["bqkv"])
-        n_q, n_kv = cfg.n_heads * hd, cfg.n_kv_heads * hd
+        # proportional split: under TP the shard-local fused projection is
+        # (nh + 2*nkv)*hd/tp wide with the same head ratio (the
+        # permute_fused_for_tp layout), so local segment sizes derive from
+        # the actual output width rather than the global config
+        ratio = cfg.n_heads + 2 * cfg.n_kv_heads
+        n_q = qkv.shape[-1] * cfg.n_heads // ratio
+        n_kv = qkv.shape[-1] * cfg.n_kv_heads // ratio
         return qkv[:, :n_q], qkv[:, n_q : n_q + n_kv], qkv[:, n_q + n_kv :]
     q = _linear(x2, layer["wq"], cfg, interpret, kernels)
     k = _linear(x2, layer["wk"], cfg, interpret, kernels)

@@ -8,6 +8,11 @@ from composable_kernel_tpu.ops.attention.kernel import (
     flash_attention,
     flash_decode,
 )
+from composable_kernel_tpu.ops.attention.varlen import (
+    flash_attention_varlen,
+    pack_varlen,
+    unpack_varlen,
+)
 from composable_kernel_tpu.ops.attention.paged import (
     PagedKVCache,
     decode_attention,
@@ -18,9 +23,13 @@ __all__ = [
     "AttentionConfig",
     "DEFAULT_ATTENTION_CONFIGS",
     "PagedKVCache",
+    "alibi_slopes_for_heads",
     "decode_attention",
     "flash_attention",
     "flash_attention_grad",
+    "flash_attention_varlen",
     "flash_decode",
+    "pack_varlen",
     "paged_flash_decode",
+    "unpack_varlen",
 ]

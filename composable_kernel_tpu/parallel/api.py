@@ -77,26 +77,30 @@ def param_specs(params, cfg: llama.LlamaConfig):
         }
 
     def layer_spec(layer):
-        if "wqkv" in layer or "w_gateup" in layer:
-            raise NotImplementedError(
-                "TP sharding needs unfused trees: the fused wqkv/w_gateup "
-                "concat dim interleaves q/k/v (gate/up) segments that one "
-                "PartitionSpec cannot split per-shard — load or quantize "
-                "with fuse_qkv=False for tensor parallelism"
+        spec = {"attn_norm": P(), "ffn_norm": P()}
+        if "wqkv" in layer:
+            # fused trees shard column-parallel AFTER the shard-local
+            # column permutation of permute_fused_for_tp (each tp slice
+            # must hold its own contiguous q|k|v segment) — shard_params
+            # applies it; see that docstring
+            spec["wqkv"] = w_spec(layer["wqkv"], True)
+            if "bqkv" in layer:
+                spec["bqkv"] = P("tp")
+        else:
+            spec.update(
+                wq=w_spec(layer["wq"], True),
+                wk=w_spec(layer["wk"], True),
+                wv=w_spec(layer["wv"], True),
             )
-        spec = {
-            "attn_norm": P(),
-            "ffn_norm": P(),
-            "wq": w_spec(layer["wq"], True),
-            "wk": w_spec(layer["wk"], True),
-            "wv": w_spec(layer["wv"], True),
-            "wo": w_spec(layer["wo"], False),
-        }
-        for b in ("bq", "bk", "bv"):
-            if b in layer:  # Qwen2-style projection biases: column-parallel
-                spec[b] = P("tp")
+            for b in ("bq", "bk", "bv"):
+                if b in layer:  # Qwen2-style biases: column-parallel
+                    spec[b] = P("tp")
+        spec["wo"] = w_spec(layer["wo"], False)
         if "moe" in layer:
             spec["moe"] = moe_spec(layer["moe"])
+        elif "w_gateup" in layer:
+            spec["w_gateup"] = w_spec(layer["w_gateup"], True)
+            spec["w_down"] = w_spec(layer["w_down"], False)
         else:
             spec.update(
                 w_gate=w_spec(layer["w_gate"], True),
@@ -114,8 +118,77 @@ def param_specs(params, cfg: llama.LlamaConfig):
     }
 
 
+def permute_fused_for_tp(params, cfg: llama.LlamaConfig, tp: int):
+    """Reorder fused-projection columns to shard-local segment order.
+
+    A fused wqkv is laid out [q(all heads) | k | v]; a plain P(None, 'tp')
+    split would hand shard 0 only q columns. Permuting to
+    ``concat_s [q_s | k_s | v_s]`` makes every tp slice a self-contained
+    smaller fused projection, so one column PartitionSpec shards it and
+    ``_qkv_proj``'s proportional split stays correct per shard (same idea
+    as the segmented int4 pack for row-parallel K, indexing.py). Applies
+    to wqkv (+bqkv) and w_gateup; packed "q" leaves permute columns
+    identically (the split-halves pack is row-wise).
+    """
+    nh, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    assert nh % tp == 0 and nkv % tp == 0, (nh, nkv, tp)
+    import numpy as np
+
+    def perm_cols(n_total, segs):
+        """segs = [(start, width_per_shard), ...] in the fused layout."""
+        idx = []
+        for s in range(tp):
+            for start, w in segs:
+                idx.extend(range(start + s * w, start + (s + 1) * w))
+        assert len(idx) == n_total
+        return np.asarray(idx, np.int64)
+
+    def apply(w, idx):
+        if isinstance(w, dict):
+            out = {k: (v[..., idx] if hasattr(v, "ndim") and v.ndim >= 1
+                       else v) for k, v in w.items()}
+            return out
+        return w[..., idx]
+
+    qkv_idx = None
+    gu_idx = None
+    out = dict(params)
+    layers = []
+    for layer in params["layers"]:
+        layer = dict(layer)
+        if "wqkv" in layer:
+            if qkv_idx is None:
+                n_q, n_kv = nh * hd, nkv * hd
+                qkv_idx = perm_cols(
+                    n_q + 2 * n_kv,
+                    [(0, n_q // tp), (n_q, n_kv // tp),
+                     (n_q + n_kv, n_kv // tp)],
+                )
+            layer["wqkv"] = apply(layer["wqkv"], qkv_idx)
+            if "bqkv" in layer:
+                layer["bqkv"] = layer["bqkv"][qkv_idx]
+        if "w_gateup" in layer:
+            if gu_idx is None:
+                f = cfg.ffn_dim
+                gu_idx = perm_cols(2 * f, [(0, f // tp), (f, f // tp)])
+            layer["w_gateup"] = apply(layer["w_gateup"], gu_idx)
+        layers.append(layer)
+    out["layers"] = layers
+    return out
+
+
 def shard_params(params, cfg: llama.LlamaConfig, mesh: Mesh):
-    """Place ``params`` on ``mesh`` with the TP plan (jax.device_put)."""
+    """Place ``params`` on ``mesh`` with the TP plan (jax.device_put).
+
+    Fused wqkv/w_gateup trees are column-permuted to shard-local segment
+    order first (permute_fused_for_tp), so the returned tree is only
+    meaningful under the mesh sharding — don't feed it back to an
+    unsharded forward."""
+    tp = mesh.shape["tp"]
+    if tp > 1 and any(
+        "wqkv" in l or "w_gateup" in l for l in params["layers"]
+    ):
+        params = permute_fused_for_tp(params, cfg, tp)
     if cfg.n_experts > 0:
         tp = mesh.shape["tp"]
         assert cfg.n_experts % tp == 0, (

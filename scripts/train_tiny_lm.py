@@ -30,11 +30,22 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def model_cfg():
+SIZES = {
+    # the round-2 gate model (~3M params)
+    "tiny": dict(dim=256, n_layers=4, n_heads=8, n_kv_heads=4, ffn_dim=1024),
+    # GPT-2-small-scale (~82M params): the "Llama-class" accuracy gate the
+    # BASELINE contract asks for, at the largest size trainable here in
+    # minutes (12L/768d fits the single v5e comfortably)
+    "small": dict(dim=768, n_layers=12, n_heads=12, n_kv_heads=4,
+                  ffn_dim=2304),
+}
+
+
+def model_cfg(size: str = "tiny"):
     from composable_kernel_tpu.models import llama
 
     return llama.tiny_config(
-        dim=256, n_layers=4, n_heads=8, n_kv_heads=4, ffn_dim=1024,
+        **SIZES[size],
         vocab_size=512, max_seq_len=512, group_size=128, quant="bf16",
         dtype="float32",
     )
@@ -45,6 +56,18 @@ def build_corpus(max_bytes=6_000_000):
 
     paths = sorted(glob.glob("/usr/lib/python3*/[a-s]*.py"))
     assert len(paths) > 50, f"stdlib corpus not found ({len(paths)} files)"
+    if max_bytes > 8_000_000:
+        # the small (82M-param) model memorizes the 6 MB stdlib slice
+        # (train 0.03 vs held-out 2.07 nats); widen to the full stdlib +
+        # installed packages so training stays under one epoch
+        paths += sorted(glob.glob("/usr/lib/python3*/**/*.py", recursive=True))
+        paths += sorted(glob.glob("/opt/venv/lib/**/*.py", recursive=True))
+        seen, uniq = set(), []
+        for p in paths:
+            if p not in seen:
+                seen.add(p)
+                uniq.append(p)
+        paths = uniq
     return corpus_tokens(paths, ByteTokenizer(), max_bytes=max_bytes)
 
 
@@ -57,6 +80,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=25,
                     help="steps chained per jit call (tunnel-dispatch amortization)")
     ap.add_argument("--out", default=str(REPO / "checkpoints"))
+    ap.add_argument("--size", choices=("tiny", "small"), default="tiny")
     args = ap.parse_args()
 
     import jax
@@ -67,8 +91,8 @@ def main():
     from composable_kernel_tpu.models.eval import nll
     from composable_kernel_tpu.models.loader import save_quantized
 
-    cfg = model_cfg()
-    tokens = build_corpus()
+    cfg = model_cfg(args.size)
+    tokens = build_corpus(40_000_000 if args.size == "small" else 6_000_000)
     n_eval = 260_000  # held-out tail: ~1000 windows of 256
     train_toks, eval_toks = tokens[:-n_eval], tokens[-n_eval:]
     print(f"corpus: {len(tokens):,} tokens ({len(train_toks):,} train)")
@@ -121,13 +145,19 @@ def main():
 
     out = Path(args.out)
     out.mkdir(exist_ok=True)
+    stem = "tinylm_byte" if args.size == "tiny" else f"tinylm_{args.size}"
     save_quantized(jax.tree.map(lambda x: np.asarray(x), params),
-                   out / "tinylm_byte.npz")
-    np.save(out / "tinylm_eval_tokens.npy", eval_toks)
+                   out / f"{stem}.npz")
+    np.save(out / f"{stem.replace('_byte', '')}_eval_tokens.npy"
+            if args.size != "tiny" else out / "tinylm_eval_tokens.npy",
+            eval_toks)
     # GPTQ calibration windows: train-region text, disjoint from eval
     calib = wins[: 128 * max(1, len(wins) // (128 * 8))][::max(1, len(wins) // (128 * 8))]
-    np.save(out / "tinylm_calib_tokens.npy",
+    np.save(out / (f"tinylm_{args.size}_calib_tokens.npy"
+                   if args.size != "tiny" else "tinylm_calib_tokens.npy"),
             calib[:128, :seq].astype(np.int32))
+    import json
+    (out / f"{stem}_meta.json").write_text(json.dumps(SIZES[args.size]))
 
     val = nll(params, cfg, eval_toks, seq_len=seq, batch_size=bsz,
               kernels=False, max_windows=200)

@@ -409,3 +409,93 @@ def test_tune_selects_and_caches(tmp_path, monkeypatch):
     got = flash_attention(q, k, v, causal=True, tune=True)
     want = ref_attention(q, k, v, causal=True)
     check_err(got, want, **TOL)
+
+
+class TestVarlenPacked:
+    """Group-mode packed-varlen attention (ck_tile fmha_fwd_kernel.hpp
+    seqstart walk, :505-555): zero padded compute, block-aligned packing."""
+
+    def test_mixed_batch_matches_per_seq(self):
+        from composable_kernel_tpu.ops.attention import (
+            flash_attention_varlen,
+            pack_varlen,
+            unpack_varlen,
+        )
+
+        hq, hkv, d = 8, 2, 64
+        lens = [200, 512, 37, 260]
+        rngk = jax.random.split(jax.random.PRNGKey(3), 12)
+        qs, ks_, vs = [], [], []
+        for i, L in enumerate(lens):
+            qs.append(jax.random.normal(rngk[3 * i], (L, hq, d),
+                                        jnp.float32).astype(jnp.bfloat16))
+            ks_.append(jax.random.normal(rngk[3 * i + 1], (L, hkv, d),
+                                         jnp.float32).astype(jnp.bfloat16))
+            vs.append(jax.random.normal(rngk[3 * i + 2], (L, hkv, d),
+                                        jnp.float32).astype(jnp.bfloat16))
+        qp, q_starts, q_lens = pack_varlen(qs, 256)
+        kp, kv_starts, kv_lens = pack_varlen(ks_, 256)
+        vp, _, _ = pack_varlen(vs, 256)
+        out = flash_attention_varlen(qp, kp, vp, q_starts, q_lens,
+                                     kv_starts, kv_lens, causal=True)
+        outs = unpack_varlen(out, q_starts, q_lens)
+        for i, L in enumerate(lens):
+            want = ref_attention(
+                qs[i].transpose(1, 0, 2)[None],
+                ks_[i].transpose(1, 0, 2)[None],
+                vs[i].transpose(1, 0, 2)[None], causal=True,
+            )[0].transpose(1, 0, 2)
+            check_err(outs[i], want, **TOL)
+
+    def test_chunked_prefill_alignment(self):
+        # q is the tail chunk of a longer KV: bottom-right causal per seq
+        from composable_kernel_tpu.ops.attention import (
+            flash_attention_varlen,
+            pack_varlen,
+        )
+
+        hq, hkv, d = 4, 2, 64
+        L_kv, L_q = 300, 64
+        rngk = jax.random.split(jax.random.PRNGKey(4), 3)
+        q = jax.random.normal(rngk[0], (L_q, hq, d), jnp.float32).astype(jnp.bfloat16)
+        k = jax.random.normal(rngk[1], (L_kv, hkv, d), jnp.float32).astype(jnp.bfloat16)
+        v = jax.random.normal(rngk[2], (L_kv, hkv, d), jnp.float32).astype(jnp.bfloat16)
+        qp, qs_, ql = pack_varlen([q], 256)
+        kp, ks2, kl = pack_varlen([k], 256)
+        vp, _, _ = pack_varlen([v], 256)
+        out = flash_attention_varlen(qp, kp, vp, qs_, ql, ks2, kl,
+                                     causal=True)[:L_q]
+        want = ref_attention(
+            q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
+            v.transpose(1, 0, 2)[None], causal=True,
+        )[0].transpose(1, 0, 2)
+        check_err(out, want, **TOL)
+
+    def test_traced_lens_jit(self):
+        # lens/starts may be traced (serving builds them per batch)
+        from composable_kernel_tpu.ops.attention import (
+            flash_attention_varlen,
+            pack_varlen,
+        )
+
+        hq, hkv, d = 4, 2, 64
+        qs_l = [jax.random.normal(KEYS[i], (128, hq, d), jnp.float32).astype(jnp.bfloat16)
+                for i in range(2)]
+        ks_l = [jax.random.normal(KEYS[i + 2], (128, hkv, d), jnp.float32).astype(jnp.bfloat16)
+                for i in range(2)]
+        vs_l = [jax.random.normal(KEYS[i + 4], (128, hkv, d), jnp.float32).astype(jnp.bfloat16)
+                for i in range(2)]
+        qp, qs_, ql = pack_varlen(qs_l, 128)
+        kp, ks2, kl = pack_varlen(ks_l, 128)
+        vp, _, _ = pack_varlen(vs_l, 128)
+
+        @jax.jit
+        def f(qp, kp, vp, qs_, ql, ks2, kl):
+            return flash_attention_varlen(qp, kp, vp, qs_, ql, ks2, kl,
+                                          causal=True, block_q=128,
+                                          block_k=128)
+
+        out = f(qp, kp, vp, qs_, ql, ks2, kl)
+        want = flash_attention_varlen(qp, kp, vp, qs_, ql, ks2, kl,
+                                      causal=True, block_q=128, block_k=128)
+        check_err(out, want, rtol=1e-3, atol=1e-3)

@@ -168,12 +168,39 @@ def test_tp_decode_moe_fallback():
     check_err(got, want, rtol=6e-2, atol=6e-2)
 
 
-def test_shard_params_rejects_fused_trees():
-    cfg = llama.tiny_config(quant="w4a16", fuse_qkv=True)
+def test_tp_forward_fused_trees():
+    # round-2 gap closed: fused wqkv/w_gateup trees shard column-parallel
+    # after the shard-local segment permutation (permute_fused_for_tp),
+    # so single-chip decode's fusion win survives under TP
+    cfg = llama.tiny_config(quant="bf16", fuse_qkv=True)
+    params = llama.init_weights(cfg, jax.random.PRNGKey(9))
+    mesh = make_mesh(tp=4, dp=2)
+    sharded = shard_params(params, cfg, mesh)
+    got = tp_forward(sharded, TOKENS, cfg, mesh, kernels=False)
+    want = llama.forward(params, TOKENS, cfg, kernels=False)
+    check_err(got, want, rtol=6e-2, atol=6e-2)
+
+
+def test_tp_forward_fused_trees_w4a16():
+    cfg = llama.tiny_config(quant="w4a16", fuse_qkv=True, tp_pack=4)
     qp = llama.quantize_weights(PARAMS, cfg)
     mesh = make_mesh(tp=4, dp=2)
-    with pytest.raises(NotImplementedError, match="fuse_qkv=False"):
-        shard_params(qp, cfg, mesh)
+    sharded = shard_params(qp, cfg, mesh)
+    got = tp_forward(sharded, TOKENS, cfg, mesh, kernels=False)
+    want = llama.forward(qp, TOKENS, cfg, kernels=False)
+    check_err(got, want, rtol=6e-2, atol=6e-2)
+
+
+def test_tp_decode_fused_trees():
+    cfg = llama.tiny_config(quant="bf16", fuse_qkv=True)
+    params = llama.init_weights(cfg, jax.random.PRNGKey(10))
+    mesh = make_mesh(tp=4, dp=2)
+    sharded = shard_params(params, cfg, mesh)
+    cache = llama.init_kv_cache(cfg, 2)
+    nxt = TOKENS[:, :1]
+    got, _ = tp_decode_step(sharded, cache, nxt, 0, cfg, mesh, kernels=False)
+    want, _ = llama.decode_step(params, cache, nxt, 0, cfg, kernels=False)
+    check_err(got, want, rtol=6e-2, atol=6e-2)
 
 
 def test_train_step():
