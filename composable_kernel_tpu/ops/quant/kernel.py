@@ -123,6 +123,7 @@ def _kernel_i8(
 def _kernel_i4(
     a_lo_ref, a_hi_ref, b_ref, s_lo_ref, s_hi_ref, *rest,
     n_ds, acc_dtype, c_op, n_k_steps, per_channel, compute_dtype, bpk, s_rows,
+    and_unpack=False,
 ):
     """Packed-int4 B: each byte holds W[k] (lo nibble) and W[k + K/2] (hi).
 
@@ -130,6 +131,13 @@ def _kernel_i4(
     nibbles against A columns [k0, k0+bpk) and the high nibbles against A
     columns [K/2 + k0, ...). The split-halves pack layout makes both unpacks
     shift-only (no cross-sublane interleave).
+
+    ``and_unpack``: B uses the ``pack_int4_w4a8`` offset-binary layout, so
+    extraction is pure int8 ops — lo: (p & 0x0F) - 8 == w exactly; hi:
+    p & 0xF0 == 16*w with the /16 pre-folded into the hi scale rows
+    (group-wise) or applied on the f32 convert (per-channel). This removes
+    the i32 widen + two-shift chain of the legacy pack (Mosaic has no i8
+    vector shifts) — the measured VPU-convert roof of the decode regime.
     """
     d_refs = rest[:n_ds]
     out_ref = rest[n_ds]
@@ -141,13 +149,31 @@ def _kernel_i4(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     packed = b_ref[...]
-    lo = _unpack_lo(packed)
-    hi = _unpack_hi(packed)
-    if per_channel:
-        b_lo = lo.astype(compute_dtype)
-        b_hi = hi.astype(compute_dtype)
+    if and_unpack:
+        # Mosaic has no i8 vector shifts OR subtracts: extract with ANDs
+        # and take the +8 offset out on the f32 side (fused into the
+        # convert chain), keeping every pre-convert op at 1-byte width
+        lo8 = packed & jnp.int8(0x0F)        # w_lo + 8, in [0, 15]
+        hi = packed & jnp.int8(-16)          # 16 * w_hi, sign preserved
     else:
-        b_lo = _dequant_tile(lo, s_lo_ref[...], s_rows, compute_dtype, bpk)
+        lo = _unpack_lo(packed)
+        hi = _unpack_hi(packed)
+    if per_channel:
+        if and_unpack:
+            b_lo = (lo8.astype(jnp.float32) - 8.0).astype(compute_dtype)
+            b_hi = (hi.astype(jnp.float32) * 0.0625).astype(compute_dtype)
+        else:
+            b_lo = lo.astype(compute_dtype)
+            b_hi = hi.astype(compute_dtype)
+    else:
+        # group-wise: and_unpack hi scale rows are pre-divided by 16
+        if and_unpack:
+            b_lo = _dequant_tile(
+                lo8.astype(jnp.float32) - 8.0, s_lo_ref[...], s_rows,
+                compute_dtype, bpk,
+            )
+        else:
+            b_lo = _dequant_tile(lo, s_lo_ref[...], s_rows, compute_dtype, bpk)
         b_hi = _dequant_tile(hi, s_hi_ref[...], s_rows, compute_dtype, bpk)
     acc_ref[...] += jnp.dot(a_lo_ref[...], b_lo, preferred_element_type=acc_dtype)
     acc_ref[...] += jnp.dot(a_hi_ref[...], b_hi, preferred_element_type=acc_dtype)
@@ -171,6 +197,7 @@ def dequant_gemm(
     group_size: int | None = None,
     packed_int4: bool = False,
     pack_blocks: int = 1,
+    pack_layout: str = "legacy",  # "legacy" (pack_int4) | "w4a8" (AND-only)
     config: GemmConfig | None = None,
     c_op=None,
     out_dtype=None,
@@ -306,13 +333,15 @@ def dequant_gemm(
             s_lo, s_hi, srb = prepared.s_lo, prepared.s_hi, prepared.srb
         elif packed_int4:
             # scale-row starts for each step's lo/hi nibbles, honoring the
-            # segmented (tensor-parallel) pack layout
+            # segmented (tensor-parallel) pack layout; the AND-only layout
+            # pre-folds the hi nibble's x16 into its scale rows
             s_p = pad_to(scales, (None, bn))
             lo_starts, hi_starts = indexing.split_halves_scale_starts(
                 n_k_steps, bpk, half_seg, gsz
             )
             s_lo, srb = _expand_group_scales(s_p, lo_starts, s_rows)
-            s_hi, _ = _expand_group_scales(s_p, hi_starts, s_rows)
+            s_hi_src = s_p * (1.0 / 16.0) if pack_layout == "w4a8" else s_p
+            s_hi, _ = _expand_group_scales(s_hi_src, hi_starts, s_rows)
         else:
             s_p = pad_to(scales, (None, bn))
             lo_starts = [(i * blk) // gsz for i in range(n_k_steps)]
@@ -387,7 +416,7 @@ def dequant_gemm(
             _kernel_i4,
             n_ds=len(ds_p), acc_dtype=acc_dtype, c_op=c_op, n_k_steps=n_k_steps,
             per_channel=per_channel, compute_dtype=compute_dtype, bpk=bpk,
-            s_rows=s_rows,
+            s_rows=s_rows, and_unpack=pack_layout == "w4a8",
         )
         out = pl.pallas_call(
             kernel,

@@ -67,11 +67,14 @@ def _register_defaults():
         registry.add_instances(fam, DEFAULT_GEMM_CONFIGS)
         registry.set_predicate(fam, is_supported)
 
-    # int8 requant instances: int32 D/acc tiles need the scoped-VMEM raise
-    # at bf16-tuned block shapes (measured v5e: 242 TOPS fused at M=2048)
+    # int8 requant instances. Whole-K blocks dominate (round 3: one K step
+    # per tile removes the accumulator round-trip — 344 vs 242 TOPS at the
+    # 2048x4096x4096 requant shape); k-looped configs stay for K > 16k
     registry.add_instances(
         "int8_gemm",
         [
+            GemmConfig(1024, 512, 4096, vmem_limit_mb=80),
+            GemmConfig(512, 512, 8192, vmem_limit_mb=80),
             GemmConfig(512, 2048, 1024, vmem_limit_mb=48),
             GemmConfig(512, 1024, 1024, vmem_limit_mb=32),
             GemmConfig(512, 1024, 512),
@@ -90,6 +93,10 @@ def _register_defaults():
             GemmConfig(32, 3584, 1024, vmem_limit_mb=80),
             GemmConfig(32, 7168, 1024, vmem_limit_mb=80),
             GemmConfig(64, 4096, 1024, vmem_limit_mb=80),
+            # round-3 N-dividing blocks (a non-dividing block pads the
+            # weights per call inside decode loops — indexing.snap_divisor_bn)
+            GemmConfig(32, 5504, 1024, vmem_limit_mb=80),
+            GemmConfig(32, 2048, 2048, vmem_limit_mb=80),  # deep-K (to 65536)
         ],
     )
 
