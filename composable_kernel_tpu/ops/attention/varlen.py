@@ -12,7 +12,11 @@ sequence's KV range (dead steps clamp their DMA and skip compute).
 
 Mixed-length serving prefill is the target regime: a (128..2048)-token
 mixed batch pays sum(ceil(len/block)) block rows instead of
-B * ceil(max/block).
+B * ceil(max/block). Measured (v5e, GQA 32/8 D=128, lens 128..2048):
+1.51x the padded flash path at the default (512, 1024) blocks — the
+asymmetry matters: small q blocks bound per-sequence padding, big kv
+blocks keep the per-tile MXU/softmax ratio (symmetric 256 blocks lose
+the padding win to tile inefficiency, 1.01x).
 """
 
 from __future__ import annotations
@@ -164,8 +168,8 @@ def flash_attention_varlen(
     causal: bool = True,
     window: int | None = None,
     scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,
+    block_k: int = 1024,
     out_dtype=None,
     interpret: bool | None = None,
 ):
@@ -207,6 +211,16 @@ def flash_attention_varlen(
     n_q_blocks = tq // bq
     n_kv_steps = k_p.shape[1] // bk
 
+    import numpy as np
+
+    for name, starts, blk in (("q_starts", q_starts, bq),
+                              ("kv_starts", kv_starts, bk)):
+        if not isinstance(starts, jax.core.Tracer):
+            sa = np.asarray(starts)
+            assert (sa % blk == 0).all(), (
+                f"{name} must be multiples of the {blk}-row block "
+                f"(pack_varlen with the same block), got {sa}"
+            )
     q_starts = jnp.asarray(q_starts, jnp.int32)
     q_lens = jnp.asarray(q_lens, jnp.int32)
     kv_starts = jnp.asarray(kv_starts, jnp.int32)

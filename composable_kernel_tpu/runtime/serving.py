@@ -62,6 +62,11 @@ class ServingEngine:
                  prefill_chunk: int | None = None,
                  paged: bool = False, n_pages: int | None = None,
                  page_size: int = 128, seed: int = 0):
+        if kernels and cfg.quant in ("w4a16", "int8", "w4a8"):
+            # load-time weight prep: pad + scale-expand leaves whose decode
+            # N block cannot divide N (vocab-sized lm_head) ONCE, instead
+            # of per decode step (llama.prepare_params docstring)
+            params = llama.prepare_params(params, cfg)
         self.params = params
         self.cfg = cfg
         self.b = batch_slots

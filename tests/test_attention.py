@@ -433,9 +433,9 @@ class TestVarlenPacked:
                                          jnp.float32).astype(jnp.bfloat16))
             vs.append(jax.random.normal(rngk[3 * i + 2], (L, hkv, d),
                                         jnp.float32).astype(jnp.bfloat16))
-        qp, q_starts, q_lens = pack_varlen(qs, 256)
-        kp, kv_starts, kv_lens = pack_varlen(ks_, 256)
-        vp, _, _ = pack_varlen(vs, 256)
+        qp, q_starts, q_lens = pack_varlen(qs, 512)
+        kp, kv_starts, kv_lens = pack_varlen(ks_, 1024)
+        vp, _, _ = pack_varlen(vs, 1024)
         out = flash_attention_varlen(qp, kp, vp, q_starts, q_lens,
                                      kv_starts, kv_lens, causal=True)
         outs = unpack_varlen(out, q_starts, q_lens)
@@ -460,9 +460,9 @@ class TestVarlenPacked:
         q = jax.random.normal(rngk[0], (L_q, hq, d), jnp.float32).astype(jnp.bfloat16)
         k = jax.random.normal(rngk[1], (L_kv, hkv, d), jnp.float32).astype(jnp.bfloat16)
         v = jax.random.normal(rngk[2], (L_kv, hkv, d), jnp.float32).astype(jnp.bfloat16)
-        qp, qs_, ql = pack_varlen([q], 256)
-        kp, ks2, kl = pack_varlen([k], 256)
-        vp, _, _ = pack_varlen([v], 256)
+        qp, qs_, ql = pack_varlen([q], 512)
+        kp, ks2, kl = pack_varlen([k], 1024)
+        vp, _, _ = pack_varlen([v], 1024)
         out = flash_attention_varlen(qp, kp, vp, qs_, ql, ks2, kl,
                                      causal=True)[:L_q]
         want = ref_attention(
