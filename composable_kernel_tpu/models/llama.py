@@ -261,15 +261,19 @@ def prepare_params(params: dict, cfg: LlamaConfig) -> dict:
     (``device_gemm_dequantB.hpp:24``). Apply AFTER gptq/awq quantization
     and only for the kernel serving path (``kernels=True``).
     """
-    from composable_kernel_tpu.ops.quant import prepare_w4a8, prepare_wo_quant
+    from composable_kernel_tpu.ops.quant import (
+        prepare_w4a8,
+        prepare_w8a8,
+        prepare_wo_quant,
+    )
     from composable_kernel_tpu.ops.quant.api import _decode_bn
     from composable_kernel_tpu.ops.quant.w4a8 import _w4a8_heuristic
 
-    if cfg.quant not in ("w4a16", "int8", "w4a8"):
+    if cfg.quant not in ("w4a16", "int8", "w4a8", "w8a8"):
         return params
 
     def needs_prep(k: int, n: int) -> bool:
-        if cfg.quant == "w4a8":
+        if cfg.quant in ("w4a8", "w8a8"):
             bn = _w4a8_heuristic(8, n, k).block_n
         else:
             bn = _decode_bn(n)
@@ -284,6 +288,8 @@ def prepare_params(params: dict, cfg: LlamaConfig) -> dict:
             return w
         if cfg.quant == "w4a8":
             return prepare_w4a8(w["q"], w["s"], group_size=cfg.group_size)
+        if cfg.quant == "w8a8":
+            return prepare_w8a8(w["q"], w["s"])
         if cfg.quant == "w4a16":
             return prepare_wo_quant(w["q"], w["s"], group_size=cfg.group_size,
                                     packed_int4=True)
@@ -388,6 +394,18 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
                 return w4a8_gemm(x_q, x_s, w, out_dtype=cfg.jdtype,
                                  interpret=interpret)
             return w4a8_gemm(x, None, w, out_dtype=cfg.jdtype,
+                             interpret=interpret)
+        if cfg.quant == "w8a8":
+            from composable_kernel_tpu.ops.quant import (
+                quantize_act_token,
+                w8a8_gemm,
+            )
+
+            if isinstance(x, tuple):
+                x_q, x_s = x  # pre-quantized by the fused rmsnorm_quant
+            else:
+                x_q, x_s = quantize_act_token(x)
+            return w8a8_gemm(x_q, x_s, w, out_dtype=cfg.jdtype,
                              interpret=interpret)
         return wo_quant_gemm(x, w, interpret=interpret)
     if isinstance(w, dict):
@@ -771,6 +789,104 @@ def forward(
     x = rmsnorm(x, params["norm"], cfg.norm_eps, kernels, interpret)
     logits = _linear(x.reshape(b * s, -1), params["lm_head"], cfg, interpret, kernels)
     logits = logits.reshape(b, s, -1)
+    if return_cache:
+        return logits, caches
+    return logits
+
+
+def forward_varlen(
+    params,
+    tokens,
+    starts,
+    lens,
+    cfg: LlamaConfig,
+    *,
+    block: int = 1024,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret=None,
+    kernels: bool = True,
+    return_cache: bool = False,
+):
+    """Packed group-mode prefill: B ragged prompts in ONE forward.
+
+    CK fmha group mode at the model level (fmha_fwd_kernel.hpp:505-555):
+    ``tokens [T]`` packs every prompt contiguously with each sequence's
+    start aligned to ``block`` (``ops.attention.pack_varlen`` layout —
+    pad rows carry token id 0 and produce garbage that is never read).
+    ``starts/lens [B]`` give each prompt's packed offset and true length;
+    starts must be multiples of ``block``, and ``block_q``/``block_k``
+    must divide ``block`` (one packed stream serves both the Q and KV
+    sides of the attention).
+
+    Mixed-length admission pays sum(ceil(len/block)) rows instead of
+    B * max(len): the serving engine batches its queued prompts through
+    here instead of one padded/per-request forward each.
+
+    Returns last-token logits ``[B, V]`` (the only rows serving needs —
+    the vocab GEMM runs on B rows, not T), plus per-layer packed
+    ``(k, v) [T, Hkv, hd]`` seeds when ``return_cache`` (slice row ranges
+    per slot and transpose for ``seed_kv_cache``).
+    """
+    from composable_kernel_tpu.ops.attention import flash_attention_varlen
+
+    assert block % block_q == 0 and block % block_k == 0, (
+        block, block_q, block_k
+    )
+    (t,) = tokens.shape
+    starts = jnp.asarray(starts, jnp.int32)
+    lens = jnp.asarray(lens, jnp.int32)
+    hd = cfg.head_dim
+
+    x = jnp.take(params["embed"], tokens, axis=0)[None]  # [1, T, D]
+    # per-token position inside its own sequence
+    row = jnp.arange(t, dtype=jnp.int32)
+    seq = jnp.searchsorted(starts, row, side="right") - 1
+    positions = row - starts[seq]
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)  # [T, hd/2]
+    cos_t = cos[None, :, :]  # [1, T, hd/2] -> broadcast over heads below
+    sin_t = sin[None, :, :]
+
+    caches = []
+    for layer in params["layers"]:
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
+        q, k, v = _qkv_proj(h.reshape(t, -1), layer, cfg, interpret, kernels)
+        nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
+        q = q.reshape(t, nh, hd).transpose(1, 0, 2)  # [H, T, hd]
+        k = k.reshape(t, nkv, hd).transpose(1, 0, 2)
+        v = v.reshape(t, nkv, hd).transpose(1, 0, 2)
+        q = apply_rope(q[None], cos_t, sin_t)[0]
+        k = apply_rope(k[None], cos_t, sin_t)[0]
+        if kernels:
+            o = flash_attention_varlen(
+                q.transpose(1, 0, 2), k.transpose(1, 0, 2),
+                v.transpose(1, 0, 2), starts, lens, starts, lens,
+                causal=True, window=cfg.sliding_window,
+                block_q=block_q, block_k=block_k, interpret=interpret,
+            )  # [T, H, hd]
+        else:
+            from composable_kernel_tpu.reference.attention import (
+                ref_attention_varlen,
+            )
+
+            o = ref_attention_varlen(
+                q.transpose(1, 0, 2), k.transpose(1, 0, 2),
+                v.transpose(1, 0, 2), starts, lens,
+                window=cfg.sliding_window,
+            )
+        if return_cache:
+            caches.append((k.transpose(1, 0, 2), v.transpose(1, 0, 2)))
+        o = o.reshape(t, nh * hd)
+        o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
+        x = x + o.reshape(1, t, -1)
+        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
+        x = x + _ffn_block(h, layer, cfg, interpret=interpret, kernels=kernels)
+
+    last = jnp.clip(starts + lens - 1, 0, t - 1)
+    x_last = jnp.take(x[0], last, axis=0)  # [B, D]
+    x_last = rmsnorm(x_last[None], params["norm"], cfg.norm_eps, kernels,
+                     interpret)[0]
+    logits = _linear(x_last, params["lm_head"], cfg, interpret, kernels)
     if return_cache:
         return logits, caches
     return logits
@@ -1263,8 +1379,13 @@ def paged_decode_step(
     new_pools = []
     hd = cfg.head_dim
     for layer, pool in zip(params["layers"], pools):
-        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
-        x2 = h.reshape(b, -1)
+        if cfg.quant in ("w4a8", "w8a8") and kernels:
+            # fused rmsnorm + per-token int8 quant (decode_step_batched's
+            # _decode_layer path — the paged step gets the same treatment)
+            x2 = _norm_quant_2d(x, layer["attn_norm"], cfg, interpret)
+        else:
+            h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
+            x2 = h.reshape(b, -1)
         q, k, v = _qkv_proj(x2, layer, cfg, interpret, kernels)
         nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
         q = q.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
@@ -1282,13 +1403,26 @@ def paged_decode_step(
         is_i8 = "ks" in pool
         k_in = _quantize_kv(k, pool["ks"]) if is_i8 else k
         v_in = _quantize_kv(v, pool["vs"]) if is_i8 else v
-        # vectorized page scatter: rows (pg[b], :, off[b]) <- k[b, :, 0]
-        pool["k"] = pool["k"].at[pg, :, off].set(
-            k_in[:, :, 0, :].astype(pool["k"].dtype)
-        )
-        pool["v"] = pool["v"].at[pg, :, off].set(
-            v_in[:, :, 0, :].astype(pool["v"].dtype)
-        )
+        if kernels and pool["k"].shape[2] % 32 == 0:
+            # in-place slab-rewrite kernel (ops/kv_update.py): the jnp page
+            # scatter lowers to a full-pool scatter, same ~52 us/cache cost
+            # the contiguous decode path already eliminated
+            from composable_kernel_tpu.ops.kv_update import (
+                kv_cache_update_paged,
+            )
+
+            pool["k"], pool["v"] = kv_cache_update_paged(
+                pool["k"], pool["v"], k_in.astype(pool["k"].dtype),
+                v_in.astype(pool["v"].dtype), pg, off, interpret=interpret,
+            )
+        else:
+            # vectorized page scatter: rows (pg[b], :, off[b]) <- k[b, :, 0]
+            pool["k"] = pool["k"].at[pg, :, off].set(
+                k_in[:, :, 0, :].astype(pool["k"].dtype)
+            )
+            pool["v"] = pool["v"].at[pg, :, off].set(
+                v_in[:, :, 0, :].astype(pool["v"].dtype)
+            )
         scales = (
             {"k_scale": pool["ks"], "v_scale": pool["vs"]} if is_i8 else {}
         )
@@ -1299,12 +1433,28 @@ def paged_decode_step(
         o = o.transpose(0, 2, 1, 3).reshape(b, nh * hd)
         o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
         x = x + o.reshape(b, 1, -1)
-        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
-        x = x + _ffn_block(h, layer, cfg, interpret=interpret, kernels=kernels)
+        if cfg.quant in ("w4a8", "w8a8") and kernels and "moe" not in layer:
+            x2f = _norm_quant_2d(x, layer["ffn_norm"], cfg, interpret)
+            x = x + _ffn_core(
+                x2f, (b, 1, x.shape[-1]), layer, cfg,
+                interpret=interpret, kernels=kernels,
+            )
+        else:
+            h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
+            x = x + _ffn_block(h, layer, cfg, interpret=interpret,
+                               kernels=kernels)
         new_pools.append(pool)
 
-    x = rmsnorm(x, params["norm"], cfg.norm_eps, kernels, interpret)
-    logits = _linear(x.reshape(b, -1), params["lm_head"], cfg, interpret, kernels)
+    from composable_kernel_tpu.ops.quant.prepared import PreparedWeights
+
+    if (cfg.quant in ("w4a8", "w8a8") and kernels
+            and isinstance(params["lm_head"], (dict, PreparedWeights))):
+        x2 = _norm_quant_2d(x, params["norm"], cfg, interpret)
+        logits = _linear(x2, params["lm_head"], cfg, interpret, kernels)
+    else:
+        x = rmsnorm(x, params["norm"], cfg.norm_eps, kernels, interpret)
+        logits = _linear(x.reshape(b, -1), params["lm_head"], cfg, interpret,
+                         kernels)
     return logits.reshape(b, 1, -1), new_pools
 
 

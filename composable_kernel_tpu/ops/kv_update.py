@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from composable_kernel_tpu.ops.gemm.kernel import _interpret_default
 
-__all__ = ["kv_cache_update"]
+__all__ = ["kv_cache_update", "kv_cache_update_paged"]
 
 _SLAB = 32  # int8 sublane tile; covers bf16 (16) and f32 (8) too
 
@@ -87,3 +87,69 @@ def kv_cache_update(k_cache, v_cache, k_new, v_new, positions, *,
         ),
         interpret=interpret,
     )(positions, k_cache, v_cache, k_new, v_new)
+
+
+def _paged_kernel(pg_ref, off_ref, kc_ref, vc_ref, kn_ref, vn_ref,
+                  ko_ref, vo_ref):
+    b = pl.program_id(0)
+    row = off_ref[b] % _SLAB
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (1, _SLAB, 1), 1)
+    keep = ridx != row
+    ko_ref[0] = jnp.where(keep, kc_ref[0], kn_ref[0])
+    vo_ref[0] = jnp.where(keep, vc_ref[0], vn_ref[0])
+
+
+def kv_cache_update_paged(k_pool, v_pool, k_new, v_new, pages, offsets, *,
+                          interpret: bool | None = None):
+    """Paged-pool variant: write ``k_new/v_new [B, H, 1, D]`` into page
+    pools ``[P, H, page, D]`` at row ``offsets[b]`` of page ``pages[b]``.
+
+    The paged analog of :func:`kv_cache_update` — ``paged_decode_step``'s
+    jnp page scatter lowers to the same full-pool scatter the contiguous
+    path paid. Pool buffers are donated via aliasing; live pages are
+    disjoint across slots (the engine's page-pool invariant), so the
+    per-slot slab rewrites never collide (inactive slots all target the
+    never-read null page 0 — last write wins there, harmlessly).
+    Returns the updated (k_pool, v_pool). page size must be a multiple
+    of 32.
+    """
+    p, h, page, d = k_pool.shape
+    b = k_new.shape[0]
+    assert k_new.shape == (b, h, 1, d) and v_new.shape == (b, h, 1, d)
+    assert v_pool.shape == (p, h, page, d)
+    assert page % _SLAB == 0, f"page size {page} must be a multiple of {_SLAB}"
+    if interpret is None:
+        interpret = _interpret_default()
+    pages = jnp.asarray(pages, jnp.int32)
+    offsets = jnp.asarray(offsets, jnp.int32)
+
+    def slab_idx(bb, pg_ref, off_ref):
+        return (pg_ref[bb], 0, off_ref[bb] // _SLAB, 0)
+
+    def new_idx(bb, pg_ref, off_ref):
+        return (bb, 0, 0, 0)
+
+    pool_spec = pl.BlockSpec((1, h, _SLAB, d), slab_idx,
+                             memory_space=pltpu.VMEM)
+    new_spec = pl.BlockSpec((1, h, 1, d), new_idx, memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _paged_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b,),
+            in_specs=[pool_spec, pool_spec, new_spec, new_spec],
+            out_specs=(pool_spec, pool_spec),
+        ),
+        # operand indices include the two scalar-prefetch args: pages=0,
+        # offsets=1, k_pool=2, v_pool=3 alias outputs 0/1
+        input_output_aliases={2: 0, 3: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(pages, offsets, k_pool, v_pool, k_new, v_new)

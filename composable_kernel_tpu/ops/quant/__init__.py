@@ -2,6 +2,7 @@ from composable_kernel_tpu.ops.quant.api import dequant_gemm, int8_gemm, wo_quan
 from composable_kernel_tpu.ops.quant.prepared import (
     PreparedWeights,
     prepare_w4a8,
+    prepare_w8a8,
     prepare_wo_quant,
 )
 from composable_kernel_tpu.ops.quant.w4a8 import (
@@ -15,6 +16,7 @@ __all__ = [
     "dequant_gemm",
     "int8_gemm",
     "prepare_w4a8",
+    "prepare_w8a8",
     "prepare_wo_quant",
     "quantize_act_token",
     "w4a8_gemm",

@@ -43,6 +43,7 @@ __all__ = [
     "PreparedWeights",
     "prepare_wo_quant",
     "prepare_w4a8",
+    "prepare_w8a8",
 ]
 
 _SCALE_SUBLANES = 8
@@ -130,6 +131,13 @@ def _decode_blocks(kind: str, n: int, k: int, config: GemmConfig | None):
         from composable_kernel_tpu.ops.quant.w4a8 import _w4a8_heuristic
 
         cfg = _w4a8_heuristic(8, n, k)
+    elif kind == "w8a8":
+        from composable_kernel_tpu.ops.quant.w4a8 import _w4a8_heuristic
+
+        # w8a8_gemm's default: same tiles, block_k halved to keep byte
+        # footprint parity with the packed-int4 stream (w4a8.py:w8a8_gemm)
+        cfg = _w4a8_heuristic(8, n, k)
+        cfg = cfg.replace(block_k=max(512, cfg.block_k // 2))
     else:
         from composable_kernel_tpu.ops.quant.api import _heuristic_config
 
@@ -207,6 +215,34 @@ def prepare_wo_quant(
         b_p=b_p, scales_p=scales_p, s_lo=s_lo, s_hi=s_hi, kind=kind,
         n=n, k=k, group_size=group_size, pack_blocks=pack_blocks,
         bn=bn, bk=bk, bpk=bpk, n_k_steps=n_k_steps, s_rows=s_rows, srb=srb,
+        vmem_limit_mb=vmem,
+    )
+
+
+def prepare_w8a8(b_q, w_scales, *, config: GemmConfig | None = None):
+    """Prepare dynamic-W8A8 weights for decode serving.
+
+    b_q [K, N] int8 / w_scales [N] f32 exactly as
+    :func:`~composable_kernel_tpu.ops.quant.w8a8_gemm` takes them. The
+    prepared leaf pads B and the per-channel scales to the decode N block
+    ONCE (the vocab-sized lm_head otherwise re-pads ~128 MB per decode
+    step inside the jit — XLA does not hoist it out of scan bodies).
+    """
+    k, n = b_q.shape
+    assert jnp.dtype(b_q.dtype) == jnp.int8
+    w_scales = jnp.asarray(w_scales, jnp.float32)
+    assert w_scales.shape == (n,), w_scales.shape
+
+    bn, bk, vmem = _decode_blocks("w8a8", n, k, config)
+    bn = max(128, -(-min(bn, n) // 128) * 128)
+    np_ = -(-n // bn) * bn
+    b_p = _pad_cols(b_q, np_)
+    scales_p = _pad_cols(w_scales.reshape(1, -1), np_)
+
+    return PreparedWeights(
+        b_p=b_p, scales_p=scales_p, s_lo=None, s_hi=None, kind="w8a8",
+        n=n, k=k, group_size=None, pack_blocks=1,
+        bn=bn, bk=bk, bpk=0, n_k_steps=-(-k // bk), s_rows=1, srb=1,
         vmem_limit_mb=vmem,
     )
 

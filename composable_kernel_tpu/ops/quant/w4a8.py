@@ -509,7 +509,7 @@ def w8a8_gemm(
     a_q,
     a_scales,
     b_q,
-    w_scales,
+    w_scales=None,
     ds=(),
     *,
     config: GemmConfig | None = None,
@@ -530,17 +530,30 @@ def w8a8_gemm(
 
     a_q:      [M, K] int8 (``quantize_act_token``)
     a_scales: [M] or [M, 1] f32
-    b_q:      [K, N] int8
+    b_q:      [K, N] int8, or a ``prepare_w8a8`` :class:`PreparedWeights`
+              (then ``w_scales`` must be omitted: the prepared leaf carries
+              the once-padded B and scale row)
     w_scales: [N] f32 per-output-channel
     """
     from composable_kernel_tpu.ops.gemm.kernel import pallas_gemm
+    from composable_kernel_tpu.ops.quant.prepared import PreparedWeights
 
     m, k = a_q.shape
+    true_n = None
+    if isinstance(b_q, PreparedWeights):
+        assert b_q.kind == "w8a8" and w_scales is None
+        assert b_q.k == k, (b_q.k, k)
+        if config is None:
+            config = b_q.decode_config(m)
+        true_n = b_q.n
+        ws = b_q.scales_p.reshape(-1)
+        b_q = b_q.b_p
+    else:
+        assert w_scales.shape == (b_q.shape[1],), w_scales.shape
+        ws = jnp.asarray(w_scales, jnp.float32)
     n = b_q.shape[1]
     assert jnp.dtype(a_q.dtype) == jnp.int8 and jnp.dtype(b_q.dtype) == jnp.int8
-    assert w_scales.shape == (n,), w_scales.shape
     a_scales = jnp.asarray(a_scales, jnp.float32).reshape(m, 1)
-    ws = jnp.asarray(w_scales, jnp.float32)
 
     if config is None:
         config = _w4a8_heuristic(m, n, k).replace(
@@ -560,4 +573,6 @@ def w8a8_gemm(
         config=config, c_op=scale_op, out_dtype=jnp.float32,
         interpret=interpret,
     )
+    if true_n is not None and true_n != n:
+        out = out[:, :true_n]
     return (out * a_scales).astype(out_dtype)

@@ -25,6 +25,7 @@ from composable_kernel_tpu.reference.quant import (  # noqa: F401
 )
 from composable_kernel_tpu.reference.attention import (  # noqa: F401
     ref_attention,
+    ref_attention_varlen,
     ref_gemm_softmax_gemm,
 )
 from composable_kernel_tpu.reference.normalization import (  # noqa: F401

@@ -160,3 +160,25 @@ def ref_quant_attention(
     pv = jnp.einsum("bhqk,bhkd->bhqd", p_q, vi).astype(jnp.float32)
     out = pv * (v_scale / 127.0) / denom
     return out.astype(out_dtype or jnp.bfloat16)
+
+
+def ref_attention_varlen(q, k, v, starts, lens, *, window=None, scale=None):
+    """Packed group-mode reference: per-sequence causal attention over
+    block-aligned packed [T, H, D] buffers (ops.attention.varlen layout,
+    ck_tile group mode fmha_fwd_kernel.hpp:505-555). starts/lens must be
+    host-static. Pad rows pass through as zeros.
+    """
+    starts = np.asarray(starts)
+    lens = np.asarray(lens)
+    out = jnp.zeros(q.shape, jnp.float32)
+    for s0, li in zip(starts, lens):
+        s0, li = int(s0), int(li)
+        o = ref_attention(
+            q[s0 : s0 + li].transpose(1, 0, 2)[None],
+            k[s0 : s0 + li].transpose(1, 0, 2)[None],
+            v[s0 : s0 + li].transpose(1, 0, 2)[None],
+            causal=True, window=window, scale=scale,
+            out_dtype=jnp.float32,
+        )[0].transpose(1, 0, 2)
+        out = out.at[s0 : s0 + li].set(o)
+    return out.astype(q.dtype)

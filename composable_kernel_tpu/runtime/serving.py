@@ -61,8 +61,10 @@ class ServingEngine:
                  kernels: bool = True, interpret=None,
                  prefill_chunk: int | None = None,
                  paged: bool = False, n_pages: int | None = None,
-                 page_size: int = 128, seed: int = 0):
-        if kernels and cfg.quant in ("w4a16", "int8", "w4a8"):
+                 page_size: int = 128, seed: int = 0,
+                 packed_prefill: bool | None = None,
+                 pack_block: int = 512):
+        if kernels and cfg.quant in ("w4a16", "int8", "w4a8", "w8a8"):
             # load-time weight prep: pad + scale-expand leaves whose decode
             # N block cannot divide N (vocab-sized lm_head) ONCE, instead
             # of per decode step (llama.prepare_params docstring)
@@ -77,6 +79,17 @@ class ServingEngine:
         # of one monolithic forward — bounds prefill latency spikes
         self.prefill_chunk = prefill_chunk
         self.paged = paged
+        # packed-varlen (group-mode) prefill: when >=2 requests admit in the
+        # same scheduling pass, pack their prompts block-aligned and run ONE
+        # forward_varlen over the mixed batch — sum(ceil(len/block)) rows
+        # instead of one padded/per-length-compiled forward each (ck_tile
+        # group mode, fmha_fwd_kernel.hpp:505-555). Total packed rows are
+        # bucketed to power-of-two block multiples to bound compile count.
+        if packed_prefill is None:
+            packed_prefill = kernels and prefill_chunk is None
+        self.packed_prefill = packed_prefill
+        self.pack_block = pack_block
+        self._packed_fwd_cache = None
         self.positions = np.zeros(batch_slots, np.int32)  # next decode pos
         self.slot_req: list[Request | None] = [None] * batch_slots
         self.next_token = np.zeros((batch_slots, 1), np.int32)
@@ -141,14 +154,34 @@ class ServingEngine:
         return -(-(len(req.prompt) + req.max_new_tokens) // self.page)
 
     def _admit(self):
-        for slot in range(self.b):
-            # retry the same slot while prefill-finished requests free it
-            while self.slot_req[slot] is None and self.queue:
+        # admission loops until no slot can take the head-of-line request;
+        # each pass collects every admissible (slot, request) pair so the
+        # packed-varlen path can prefill the whole wave in ONE forward
+        while self.queue:
+            pairs = []
+            taken = set()
+            reserved = 0  # pages claimed by earlier pairs in this wave
+            for slot in range(self.b):
+                if not self.queue:
+                    break
+                if self.slot_req[slot] is not None or slot in taken:
+                    continue
                 if self.paged:
-                    if len(self.free_pages) < self._pages_needed(self.queue[0]):
-                        return  # pool full: head-of-line waits for frees
-                req = self.queue.pop(0)
-                self._prefill_into(slot, req)
+                    need = self._pages_needed(self.queue[0])
+                    if len(self.free_pages) - reserved < need:
+                        break  # pool full: head-of-line waits for frees
+                    reserved += need
+                pairs.append((slot, self.queue.pop(0)))
+                taken.add(slot)
+            if not pairs:
+                return
+            if self.packed_prefill and len(pairs) >= 2:
+                self._prefill_packed(pairs)
+            else:
+                for slot, req in pairs:
+                    self._prefill_into(slot, req)
+            # requests that finished AT prefill freed their slots: loop and
+            # admit into them (mirrors the old per-slot retry)
 
     def _prefill_into(self, slot: int, req: Request):
         if len(req.prompt) + req.max_new_tokens > self.cfg.max_seq_len:
@@ -184,17 +217,22 @@ class ServingEngine:
             self.cache = llama.seed_kv_cache(
                 self.cache, seeds, self.cfg, slot=slot
             )
+        self._finish_prefill(slot, req, logits[0, -1])
+
+    def _finish_prefill(self, slot: int, req: Request, last_logits):
+        """Sample/argmax the prefill-produced token and wire the slot (or
+        retire the request if that token already finishes it)."""
         if req.temperature > 0.0:
             self._step_i += 1
             key = jax.random.fold_in(self._key, self._step_i)
             nxt = int(sample_logits(
-                logits[:1, -1], key,
+                last_logits[None], key,
                 temperature=jnp.asarray([req.temperature], jnp.float32),
                 top_k=jnp.asarray([req.top_k], jnp.int32),
                 top_p=jnp.asarray([req.top_p], jnp.float32),
             )[0])
         else:
-            nxt = int(jnp.argmax(logits[0, -1]))
+            nxt = int(jnp.argmax(last_logits))
         req.output.append(nxt)
         # the prefill-produced token can already finish the request
         if (req.eos_id is not None and nxt == req.eos_id) or (
@@ -206,11 +244,79 @@ class ServingEngine:
                 self._free_slot_pages(slot)
             return
         self.slot_req[slot] = req
-        self.positions[slot] = s
+        self.positions[slot] = len(req.prompt)
         self.next_token[slot, 0] = nxt
         self.temperature[slot] = req.temperature
         self.top_k[slot] = req.top_k
         self.top_p[slot] = req.top_p
+
+    def _prefill_packed(self, pairs):
+        """ONE group-mode forward over every admissible request: prompts
+        pack block-aligned (``ops.attention.pack_varlen``), the model runs
+        ``llama.forward_varlen``, and each slot seeds its cache from its
+        packed row range. Total rows bucket to power-of-two multiples of
+        ``pack_block`` so the packed forward compiles O(log max_T) times
+        rather than once per prompt-length mix."""
+        from composable_kernel_tpu.ops.attention import pack_varlen
+
+        for _, req in pairs:
+            if len(req.prompt) + req.max_new_tokens > self.cfg.max_seq_len:
+                raise ValueError(
+                    f"request {req.uid}: prompt ({len(req.prompt)}) + "
+                    f"max_new_tokens ({req.max_new_tokens}) exceeds "
+                    f"max_seq_len ({self.cfg.max_seq_len})"
+                )
+        blk = self.pack_block
+        prompts = [jnp.asarray(req.prompt, jnp.int32) for _, req in pairs]
+        toks, starts, lens = pack_varlen(prompts, blk)
+        t = toks.shape[0]
+        t_pad = blk * (1 << max(0, (t - 1) // blk).bit_length())
+        toks = jnp.pad(toks, (0, t_pad - t))
+        # pad the sequence tables to batch_slots entries so the jitted
+        # forward re-traces only per t_pad: dummy rows start past the end
+        # with len 0 (searchsorted never selects them)
+        nb = self.b
+        starts_p = np.full(nb, t_pad, np.int32)
+        lens_p = np.zeros(nb, np.int32)
+        starts_p[: len(pairs)] = np.asarray(starts)
+        lens_p[: len(pairs)] = np.asarray(lens)
+
+        if self._packed_fwd_cache is None:
+            cfg, kernels, interpret = self.cfg, self.kernels, self.interpret
+            bq = min(512, blk)
+
+            def _packed(p, tk, st, ln):
+                return llama.forward_varlen(
+                    p, tk, st, ln, cfg, block=blk, block_q=bq, block_k=blk,
+                    kernels=kernels, interpret=interpret, return_cache=True,
+                )
+
+            self._packed_fwd_cache = jax.jit(_packed)
+        logits, seeds = self._packed_fwd_cache(
+            self.params, toks, jnp.asarray(starts_p), jnp.asarray(lens_p)
+        )
+
+        for i, (slot, req) in enumerate(pairs):
+            s0, li = int(starts[i]), len(req.prompt)
+            slot_seeds = [
+                (kp[s0 : s0 + li].transpose(1, 0, 2)[None],
+                 vp[s0 : s0 + li].transpose(1, 0, 2)[None])
+                for kp, vp in seeds
+            ]
+            if self.paged:
+                need = self._pages_needed(req)
+                pages = [self.free_pages.pop() for _ in range(need)]
+                self.slot_pages[slot] = pages
+                self.table[slot, : len(pages)] = pages
+                self.pools = llama.seed_paged_cache(
+                    self.pools, slot_seeds, self.table, self.cfg,
+                    page=self.page, slot_pages=pages, slot=slot,
+                )
+            else:
+                self.cache = llama.seed_kv_cache(
+                    self.cache, slot_seeds, self.cfg, slot=slot
+                )
+            self._finish_prefill(slot, req, logits[i])
 
     def _chunked_prefill(self, slot: int, prompt):
         """Stream the prompt through chunk steps on a temp 1-slot cache,
@@ -347,9 +453,11 @@ class SpeculativeServingEngine(ServingEngine):
                  paged: bool = False, n_pages: int | None = None,
                  page_size: int = 128, seed: int = 0):
         self.k = spec_chunk  # _pages_needed runs during super().__init__-admits
+        # packed prefill stays off: _prefill_into must also seed the DRAFT
+        # cache per slot, which the packed wave does not do
         super().__init__(params, cfg, batch_slots, kernels, interpret,
                          paged=paged, n_pages=n_pages, page_size=page_size,
-                         seed=seed)
+                         seed=seed, packed_prefill=False)
         assert cfg.vocab_size == draft_cfg.vocab_size
         self.dparams = draft_params
         self.dcfg = draft_cfg

@@ -140,7 +140,7 @@ class TestW4A8:
 
 
 class TestPrepareParams:
-    @pytest.mark.parametrize("quant", ["w4a16", "w4a8"])
+    @pytest.mark.parametrize("quant", ["w4a16", "w4a8", "w8a8"])
     def test_decode_matches_unprepared(self, quant):
         # vocab 320 is not lane-aligned at its decode block -> the lm_head
         # becomes a PreparedWeights leaf (the llama-8B N=128256 case)
@@ -393,3 +393,69 @@ class TestSlidingWindow:
     def test_mistral7b_config(self):
         cfg = llama.mistral7b(n_layers=2)
         assert cfg.sliding_window == 4096 and cfg.n_kv_heads == 8
+
+
+class TestForwardVarlen:
+    """Packed group-mode prefill (forward_varlen) vs per-prompt forward."""
+
+    LENS = [37, 200, 130]
+
+    def _packed(self, cfg):
+        from composable_kernel_tpu.ops.attention import pack_varlen
+
+        rng = jax.random.PRNGKey(7)
+        prompts = [
+            jax.random.randint(jax.random.fold_in(rng, i), (L,), 0,
+                               cfg.vocab_size, jnp.int32)
+            for i, L in enumerate(self.LENS)
+        ]
+        toks, starts, lens = pack_varlen(prompts, 128)
+        return prompts, toks, starts, lens
+
+    @pytest.mark.parametrize("quant", ["bf16", "w4a8"])
+    def test_last_logits_match_per_prompt_forward(self, quant):
+        cfg = llama.tiny_config(quant=quant, dtype="float32"
+                                if quant == "bf16" else "bfloat16")
+        params = llama.init_weights(cfg, KEY)
+        if quant != "bf16":
+            params = llama.quantize_weights(params, cfg)
+        prompts, toks, starts, lens = self._packed(cfg)
+        got, seeds = llama.forward_varlen(
+            params, toks, starts, lens, cfg, block=128, block_q=128,
+            block_k=128, return_cache=True,
+        )
+        assert got.shape == (len(self.LENS), cfg.vocab_size)
+        def _agg(a, b):
+            # w4a8's per-token int8 round is a hard threshold: tile-shape
+            # rounding differences between the varlen and dense attention
+            # kernels flip +-1 q-steps, so the contract is aggregate error
+            # (TestW4A8 docstring), pointwise for bf16
+            if quant == "bf16":
+                check_err(a, b, rtol=6e-2, atol=6e-2)
+            else:
+                af = np.asarray(a, np.float32)
+                bf = np.asarray(b, np.float32)
+                rel = np.linalg.norm(af - bf) / max(np.linalg.norm(bf), 1e-9)
+                assert rel < 0.05, rel
+
+        for i, p in enumerate(prompts):
+            want, want_seeds = llama.forward(
+                params, p[None], cfg, return_cache=True
+            )
+            _agg(got[i], want[0, -1])
+            # packed KV seed slices must match the per-prompt prefill KV
+            s0, li = int(starts[i]), int(lens[i])
+            for (kp, vp), (kw, vw) in zip(seeds, want_seeds):
+                _agg(kp[s0 : s0 + li].transpose(1, 0, 2), kw[0])
+                _agg(vp[s0 : s0 + li].transpose(1, 0, 2), vw[0])
+
+    def test_reference_path(self):
+        cfg = llama.tiny_config(quant="bf16", dtype="float32")
+        params = llama.init_weights(cfg, KEY)
+        _, toks, starts, lens = self._packed(cfg)
+        got = llama.forward_varlen(params, toks, starts, lens, cfg,
+                                   block=128, block_q=128, block_k=128)
+        want = llama.forward_varlen(params, toks, starts, lens, cfg,
+                                    block=128, block_q=128, block_k=128,
+                                    kernels=False)
+        check_err(got, want, rtol=6e-2, atol=6e-2)

@@ -17,9 +17,11 @@ from composable_kernel_tpu.indexing import snap_divisor_bn
 from composable_kernel_tpu.ops.quant import (
     dequant_gemm,
     prepare_w4a8,
+    prepare_w8a8,
     prepare_wo_quant,
     quantize_act_token,
     w4a8_gemm,
+    w8a8_gemm,
     wo_quant_gemm,
 )
 from composable_kernel_tpu.reference import quant as rq
@@ -99,6 +101,35 @@ class TestPreparedW4A8:
         want = w4a8_gemm(a_q, a_s, dtypes.pack_int4_w4a8(w_q), w_s,
                          group_size=g)
         np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(want))
+
+
+class TestPreparedW8A8:
+    @pytest.mark.parametrize("m", [1, 8, 384])
+    def test_bit_parity(self, m):
+        n, k = 384, 512
+        a = jax.random.normal(KEYS[0], (m, k), jnp.float32).astype(jnp.bfloat16)
+        w = jax.random.normal(KEYS[1], (k, n), jnp.float32) * 0.1
+        w_q, w_s = rq.ref_quantize_per_channel(w, bits=8)
+        prep = prepare_w8a8(w_q, w_s)
+        a_q, a_s = quantize_act_token(a)
+        want = w8a8_gemm(a_q, a_s, w_q, w_s)
+        got = w8a8_gemm(a_q, a_s, prep)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_odd_n_pads_once(self):
+        """Vocab-like N that no decode block divides: prepared output must
+        slice back to the true N and match the raw path bit-for-bit."""
+        m, n, k = 8, 300, 512
+        a = jax.random.normal(KEYS[2], (m, k), jnp.float32).astype(jnp.bfloat16)
+        w = jax.random.normal(KEYS[3], (k, n), jnp.float32) * 0.1
+        w_q, w_s = rq.ref_quantize_per_channel(w, bits=8)
+        prep = prepare_w8a8(w_q, w_s)
+        assert prep.np_ % prep.bn == 0
+        a_q, a_s = quantize_act_token(a)
+        want = w8a8_gemm(a_q, a_s, w_q, w_s)
+        got = w8a8_gemm(a_q, a_s, prep)
+        assert got.shape == want.shape == (m, n)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 class TestPreparedWoQuant:

@@ -528,3 +528,43 @@ class TestSampling:
         while eng2.pending():
             eng2.step()
         assert req2.output == req.output
+
+
+class TestPackedPrefill:
+    """Packed-varlen (group-mode) prefill: a multi-request admission wave
+    runs ONE forward_varlen; outputs must match the per-request path."""
+
+    def _run(self, packed, paged=False, stagger=False):
+        eng = ServingEngine(PARAMS, CFG, batch_slots=4, kernels=True,
+                            interpret=True, packed_prefill=packed,
+                            pack_block=128, paged=paged)
+        reqs = [
+            Request(0, [5, 9, 2, 14], max_new_tokens=5),
+            Request(1, list(range(1, 40)), max_new_tokens=4),
+            Request(2, [7, 5], max_new_tokens=6),
+        ]
+        if stagger:
+            eng.add(reqs[0])
+            eng.step()
+            for r in reqs[1:]:
+                eng.add(r)  # two admit together -> packed wave mid-flight
+        else:
+            for r in reqs:
+                eng.add(r)
+        steps = 0
+        while eng.pending():
+            eng.step()
+            steps += 1
+            assert steps < 60
+        return [r.output for r in reqs]
+
+    @pytest.mark.parametrize("paged", [False, True])
+    def test_matches_per_request_prefill(self, paged):
+        got = self._run(packed=True, paged=paged)
+        want = self._run(packed=False, paged=paged)
+        assert got == want, (got, want)
+
+    def test_staggered_wave(self):
+        got = self._run(packed=True, stagger=True)
+        want = self._run(packed=False, stagger=True)
+        assert got == want, (got, want)
