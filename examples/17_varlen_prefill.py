@@ -94,3 +94,27 @@ a, _ = llama.decode_step_batched(qparams, cache, toks, pos, cfg)
 b, _ = llama.decode_step_batched(prepared, cache, toks, pos, cfg)
 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 print("prepare_params: lm_head pads once at load; decode bit-identical")
+
+# ---- engine-level packed prefill ----------------------------------------
+# A multi-request admission wave runs ONE forward_varlen over the packed
+# prompts (runtime/serving.py _prefill_packed) instead of one per-length-
+# compiled forward each.
+from composable_kernel_tpu.runtime.serving import Request, ServingEngine
+
+scfg = llama.tiny_config(quant="bf16", dtype="float32")
+sparams = llama.init_weights(scfg, jax.random.PRNGKey(2))
+outs = {}
+for packed in (True, False):
+    eng = ServingEngine(sparams, scfg, batch_slots=4, kernels=True,
+                        packed_prefill=packed, pack_block=128)
+    reqs = [Request(0, [5, 9, 2, 14], max_new_tokens=5),
+            Request(1, list(range(1, 40)), max_new_tokens=4),
+            Request(2, [7, 5], max_new_tokens=6)]
+    for r in reqs:
+        eng.add(r)
+    while eng.pending():
+        eng.step()
+    outs[packed] = [r.output for r in reqs]
+assert outs[True] == outs[False]
+print("engine packed-prefill wave matches per-request prefill:",
+      [len(o) for o in outs[True]], "tokens")

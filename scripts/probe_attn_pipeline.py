@@ -189,13 +189,13 @@ def main():
                                     block_k=bk),
             q, flops=flops,
         )
-        print(f"skewed {blocks}: {r.seconds*1e3:.3f} ms "
+        print(f"skewed {blocks}: {r.avg_ms:.3f} ms "
               f"{r.tflops:.1f} TF-eff  (rel {rel:.2e})")
 
     r = benchmark_chained(
         lambda q_: flash_attention(q_, k, v, causal=True), q, flops=flops
     )
-    print(f"baseline flash_attention: {r.seconds*1e3:.3f} ms {r.tflops:.1f} TF-eff")
+    print(f"baseline flash_attention: {r.avg_ms:.3f} ms {r.tflops:.1f} TF-eff")
 
 
 if __name__ == "__main__":
