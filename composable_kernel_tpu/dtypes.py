@@ -184,6 +184,45 @@ def round_nearest_int(x: jnp.ndarray, dtype=jnp.int8) -> jnp.ndarray:
     return jnp.clip(jnp.round(x), info.min, info.max).astype(dtype)
 
 
+def round_stochastic_int(x: jnp.ndarray, key, dtype=jnp.int8) -> jnp.ndarray:
+    """Stochastic-rounding float→int conversion with saturation.
+
+    ``floor(x + u)`` with u ~ U[0, 1): E[result] == x exactly, so quant
+    noise is unbiased and averages out across accumulation steps — the
+    low-precision-training property CK's SR type_convert variants provide
+    (element_wise_operation.hpp f8 SR converters). RNE instead biases every
+    value toward its nearer neighbor, which compounds in optimizer state.
+    """
+    import jax
+
+    info = jnp.iinfo(dtype)
+    u = jax.random.uniform(key, x.shape, jnp.float32)
+    return jnp.clip(
+        jnp.floor(x.astype(jnp.float32) + u), info.min, info.max
+    ).astype(dtype)
+
+
+def convert_stochastic(x: jnp.ndarray, key, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Stochastic-rounding f32→bf16 conversion (CK SR type_convert analog).
+
+    Adds uniform random bits in the 16 truncated mantissa positions, then
+    truncates: each f32 rounds up with probability equal to its fractional
+    distance between the two neighboring bf16 values — unbiased, unlike
+    RNE. Values already representable in bf16 pass through exactly.
+    """
+    import jax
+
+    assert jnp.dtype(dtype) == jnp.bfloat16, "SR float convert targets bf16"
+    xf = jnp.asarray(x, jnp.float32)
+    bits = jax.lax.bitcast_convert_type(xf, jnp.uint32)
+    noise = jax.random.bits(key, xf.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    # NaN/inf must not round across the exponent boundary
+    finite = jnp.isfinite(xf)
+    bumped = jnp.where(finite, bits + noise, bits)
+    truncated = bumped & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(truncated, jnp.float32).astype(dtype)
+
+
 def min_tile(dtype) -> tuple[int, int]:
     """Minimum TPU (sublane, lane) tile for ``dtype`` (pallas_guide tiling table)."""
     itemsize = jnp.dtype(dtype).itemsize

@@ -33,6 +33,7 @@ import numpy as np
 
 __all__ = [
     "conv_fwd",
+    "conv_fwd_layout",
     "conv_bwd_data",
     "conv_bwd_weight",
     "conv_int8",
@@ -100,6 +101,113 @@ def conv_fwd(
     if out_dtype is None:
         out_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else acc_dtype
     return acc.astype(out_dtype)
+
+
+def _act_to_channels_last(x, layout: str, ndim: int):
+    """Normalize a CK activation layout to [N, *spatial, G*C] channels-last.
+
+    Returns (x_nhwc, groups_in_layout, restore) where ``restore`` maps an
+    [N, *out_spatial, K_total] result back to the input's layout family
+    (CK convention: output layout mirrors the activation layout).
+    Supported families, rank-generic (W/HW/DHW spatial):
+
+      NHWC-family  (N *s C)   — TPU-native, identity
+      NCHW-family  (N C *s)   — torch default / CK NGCHW with G folded
+      NHWGC-family (N *s G C) — CK's grouped channels-last
+      NGCHW-family (N G C *s) — CK's grouped channels-first
+    """
+    sp = "DHW"[3 - ndim:]
+    canon = layout.upper().replace(sp, "S")  # e.g. NSC / NCS / NSGC / NGCS
+    if canon == "NSC":
+        return x, 1, (lambda y: y)
+    if canon == "NCS":
+        perm = (0, *range(2, 2 + ndim), 1)
+        inv = (0, ndim + 1, *range(1, ndim + 1))
+        return x.transpose(perm), 1, (lambda y: y.transpose(inv))
+    if canon == "NSGC":
+        g = x.shape[-2]
+        x2 = x.reshape(*x.shape[:-2], x.shape[-2] * x.shape[-1])
+        return x2, g, (
+            lambda y: y.reshape(*y.shape[:-1], g, y.shape[-1] // g)
+        )
+    if canon == "NGCS":
+        g = x.shape[1]
+        perm = (0, *range(3, 3 + ndim), 1, 2)  # -> N *s G C
+        x2 = x.transpose(perm)
+        x2 = x2.reshape(*x2.shape[:-2], g * x2.shape[-1])
+        inv = (0, ndim + 1, ndim + 2, *range(1, ndim + 1))
+
+        def restore(y):
+            y = y.reshape(*y.shape[:-1], g, y.shape[-1] // g)
+            return y.transpose(inv)
+
+        return x2, g, restore
+    raise ValueError(f"unsupported activation layout {layout!r}")
+
+
+def _filt_to_hwio(w, layout: str, ndim: int):
+    """Normalize a CK filter layout to [*filter, C/groups, K_total] HWIO.
+
+    Supported (rank-generic): KYXC (K *s C — CK's fwd default), KCYX
+    (K C *s — torch OIHW), GKYXC / GKCYX (explicit group dim; K_total is
+    group-major G*K, matching feature_group_count's output order).
+    """
+    # rank-generic spatial token: CK uses X / YX / ZYX for 1/2/3d
+    sp = "DHW"[3 - ndim:]
+    sp_tok = {1: "X", 2: "YX", 3: "ZYX"}[ndim]
+    canon = layout.upper().replace(sp_tok, "S").replace(sp, "S")
+    if canon == "KSC":
+        perm = (*range(1, 1 + ndim), ndim + 1, 0)
+        return w.transpose(perm)
+    if canon == "KCS":
+        perm = (*range(2, 2 + ndim), 1, 0)
+        return w.transpose(perm)
+    if canon == "GKSC":
+        g, k = w.shape[0], w.shape[1]
+        perm = (*range(2, 2 + ndim), ndim + 2, 0, 1)  # -> *s C G K
+        w2 = w.transpose(perm)
+        return w2.reshape(*w2.shape[:-2], g * k)
+    if canon == "GKCS":
+        g, k = w.shape[0], w.shape[1]
+        perm = (*range(3, 3 + ndim), 2, 0, 1)  # -> *s C G K
+        w2 = w.transpose(perm)
+        return w2.reshape(*w2.shape[:-2], g * k)
+    if canon == "SIO" or canon == "HWIO":
+        return w
+    raise ValueError(f"unsupported filter layout {layout!r}")
+
+
+def conv_fwd_layout(
+    x,
+    w,
+    *,
+    layout: str = "NHWC",
+    filter_layout: str = "KYXC",
+    groups: int = 1,
+    **kw,
+):
+    """Layout-dispatching grouped conv fwd: CK's layout zoo on the NHWC path.
+
+    CK enumerates G-interleaved activation/filter layouts as distinct
+    template instantiations (device_operation_instance_factory.hpp:52-96 —
+    NHWGC/NGCHW/GKYXC/GKCYX and rank variants); here they are coordinate
+    adapters in front of ``conv_fwd`` — XLA folds the transposes into the
+    conv's dimension numbers, so non-NHWC layouts cost a relayout only when
+    the hardware-preferred tiling actually requires one.
+
+    Explicit-G layouts (NHWGC/NGCHW/GK...) carry their group count in the
+    shape; ``groups`` is for folded layouts (NHWC/NCHW with C = G*C_g).
+    Output is returned in the activation layout's family ([N, *s, G, K/G]
+    for NHWGC, [N, G, K/G, *s] for NGCHW, channels-first for NCHW).
+    """
+    ndim = x.ndim - 2 - (1 if layout.upper().find("G") >= 0 else 0)
+    x2, g_layout, restore = _act_to_channels_last(x, layout, ndim)
+    w2 = _filt_to_hwio(w, filter_layout, ndim)
+    if g_layout > 1:
+        assert groups in (1, g_layout), (groups, g_layout)
+        groups = g_layout
+    y = conv_fwd(x2, w2, groups=groups, **kw)
+    return restore(y)
 
 
 def conv_bwd_data(

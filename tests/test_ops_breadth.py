@@ -442,3 +442,77 @@ def test_conv_w4a8_gemm():
     # identical W4 error cancels; the per-patch int8 activation quant and
     # the bf16 activations of the reference both contribute ~1e-2
     assert rel < 0.03, rel
+
+
+class TestConvLayouts:
+    """CK layout-zoo parity (device_operation_instance_factory.hpp:52-96):
+    every supported activation/filter layout must reproduce the NHWC path
+    bit-for-bit after coordinate restoration."""
+
+    def _base(self):
+        x = _rand(0, (2, 8, 8, 16))          # N H W (G*C), G=4, Cg=4
+        w = _rand(1, (3, 3, 4, 32))          # HWIO, groups=4, K_total=32
+        from composable_kernel_tpu.ops.conv import conv_fwd
+
+        return x, w, conv_fwd(x, w, groups=4)
+
+    def test_nchw_kcyx(self):
+        from composable_kernel_tpu.ops.conv import conv_fwd_layout
+
+        x, w, want = self._base()
+        x_nchw = x.transpose(0, 3, 1, 2)
+        w_kcyx = w.transpose(3, 2, 0, 1)     # HWIO -> KCYX
+        got = conv_fwd_layout(x_nchw, w_kcyx, layout="NCHW",
+                              filter_layout="KCYX", groups=4)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want.transpose(0, 3, 1, 2))
+        )
+
+    def test_kyxc_default(self):
+        from composable_kernel_tpu.ops.conv import conv_fwd_layout
+
+        x, w, want = self._base()
+        w_kyxc = w.transpose(3, 0, 1, 2)     # HWIO -> KYXC
+        got = conv_fwd_layout(x, w_kyxc, layout="NHWC",
+                              filter_layout="KYXC", groups=4)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_nhwgc_gkyxc(self):
+        from composable_kernel_tpu.ops.conv import conv_fwd_layout
+
+        x, w, want = self._base()
+        g, cg, k = 4, 4, 32
+        x_g = x.reshape(2, 8, 8, g, cg)
+        # HWIO [3,3,4,32] -> GKYXC [4,8,3,3,4] (K_total is group-major)
+        w_g = w.reshape(3, 3, cg, g, k // g).transpose(3, 4, 0, 1, 2)
+        got = conv_fwd_layout(x_g, w_g, layout="NHWGC",
+                              filter_layout="GKYXC")
+        assert got.shape == (2, 6, 6, g, k // g)
+        np.testing.assert_array_equal(
+            np.asarray(got.reshape(2, 6, 6, k)), np.asarray(want)
+        )
+
+    def test_ngchw_gkcyx(self):
+        from composable_kernel_tpu.ops.conv import conv_fwd_layout
+
+        x, w, want = self._base()
+        g, cg, k = 4, 4, 32
+        x_g = x.reshape(2, 8, 8, g, cg).transpose(0, 3, 4, 1, 2)  # NGCHW
+        w_g = w.reshape(3, 3, cg, g, k // g).transpose(3, 4, 2, 0, 1)  # GKCYX
+        got = conv_fwd_layout(x_g, w_g, layout="NGCHW",
+                              filter_layout="GKCYX")
+        assert got.shape == (2, g, k // g, 6, 6)
+        back = got.transpose(0, 3, 4, 1, 2).reshape(2, 6, 6, k)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(want))
+
+    def test_ncw_1d(self):
+        from composable_kernel_tpu.ops.conv import conv_fwd, conv_fwd_layout
+
+        x = _rand(0, (2, 16, 8))             # N W C
+        w = _rand(1, (3, 8, 8))              # WIO
+        want = conv_fwd(x, w)
+        got = conv_fwd_layout(x.transpose(0, 2, 1), w.transpose(2, 1, 0),
+                              layout="NCW", filter_layout="KCX")
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want.transpose(0, 2, 1))
+        )

@@ -186,3 +186,81 @@ def test_ref_reduce_ops():
     np.testing.assert_allclose(
         np.asarray(ref_reduce(x, 0, "amax")), np.abs(np.asarray(x)).max(0), rtol=1e-6
     )
+
+
+class TestStochasticRounding:
+    """CK type_convert SR parity (element_wise_operation.hpp SR variants):
+    unbiasedness, exact pass-through, determinism, saturation."""
+
+    def test_int_unbiased_and_bounded(self):
+        import jax
+
+        x = jnp.asarray([0.25, -1.75, 3.5, 100.2], jnp.float32)
+        keys = jax.random.split(jax.random.PRNGKey(0), 2000)
+        from composable_kernel_tpu.dtypes import round_stochastic_int
+
+        samples = jnp.stack([
+            round_stochastic_int(x, k).astype(jnp.float32) for k in keys[:400]
+        ])
+        mean = np.asarray(samples.mean(axis=0))
+        np.testing.assert_allclose(mean, np.asarray(x), atol=0.08)
+        # every draw lands on one of the two neighbors
+        lo = np.floor(np.asarray(x)); hi = lo + 1
+        s = np.asarray(samples)
+        assert ((s == lo) | (s == hi)).all()
+
+    def test_int_saturates(self):
+        import jax
+
+        from composable_kernel_tpu.dtypes import round_stochastic_int
+
+        x = jnp.asarray([300.0, -300.0], jnp.float32)
+        out = round_stochastic_int(x, jax.random.PRNGKey(1))
+        assert list(np.asarray(out)) == [127, -128]
+
+    def test_bf16_unbiased(self):
+        import jax
+
+        from composable_kernel_tpu.dtypes import convert_stochastic
+
+        # x exactly between two bf16 neighbors: RNE always picks the even
+        # one; SR must average to x
+        lo = jnp.asarray(1.0, jnp.bfloat16)
+        hi = jnp.nextafter(jnp.asarray(1.0, jnp.bfloat16),
+                           jnp.asarray(2.0, jnp.bfloat16))
+        x = (lo.astype(jnp.float32) + hi.astype(jnp.float32)) / 2.0
+        keys = jax.random.split(jax.random.PRNGKey(2), 800)
+        xs = jnp.broadcast_to(x, (800,))
+        out = jnp.stack([
+            convert_stochastic(xs[i : i + 1], keys[i])[0] for i in range(0, 800, 50)
+        ])
+        # both neighbors appear across keys
+        vals = set(np.asarray(out.astype(jnp.float32)).tolist())
+        assert len(vals) == 2, vals
+        big = jnp.broadcast_to(x, (4096,))
+        draw = convert_stochastic(big, jax.random.PRNGKey(3)).astype(jnp.float32)
+        np.testing.assert_allclose(
+            float(draw.mean()), float(x), rtol=5e-4
+        )
+
+    def test_bf16_exact_passthrough_and_nonfinite(self):
+        import jax
+
+        from composable_kernel_tpu.dtypes import convert_stochastic
+
+        x = jnp.asarray([0.5, -2.0, 1024.0, np.inf, -np.inf, np.nan],
+                        jnp.float32)
+        out = convert_stochastic(x, jax.random.PRNGKey(4))
+        f = np.asarray(out.astype(jnp.float32))
+        assert f[0] == 0.5 and f[1] == -2.0 and f[2] == 1024.0
+        assert np.isposinf(f[3]) and np.isneginf(f[4]) and np.isnan(f[5])
+
+    def test_deterministic_per_key(self):
+        import jax
+
+        from composable_kernel_tpu.dtypes import round_stochastic_int
+
+        x = jax.random.normal(jax.random.PRNGKey(5), (64,), jnp.float32) * 10
+        a = round_stochastic_int(x, jax.random.PRNGKey(6))
+        b = round_stochastic_int(x, jax.random.PRNGKey(6))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
