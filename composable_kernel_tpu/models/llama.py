@@ -1508,19 +1508,33 @@ def paged_prefill_chunk_step(
         is_i8 = "ks" in pool
         k_in = _quantize_kv(k, pool["ks"]) if is_i8 else k
         v_in = _quantize_kv(v, pool["vs"]) if is_i8 else v
-        # scatter the C chunk rows into their pages; C is small and static,
-        # so one vectorized [B]-row scatter per chunk offset (a row may
-        # land on a different page than its neighbor — each gets its own
-        # table lookup). Inactive slots point at page 0, the null target.
-        for i in range(c):
-            pg = table[batch_ix, (pos_v + i) // page]
-            off = (pos_v + i) % page
-            pool["k"] = pool["k"].at[pg, :, off].set(
-                k_in[:, :, i, :].astype(pool["k"].dtype)
+        if kernels and page % 32 == 0:
+            # slab-rewrite chunk append (ops/kv_update.py): the jnp version
+            # below is one full-pool scatter PER CHUNK OFFSET
+            from composable_kernel_tpu.ops.kv_update import (
+                kv_cache_update_paged_chunk,
             )
-            pool["v"] = pool["v"].at[pg, :, off].set(
-                v_in[:, :, i, :].astype(pool["v"].dtype)
+
+            pool["k"], pool["v"] = kv_cache_update_paged_chunk(
+                pool["k"], pool["v"], k_in.astype(pool["k"].dtype),
+                v_in.astype(pool["v"].dtype), table, pos_v, page=page,
+                interpret=interpret,
             )
+        else:
+            # scatter the C chunk rows into their pages; C is small and
+            # static, so one vectorized [B]-row scatter per chunk offset (a
+            # row may land on a different page than its neighbor — each
+            # gets its own table lookup). Inactive slots point at page 0,
+            # the null target.
+            for i in range(c):
+                pg = table[batch_ix, (pos_v + i) // page]
+                off = (pos_v + i) % page
+                pool["k"] = pool["k"].at[pg, :, off].set(
+                    k_in[:, :, i, :].astype(pool["k"].dtype)
+                )
+                pool["v"] = pool["v"].at[pg, :, off].set(
+                    v_in[:, :, i, :].astype(pool["v"].dtype)
+                )
         scales = (
             {"k_scale": pool["ks"], "v_scale": pool["vs"]} if is_i8 else {}
         )

@@ -28,7 +28,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from composable_kernel_tpu.ops.gemm.kernel import _interpret_default
 
-__all__ = ["kv_cache_update", "kv_cache_update_paged"]
+__all__ = [
+    "kv_cache_update",
+    "kv_cache_update_paged",
+    "kv_cache_update_paged_chunk",
+]
 
 _SLAB = 32  # int8 sublane tile; covers bf16 (16) and f32 (8) too
 
@@ -153,3 +157,99 @@ def kv_cache_update_paged(k_pool, v_pool, k_new, v_new, pages, offsets, *,
         ),
         interpret=interpret,
     )(pages, offsets, k_pool, v_pool, k_new, v_new)
+
+
+def _paged_chunk_kernel(offmod_ref, pg_ref, sl_ref, kc_ref, vc_ref,
+                        kn_ref, vn_ref, ko_ref, vo_ref, *, c: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    off0 = offmod_ref[b]
+    j = t * _SLAB + jax.lax.broadcasted_iota(jnp.int32, (1, _SLAB, 1), 1)
+    use_new = (j >= off0) & (j < off0 + c)
+    ko_ref[0] = jnp.where(use_new, kn_ref[0], kc_ref[0])
+    vo_ref[0] = jnp.where(use_new, vn_ref[0], vc_ref[0])
+
+
+def kv_cache_update_paged_chunk(k_pool, v_pool, k_new, v_new, table, pos, *,
+                                page: int, interpret: bool | None = None):
+    """Append a C-row chunk per slot into the page pools in place.
+
+    k_new/v_new: [B, H, C, D] rows for positions ``pos[b] .. pos[b]+C-1``
+    (the paged chunked-prefill / speculative-verify append —
+    ``paged_prefill_chunk_step``'s jnp version is one full-pool scatter
+    PER CHUNK OFFSET). table: [B, max_pages] page ids; pages covering the
+    span must be allocated (inactive slots point at null page 0).
+
+    Grid is (B, slabs-touched): each step rewrites one 32-row slab. The
+    chunk rows are pre-shifted host-side into slab-aligned buffers
+    ([B, H, T*32, D], chunk at offset pos%32) so a slab never needs rows
+    from a neighbour's buffer — and, critically, no two grid steps touch
+    the same live slab: Pallas double-buffers aliased inputs, so a
+    consecutive-step read of a just-written slab would see stale data
+    (the hazard that rules out a naive per-row grid).
+
+    Returns the updated (k_pool, v_pool). page must be a multiple of 32.
+    """
+    p, h, page_rows, d = k_pool.shape
+    assert page_rows == page and page % _SLAB == 0
+    b, _, c, _ = k_new.shape
+    assert k_new.shape == (b, h, c, d) and v_new.shape == (b, h, c, d)
+    if interpret is None:
+        interpret = _interpret_default()
+    pos = jnp.asarray(pos, jnp.int32)
+    n_slabs = (c + _SLAB - 1) // _SLAB + 1  # worst-case straddle
+
+    off_mod = pos % _SLAB  # [B] chunk offset inside its first slab
+    # slab-aligned pre-shift: rows [off_mod, off_mod + C) of a T*32 buffer
+    buf_shape = (h, n_slabs * _SLAB, d)
+
+    def shift(new, o):
+        return jax.lax.dynamic_update_slice(
+            jnp.zeros(buf_shape, new.dtype), new, (0, o, 0)
+        )
+
+    k_shift = jax.vmap(shift)(k_new.astype(k_pool.dtype), off_mod)
+    v_shift = jax.vmap(shift)(v_new.astype(v_pool.dtype), off_mod)
+
+    # per-(slot, slab) geometry: global row g0 -> (page id, slab-in-page)
+    g0 = (pos - off_mod)[:, None] + jnp.arange(n_slabs, dtype=jnp.int32)[None] * _SLAB
+    p_idx = jnp.clip(g0 // page, 0, table.shape[1] - 1)
+    pg = jnp.take_along_axis(jnp.asarray(table, jnp.int32), p_idx, axis=1)
+    sl = (g0 % page) // _SLAB
+    # untouched trailing slabs (g0 >= pos + C) write keep-all into their
+    # mapped slab; redirect them at the never-read null page 0
+    dead = g0 >= pos[:, None] + c
+    pg = jnp.where(dead, 0, pg)
+    sl = jnp.where(dead, 0, sl)
+
+    def slab_idx(bb, tt, offmod_ref, pg_ref, sl_ref):
+        return (pg_ref[bb, tt], 0, sl_ref[bb, tt], 0)
+
+    def new_idx(bb, tt, *_):
+        return (bb, 0, tt, 0)
+
+    pool_spec = pl.BlockSpec((1, h, _SLAB, d), slab_idx,
+                             memory_space=pltpu.VMEM)
+    new_spec = pl.BlockSpec((1, h, _SLAB, d), new_idx,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_paged_chunk_kernel, c=c),
+        out_shape=(
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, n_slabs),
+            in_specs=[pool_spec, pool_spec, new_spec, new_spec],
+            out_specs=(pool_spec, pool_spec),
+        ),
+        # operands incl. scalar-prefetch: off_mod=0, pg=1, sl=2, k_pool=3,
+        # v_pool=4 alias outputs 0/1
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(off_mod, pg, sl, k_pool, v_pool, k_shift, v_shift)

@@ -184,12 +184,7 @@ class ServingEngine:
             # admit into them (mirrors the old per-slot retry)
 
     def _prefill_into(self, slot: int, req: Request):
-        if len(req.prompt) + req.max_new_tokens > self.cfg.max_seq_len:
-            raise ValueError(
-                f"request {req.uid}: prompt ({len(req.prompt)}) + "
-                f"max_new_tokens ({req.max_new_tokens}) exceeds "
-                f"max_seq_len ({self.cfg.max_seq_len})"
-            )
+        self._validate_prefill(req)
         prompt = jnp.asarray([req.prompt], jnp.int32)
         s = prompt.shape[1]
         if self.paged:
@@ -250,31 +245,30 @@ class ServingEngine:
         self.top_k[slot] = req.top_k
         self.top_p[slot] = req.top_p
 
-    def _prefill_packed(self, pairs):
-        """ONE group-mode forward over every admissible request: prompts
-        pack block-aligned (``ops.attention.pack_varlen``), the model runs
-        ``llama.forward_varlen``, and each slot seeds its cache from its
-        packed row range. Total rows bucket to power-of-two multiples of
-        ``pack_block`` so the packed forward compiles O(log max_T) times
-        rather than once per prompt-length mix."""
+    def _validate_prefill(self, req: Request):
+        if len(req.prompt) + req.max_new_tokens > self.cfg.max_seq_len:
+            raise ValueError(
+                f"request {req.uid}: prompt ({len(req.prompt)}) + "
+                f"max_new_tokens ({req.max_new_tokens}) exceeds "
+                f"max_seq_len ({self.cfg.max_seq_len})"
+            )
+
+    def _packed_forward(self, pairs, params, cfg, tag: str):
+        """One jitted ``forward_varlen`` over the packed prompts of a wave.
+
+        Total rows bucket to power-of-two multiples of ``pack_block`` and
+        the sequence tables pad to batch_slots entries (dummy rows start
+        past the end with len 0), so each (tag, t_pad) compiles once.
+        Returns (logits [B, V], packed per-layer seeds, starts).
+        """
         from composable_kernel_tpu.ops.attention import pack_varlen
 
-        for _, req in pairs:
-            if len(req.prompt) + req.max_new_tokens > self.cfg.max_seq_len:
-                raise ValueError(
-                    f"request {req.uid}: prompt ({len(req.prompt)}) + "
-                    f"max_new_tokens ({req.max_new_tokens}) exceeds "
-                    f"max_seq_len ({self.cfg.max_seq_len})"
-                )
         blk = self.pack_block
         prompts = [jnp.asarray(req.prompt, jnp.int32) for _, req in pairs]
         toks, starts, lens = pack_varlen(prompts, blk)
         t = toks.shape[0]
         t_pad = blk * (1 << max(0, (t - 1) // blk).bit_length())
         toks = jnp.pad(toks, (0, t_pad - t))
-        # pad the sequence tables to batch_slots entries so the jitted
-        # forward re-traces only per t_pad: dummy rows start past the end
-        # with len 0 (searchsorted never selects them)
         nb = self.b
         starts_p = np.full(nb, t_pad, np.int32)
         lens_p = np.zeros(nb, np.int32)
@@ -282,7 +276,9 @@ class ServingEngine:
         lens_p[: len(pairs)] = np.asarray(lens)
 
         if self._packed_fwd_cache is None:
-            cfg, kernels, interpret = self.cfg, self.kernels, self.interpret
+            self._packed_fwd_cache = {}
+        if tag not in self._packed_fwd_cache:
+            kernels, interpret = self.kernels, self.interpret
             bq = min(512, blk)
 
             def _packed(p, tk, st, ln):
@@ -291,18 +287,36 @@ class ServingEngine:
                     kernels=kernels, interpret=interpret, return_cache=True,
                 )
 
-            self._packed_fwd_cache = jax.jit(_packed)
-        logits, seeds = self._packed_fwd_cache(
-            self.params, toks, jnp.asarray(starts_p), jnp.asarray(lens_p)
+            self._packed_fwd_cache[tag] = jax.jit(_packed)
+        logits, seeds = self._packed_fwd_cache[tag](
+            params, toks, jnp.asarray(starts_p), jnp.asarray(lens_p)
+        )
+        return logits, seeds, starts
+
+    @staticmethod
+    def _slot_seeds(seeds, s0: int, li: int):
+        """Slice one sequence's packed [T, Hkv, hd] seeds to the
+        [1, Hkv, S, hd] layout seed_kv_cache/seed_paged_cache take."""
+        return [
+            (kp[s0 : s0 + li].transpose(1, 0, 2)[None],
+             vp[s0 : s0 + li].transpose(1, 0, 2)[None])
+            for kp, vp in seeds
+        ]
+
+    def _prefill_packed(self, pairs):
+        """ONE group-mode forward over every admissible request: prompts
+        pack block-aligned (``ops.attention.pack_varlen``), the model runs
+        ``llama.forward_varlen``, and each slot seeds its cache from its
+        packed row range."""
+        for _, req in pairs:
+            self._validate_prefill(req)
+        logits, seeds, starts = self._packed_forward(
+            pairs, self.params, self.cfg, "target"
         )
 
         for i, (slot, req) in enumerate(pairs):
-            s0, li = int(starts[i]), len(req.prompt)
-            slot_seeds = [
-                (kp[s0 : s0 + li].transpose(1, 0, 2)[None],
-                 vp[s0 : s0 + li].transpose(1, 0, 2)[None])
-                for kp, vp in seeds
-            ]
+            slot_seeds = self._slot_seeds(seeds, int(starts[i]),
+                                          len(req.prompt))
             if self.paged:
                 need = self._pages_needed(req)
                 pages = [self.free_pages.pop() for _ in range(need)]
@@ -451,13 +465,13 @@ class SpeculativeServingEngine(ServingEngine):
                  draft_cfg: llama.LlamaConfig, *, spec_chunk: int = 4,
                  batch_slots: int = 8, kernels: bool = True, interpret=None,
                  paged: bool = False, n_pages: int | None = None,
-                 page_size: int = 128, seed: int = 0):
+                 page_size: int = 128, seed: int = 0,
+                 packed_prefill: bool | None = None, pack_block: int = 512):
         self.k = spec_chunk  # _pages_needed runs during super().__init__-admits
-        # packed prefill stays off: _prefill_into must also seed the DRAFT
-        # cache per slot, which the packed wave does not do
         super().__init__(params, cfg, batch_slots, kernels, interpret,
                          paged=paged, n_pages=n_pages, page_size=page_size,
-                         seed=seed, packed_prefill=False)
+                         seed=seed, packed_prefill=packed_prefill,
+                         pack_block=pack_block)
         assert cfg.vocab_size == draft_cfg.vocab_size
         self.dparams = draft_params
         self.dcfg = draft_cfg
@@ -492,13 +506,15 @@ class SpeculativeServingEngine(ServingEngine):
         # committed position, so the page span must cover them
         return -(-(len(req.prompt) + req.max_new_tokens + self.k) // self.page)
 
-    def _prefill_into(self, slot: int, req: Request):
+    def _validate_prefill(self, req: Request):
         if len(req.prompt) + req.max_new_tokens + self.k > self.cfg.max_seq_len:
             raise ValueError(
                 f"request {req.uid}: prompt + max_new_tokens + spec_chunk "
                 f"({len(req.prompt)} + {req.max_new_tokens} + {self.k}) "
                 f"exceeds max_seq_len ({self.cfg.max_seq_len})"
             )
+
+    def _prefill_into(self, slot: int, req: Request):
         super()._prefill_into(slot, req)
         if self.slot_req[slot] is not req:
             return  # finished at prefill: no draft state needed
@@ -511,6 +527,26 @@ class SpeculativeServingEngine(ServingEngine):
         self.dcache = llama.seed_kv_cache(
             self.dcache, seeds, self.dcfg, slot=slot
         )
+
+    def _prefill_packed(self, pairs):
+        """Packed wave for the speculative engine: the target side rides
+        the base implementation, then ONE more packed forward with the
+        DRAFT model seeds the draft caches (slots whose request finished
+        at prefill need no draft state)."""
+        super()._prefill_packed(pairs)
+        live = [(i, slot, req) for i, (slot, req) in enumerate(pairs)
+                if self.slot_req[slot] is req]
+        if not live:
+            return
+        _, dseeds, starts = self._packed_forward(
+            pairs, self.dparams, self.dcfg, "draft"
+        )
+        for i, slot, req in live:
+            slot_seeds = self._slot_seeds(dseeds, int(starts[i]),
+                                          len(req.prompt))
+            self.dcache = llama.seed_kv_cache(
+                self.dcache, slot_seeds, self.dcfg, slot=slot
+            )
 
     def step(self):
         """One speculative round: up to ``spec_chunk`` tokens per slot."""

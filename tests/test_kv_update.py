@@ -14,6 +14,7 @@ import pytest
 from composable_kernel_tpu.ops.kv_update import (
     kv_cache_update,
     kv_cache_update_paged,
+    kv_cache_update_paged_chunk,
 )
 
 KEY = jax.random.PRNGKey(0)
@@ -100,3 +101,57 @@ class TestPaged:
             np.testing.assert_array_equal(
                 np.asarray(got_k[pg]), np.asarray(kp[pg])
             )
+
+
+class TestPagedChunk:
+    @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.int8])
+    @pytest.mark.parametrize("c", [1, 4, 7, 33])
+    def test_matches_per_offset_scatter(self, dtype, c):
+        n_pages, h, page, d = 9, 2, 128, 128
+        b = 3
+        ks = jax.random.split(KEY, 4)
+        kp = _rand(ks[0], (n_pages, h, page, d), dtype)
+        vp = _rand(ks[1], (n_pages, h, page, d), dtype)
+        kn = _rand(ks[2], (b, h, c, d), dtype)
+        vn = _rand(ks[3], (b, h, c, d), dtype)
+        # disjoint per-slot page spans (engine invariant); positions chosen
+        # to exercise: slab straddle, page straddle, slab-aligned start
+        table = jnp.asarray([[1, 2, 0], [3, 4, 0], [5, 6, 7]], jnp.int32)
+        pos = jnp.asarray([30, 127, 64], jnp.int32)
+
+        def ref(pool, new):
+            out = pool
+            for i in range(c):
+                pg = table[jnp.arange(b), (pos + i) // page]
+                off = (pos + i) % page
+                out = out.at[pg, :, off].set(new[:, :, i, :])
+            return out
+
+        want_k, want_v = ref(kp, kn), ref(vp, vn)
+        got_k, got_v = kv_cache_update_paged_chunk(
+            kp, vp, kn, vn, table, pos, page=page
+        )
+        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+    def test_inactive_slots_null_page(self):
+        n_pages, h, page, d = 5, 2, 128, 128
+        b, c = 2, 4
+        ks = jax.random.split(KEY, 4)
+        kp = _rand(ks[0], (n_pages, h, page, d), jnp.bfloat16)
+        vp = _rand(ks[1], (n_pages, h, page, d), jnp.bfloat16)
+        kn = _rand(ks[2], (b, h, c, d), jnp.bfloat16)
+        vn = _rand(ks[3], (b, h, c, d), jnp.bfloat16)
+        table = jnp.asarray([[2, 3], [0, 0]], jnp.int32)  # slot 1 inactive
+        pos = jnp.asarray([126, 0], jnp.int32)  # slot 0 straddles pages
+        got_k, _ = kv_cache_update_paged_chunk(
+            kp, vp, kn, vn, table, pos, page=page
+        )
+        # live pages exact
+        want2 = kp[2].at[:, 126:128].set(kn[0, :, :2])
+        want3 = kp[3].at[:, 0:2].set(kn[0, :, 2:])
+        np.testing.assert_array_equal(np.asarray(got_k[2]), np.asarray(want2))
+        np.testing.assert_array_equal(np.asarray(got_k[3]), np.asarray(want3))
+        # untouched live pages bit-identical
+        np.testing.assert_array_equal(np.asarray(got_k[1]), np.asarray(kp[1]))
+        np.testing.assert_array_equal(np.asarray(got_k[4]), np.asarray(kp[4]))

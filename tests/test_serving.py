@@ -568,3 +568,40 @@ class TestPackedPrefill:
         got = self._run(packed=True, stagger=True)
         want = self._run(packed=False, stagger=True)
         assert got == want, (got, want)
+
+
+class TestSpeculativePackedPrefill:
+    """Spec engine admission wave: packed target AND draft prefills must
+    reproduce the per-request path exactly (greedy outputs + stats)."""
+
+    def _run(self, packed, paged=False):
+        from composable_kernel_tpu.runtime.serving import (
+            SpeculativeServingEngine,
+        )
+
+        draft = llama.init_weights(CFG, jax.random.PRNGKey(99))
+        eng = SpeculativeServingEngine(
+            PARAMS, CFG, draft, CFG, kernels=True, interpret=True,
+            batch_slots=3, spec_chunk=3, paged=paged,
+            packed_prefill=packed, pack_block=128,
+        )
+        reqs = [
+            Request(0, [5, 9, 2, 14], max_new_tokens=5),
+            Request(1, list(range(1, 40)), max_new_tokens=4),
+            Request(2, [7, 5], max_new_tokens=5),
+        ]
+        for r in reqs:
+            eng.add(r)
+        steps = 0
+        while eng.pending():
+            eng.step()
+            steps += 1
+            assert steps < 60
+        return [r.output for r in reqs], dict(eng.stats)
+
+    @pytest.mark.parametrize("paged", [False, True])
+    def test_matches_per_request(self, paged):
+        got, gstats = self._run(packed=True, paged=paged)
+        want, wstats = self._run(packed=False, paged=paged)
+        assert got == want, (got, want)
+        assert gstats == wstats, (gstats, wstats)
