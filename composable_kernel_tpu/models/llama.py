@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -389,6 +390,11 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
         if cfg.quant == "w4a8":
             from composable_kernel_tpu.ops.quant import w4a8_gemm
 
+            if isinstance(x, _FusedNorm):
+                # megakernel: rmsnorm + act-quant + GEMM, one launch
+                return w4a8_gemm(x.x2, None, w, gamma=x.gamma,
+                                 norm_eps=cfg.norm_eps, out_dtype=cfg.jdtype,
+                                 interpret=interpret)
             if isinstance(x, tuple):
                 x_q, x_s = x  # pre-quantized by the fused rmsnorm_quant
                 return w4a8_gemm(x_q, x_s, w, out_dtype=cfg.jdtype,
@@ -450,6 +456,14 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
                 w4a8_gemm,
             )
 
+            if isinstance(x, _FusedNorm):
+                assert kernels
+                return w4a8_gemm(
+                    x.x2, None, w["q"], w["s"], group_size=cfg.group_size,
+                    pack_blocks=pack_blocks, gamma=x.gamma,
+                    norm_eps=cfg.norm_eps, out_dtype=cfg.jdtype,
+                    interpret=interpret,
+                )
             if not kernels:
                 assert not isinstance(x, tuple)
                 from composable_kernel_tpu.reference.quant import (
@@ -495,20 +509,35 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
     return pallas_gemm_api(x, w, interpret=interpret)
 
 
-def _norm_quant_2d(x, gamma, cfg: LlamaConfig, interpret=None):
-    """Fused rmsnorm + per-token int8 quant for the W4A8 kernel path.
+class _FusedNorm(NamedTuple):
+    """Raw activations + rmsnorm gamma: the norm+act-quant fuse INTO the
+    W4A8 GEMM (``w4a8_gemm(x, None, w, gamma=...)`` — the decode
+    megakernel front, one pallas launch per projection group instead of
+    rmsnorm_quant + GEMM). ``_linear`` unwraps it on the w4a8 kernel path;
+    other quant modes must not receive one."""
 
-    x [B, S, D] -> ((x_q [B*S, D] int8, scales [B*S, 1] f32)) — the tuple
-    feeds ``_linear`` directly, skipping the separate absmax/round XLA
-    passes whose launch glue outweighed the W4A8 GEMM win at B=1
-    (docs/performance.md).
+    x2: Any       # [T, D] raw bf16/f32
+    gamma: Any    # [D]
+
+
+def _norm_quant_2d(x, gamma, cfg: LlamaConfig, interpret=None):
+    """Norm front for the quantized decode GEMMs.
+
+    w4a8: returns a :class:`_FusedNorm` — the rmsnorm + per-token int8
+    quant run INSIDE the GEMM kernel (zero extra launches). w8a8: runs the
+    fused ``rmsnorm_quant`` kernel and returns the (x_q, scales) tuple
+    (its GEMM has no fused-norm front yet). Both skip the separate
+    absmax/round XLA passes whose launch glue outweighed the GEMM win at
+    B=1 (docs/performance.md).
     """
+    d = x.shape[-1]
+    if cfg.quant == "w4a8":
+        return _FusedNorm(x.reshape(-1, d), gamma)
     from composable_kernel_tpu.ops import normalization as norm_ops
 
     q, s = norm_ops.rmsnorm_quant(
         x, gamma, eps=cfg.norm_eps, interpret=interpret
     )
-    d = x.shape[-1]
     return q.reshape(-1, d), s.reshape(-1, 1)
 
 

@@ -119,6 +119,7 @@ def _kernel_w4a8(
     a_lo_ref, a_hi_ref, b_ref, s_lo_ref, s_hi_ref, as_ref, *rest,
     n_ds, c_op, n_k_steps, s_rows, gsz, external_corr,
     fused_quant=False, bpk=0, half_seg=0,
+    fused_norm=False, true_k=0, eps=1e-6,
 ):
     """Grid = (m, n, k) over packed K-steps.
 
@@ -161,6 +162,16 @@ def _kernel_w4a8(
             # bit-identical to quantize_act_token: f32 absmax over the full
             # row, s = max(absmax/127, 1e-8), round-half-even, clip.
             x = a_lo_ref[...].astype(jnp.float32)
+            if fused_norm:
+                # the decode megakernel front: rmsnorm folded ahead of the
+                # act-quant on the resident A block (same f32 chain as
+                # normalization._rmsnorm_quant_kernel; as_ref carries gamma
+                # [1, K] on this path). Kills one pallas launch + one int8
+                # HBM round-trip per fusion site per layer.
+                ms = jnp.sum(x * x, axis=1, keepdims=True) * (1.0 / true_k)
+                x = x * jax.lax.rsqrt(ms + eps) * as_ref[...].astype(
+                    jnp.float32
+                )
             absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
             s = jnp.maximum(absmax * jnp.float32(1.0 / 127.0), 1e-8)
             aq_ref[...] = jnp.clip(
@@ -233,6 +244,8 @@ def w4a8_gemm(
     c_op=None,
     out_dtype=jnp.bfloat16,
     offset_corr: str | None = None,  # "inline" | "external" | None (auto)
+    gamma=None,
+    norm_eps: float = 1e-6,
     interpret: bool | None = None,
 ):
     """C[M, N] = c_op(a_s * (A_q @ (W_int4 * g_scales)), *Ds), int8 MXU dots.
@@ -243,6 +256,12 @@ def w4a8_gemm(
               fused inside the kernel on the resident A tile (the honest
               serving-step path; see _kernel_w4a8).
     a_scales: [M] or [M, 1] f32 per-token scales (None = fused act-quant)
+    gamma:    optional [K] rmsnorm weight (requires ``a_scales=None``):
+              the decode MEGAKERNEL front — rmsnorm + act-quant + GEMM in
+              ONE launch, equivalent to
+              ``w4a8_gemm(*rmsnorm_quant(x, gamma), ...)`` (CK's
+              fused-epilogue composition stance inverted to a fused
+              PRE-op, device_gemm_multiple_d.hpp:33).
     b_packed: [K//2, N] int8, ``dtypes.pack_int4_w4a8`` layout
               (``pack_blocks`` > 1 for the TP row-block layout) — OR a
               :class:`~composable_kernel_tpu.ops.quant.prepared.PreparedWeights`
@@ -269,7 +288,7 @@ def w4a8_gemm(
                 group_size=prepared.group_size,
                 pack_blocks=prepared.pack_blocks, config=config, c_op=c_op,
                 out_dtype=out_dtype, offset_corr=offset_corr,
-                interpret=interpret,
+                gamma=gamma, norm_eps=norm_eps, interpret=interpret,
             )
             return out[:, : prepared.n] if out.shape[1] != prepared.n else out
         b_packed = prepared.b_p
@@ -281,6 +300,7 @@ def w4a8_gemm(
     kb, n = b_packed.shape
     assert kb * 2 == k, f"K mismatch: A has {k}, packed B implies {kb * 2}"
     fused_quant = a_scales is None
+    fused_norm = gamma is not None
     if fused_quant:
         assert jnp.issubdtype(a_q.dtype, jnp.floating), (
             "a_scales=None (fused act-quant) needs float activations, got "
@@ -291,6 +311,9 @@ def w4a8_gemm(
         )
     else:
         assert jnp.dtype(a_q.dtype) == jnp.int8, a_q.dtype
+        assert not fused_norm, "gamma (fused norm) requires a_scales=None"
+    if fused_norm:
+        gamma = jnp.asarray(gamma, jnp.float32).reshape(1, k)
     assert k % group_size == 0
     assert scales.shape == (k // group_size, n), scales.shape
     assert (k // 2) % group_size == 0 or group_size % (k // 2) == 0
@@ -326,7 +349,14 @@ def w4a8_gemm(
     if fused_quant and bpk % 128 != 0:
         # in-kernel nibble slices need lane-aligned offsets; tiny misaligned
         # shapes (test-only) fall back to the host quant + kernel path
-        aq_f, as_f = quantize_act_token(a_q)
+        if fused_norm:
+            from composable_kernel_tpu.ops import normalization as norm_ops
+
+            aq_f, as_f = norm_ops.rmsnorm_quant(
+                a_q, gamma.reshape(-1), eps=norm_eps, interpret=interpret
+            )
+        else:
+            aq_f, as_f = quantize_act_token(a_q)
         return w4a8_gemm(
             aq_f, as_f, b_packed, scales, ds, group_size=group_size,
             pack_blocks=pack_blocks, config=config, c_op=c_op,
@@ -426,6 +456,7 @@ def w4a8_gemm(
         n_ds=len(ds_p), c_op=c_op, n_k_steps=n_k_steps, s_rows=s_rows, gsz=gsz,
         external_corr=external_corr, fused_quant=fused_quant,
         bpk=bpk, half_seg=half_seg,
+        fused_norm=fused_norm, true_k=k, eps=norm_eps,
     )
     b_spec = pl.BlockSpec(
         (bpk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
@@ -433,25 +464,39 @@ def w4a8_gemm(
     scratch_shapes = [pltpu.VMEM((bm, bn), jnp.float32)]
     if fused_quant:
         # one full-K bf16 A block per m-row (DMA'd once per i), quantized
-        # in-kernel at k-step 0 into the int8 scratch
+        # in-kernel at k-step 0 into the int8 scratch; with fused_norm the
+        # gamma row rides the (otherwise unused) as_ref operand slot
         kernel_inner = kernel
 
-        def kernel_f(a_ref, b_ref, s_lo_ref, s_hi_ref, *rest):
-            return kernel_inner(
-                a_ref, a_ref, b_ref, s_lo_ref, s_hi_ref, None, *rest
-            )
+        if fused_norm:
+            def kernel_f(a_ref, g_ref, b_ref, s_lo_ref, s_hi_ref, *rest):
+                return kernel_inner(
+                    a_ref, a_ref, b_ref, s_lo_ref, s_hi_ref, g_ref, *rest
+                )
+        else:
+            def kernel_f(a_ref, b_ref, s_lo_ref, s_hi_ref, *rest):
+                return kernel_inner(
+                    a_ref, a_ref, b_ref, s_lo_ref, s_hi_ref, None, *rest
+                )
 
+        gamma_specs = (
+            [pl.BlockSpec((1, k), lambda i, j, kk: (0, 0),
+                          memory_space=pltpu.VMEM)]
+            if fused_norm else []
+        )
+        gamma_ops = [gamma] if fused_norm else []
         in_specs = [
             pl.BlockSpec(
                 (bm, k), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM
             ),
+            *gamma_specs,
             b_spec,
             scale_spec,
             scale_spec,
             *corr_specs,
             *d_specs,
         ]
-        operands = (a_p, b_p, s_lo, s_hi, *corr_ops, *ds_p)
+        operands = (a_p, *gamma_ops, b_p, s_lo, s_hi, *corr_ops, *ds_p)
         scratch_shapes += [
             pltpu.VMEM((bm, k), jnp.int8),
             pltpu.VMEM((bm, 128), jnp.float32),

@@ -321,3 +321,41 @@ class TestW8A8Gemm:
         )
         rel = np.linalg.norm(got - want) / np.linalg.norm(want)
         assert rel < 0.02, rel
+
+
+class TestFusedNormW4A8:
+    """Megakernel front: w4a8_gemm(x, None, w, gamma=...) must be
+    bit-identical to rmsnorm_quant(x, gamma) -> w4a8_gemm."""
+
+    @pytest.mark.parametrize("m,n,k,g", [(8, 384, 512, 128),
+                                         (1, 256, 1024, 256),
+                                         (33, 300, 512, 128)])
+    def test_bit_parity(self, m, n, k, g):
+        from composable_kernel_tpu.ops import normalization as norm_ops
+
+        ks = jax.random.split(jax.random.PRNGKey(m), 3)
+        x = jax.random.normal(ks[0], (m, k), jnp.float32).astype(jnp.bfloat16)
+        gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (k,), jnp.float32)
+        w = jax.random.normal(ks[2], (k, n), jnp.float32) * 0.1
+        w_q, w_s = rq.ref_quantize_group(w, group_size=g, bits=4)
+        packed = dtypes.pack_int4_w4a8(w_q)
+        x_q, x_s = norm_ops.rmsnorm_quant(x, gamma)
+        want = w4a8_gemm(x_q, x_s, packed, w_s, group_size=g)
+        got = w4a8_gemm(x, None, packed, w_s, group_size=g, gamma=gamma)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_prepared_leaf(self):
+        from composable_kernel_tpu.ops import normalization as norm_ops
+        from composable_kernel_tpu.ops.quant import prepare_w4a8
+
+        m, n, k, g = 8, 300, 512, 128
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        x = jax.random.normal(ks[0], (m, k), jnp.float32).astype(jnp.bfloat16)
+        gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (k,), jnp.float32)
+        w = jax.random.normal(ks[2], (k, n), jnp.float32) * 0.1
+        w_q, w_s = rq.ref_quantize_group(w, group_size=g, bits=4)
+        prep = prepare_w4a8(dtypes.pack_int4_w4a8(w_q), w_s, group_size=g)
+        x_q, x_s = norm_ops.rmsnorm_quant(x, gamma)
+        want = w4a8_gemm(x_q, x_s, prep)
+        got = w4a8_gemm(x, None, prep, gamma=gamma)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
