@@ -372,7 +372,15 @@ def quantize_weights(params: dict, cfg: LlamaConfig) -> dict:
 # ------------------------------------------------------------------ layers ---
 
 
-def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None):
+def _add_resid(res, d):
+    # fused residual-add epilogue: res is the f32 accumulator tile, d the
+    # bf16 residual block — one f32 add before the output cast (vs a
+    # separate [T, D] XLA kernel per fusion site per layer)
+    return res + d.astype(res.dtype)
+
+
+def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True,
+            global_k=None, resid=None):
     """2D x [T, K] @ weight — dispatches on quantization mode.
 
     ``kernels=False`` switches to the pure-jnp reference path (differentiable
@@ -381,8 +389,15 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
     ``global_k``: unsharded K of a row-parallel weight — used to derive the
     local int4 pack segmentation (under TP each shard holds a self-contained
     sub-pack, so local blocks = tp_pack * K_local / K_global).
+    ``resid``: optional [T, N] residual added INSIDE the GEMM epilogue
+    (CK multiple-D Add, device_gemm_multiple_d.hpp:33) on the fused kernel
+    paths; jnp-added otherwise. The decode layers use it for the
+    attention-out and FFN-down residual connections.
     """
     from composable_kernel_tpu.ops.quant.prepared import PreparedWeights
+
+    r_ds = () if resid is None else (resid,)
+    r_op = None if resid is None else _add_resid
 
     if isinstance(w, PreparedWeights):
         # load-time prepared leaf (prepare_params) — kernel serving only
@@ -392,14 +407,17 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
 
             if isinstance(x, _FusedNorm):
                 # megakernel: rmsnorm + act-quant + GEMM, one launch
-                return w4a8_gemm(x.x2, None, w, gamma=x.gamma,
+                return w4a8_gemm(x.x2, None, w, ds=r_ds, c_op=r_op,
+                                 gamma=x.gamma,
                                  norm_eps=cfg.norm_eps, out_dtype=cfg.jdtype,
                                  interpret=interpret)
             if isinstance(x, tuple):
                 x_q, x_s = x  # pre-quantized by the fused rmsnorm_quant
-                return w4a8_gemm(x_q, x_s, w, out_dtype=cfg.jdtype,
+                return w4a8_gemm(x_q, x_s, w, ds=r_ds, c_op=r_op,
+                                 out_dtype=cfg.jdtype,
                                  interpret=interpret)
-            return w4a8_gemm(x, None, w, out_dtype=cfg.jdtype,
+            return w4a8_gemm(x, None, w, ds=r_ds, c_op=r_op,
+                             out_dtype=cfg.jdtype,
                              interpret=interpret)
         if cfg.quant == "w8a8":
             from composable_kernel_tpu.ops.quant import (
@@ -411,9 +429,14 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
                 x_q, x_s = x  # pre-quantized by the fused rmsnorm_quant
             else:
                 x_q, x_s = quantize_act_token(x)
-            return w8a8_gemm(x_q, x_s, w, out_dtype=cfg.jdtype,
-                             interpret=interpret)
-        return wo_quant_gemm(x, w, interpret=interpret)
+            out = w8a8_gemm(x_q, x_s, w, out_dtype=cfg.jdtype,
+                            interpret=interpret)
+            # the per-token a_scale applies after the kernel epilogue, so
+            # the residual lands here; XLA fuses it into the same
+            # elementwise pass as the scale multiply
+            return out if resid is None else (out + resid).astype(out.dtype)
+        out = wo_quant_gemm(x, w, ds=r_ds, c_op=r_op, interpret=interpret)
+        return out
     if isinstance(w, dict):
         pack_blocks = 1
         if cfg.quant in ("w4a16", "w4a8") and global_k is not None:
@@ -441,15 +464,17 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
                     preferred_element_type=jnp.int32,
                 )
                 out = acc.astype(jnp.float32) * jnp.asarray(w["s"], jnp.float32)
-                return (out * x_s).astype(cfg.jdtype)
+                out = (out * x_s).astype(cfg.jdtype)
+                return out if resid is None else (out + resid).astype(out.dtype)
             if isinstance(x, tuple):
                 x_q, x_s = x
             else:
                 x_q, x_s = quantize_act_token(x)
-            return w8a8_gemm(
+            out = w8a8_gemm(
                 x_q, x_s, w["q"], w["s"], out_dtype=cfg.jdtype,
                 interpret=interpret,
             )
+            return out if resid is None else (out + resid).astype(out.dtype)
         if cfg.quant == "w4a8":
             from composable_kernel_tpu.ops.quant import (
                 quantize_act_token,
@@ -459,7 +484,8 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
             if isinstance(x, _FusedNorm):
                 assert kernels
                 return w4a8_gemm(
-                    x.x2, None, w["q"], w["s"], group_size=cfg.group_size,
+                    x.x2, None, w["q"], w["s"], ds=r_ds, c_op=r_op,
+                    group_size=cfg.group_size,
                     pack_blocks=pack_blocks, gamma=x.gamma,
                     norm_eps=cfg.norm_eps, out_dtype=cfg.jdtype,
                     interpret=interpret,
@@ -473,17 +499,19 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
 
                 x_q, x_s = ref_quantize_act_token(x)
                 w_int4 = dtypes.unpack_int4_w4a8(w["q"], blocks=pack_blocks)
-                return ref_w4a8_gemm(
+                out = ref_w4a8_gemm(
                     x_q, x_s, w_int4, w["s"], group_size=cfg.group_size,
                     out_dtype=x.dtype,
                 )
+                return out if resid is None else (out + resid).astype(out.dtype)
             if isinstance(x, tuple):
                 # pre-quantized input from the fused rmsnorm_quant kernel
                 x_q, x_s = x
             else:
                 x_q, x_s = quantize_act_token(x)
             return w4a8_gemm(
-                x_q, x_s, w["q"], w["s"], group_size=cfg.group_size,
+                x_q, x_s, w["q"], w["s"], ds=r_ds, c_op=r_op,
+                group_size=cfg.group_size,
                 pack_blocks=pack_blocks, out_dtype=cfg.jdtype,
                 interpret=interpret,
             )
@@ -491,22 +519,28 @@ def _linear(x, w, cfg: LlamaConfig, interpret=None, kernels=True, global_k=None)
             from composable_kernel_tpu.reference.quant import ref_dequant_gemm
 
             if cfg.quant == "int8":
-                return ref_dequant_gemm(x, w["q"], w["s"])
-            return ref_dequant_gemm(
-                x, w["q"], w["s"], group_size=cfg.group_size, packed_int4=True,
-                pack_blocks=pack_blocks,
-            )
+                out = ref_dequant_gemm(x, w["q"], w["s"])
+            else:
+                out = ref_dequant_gemm(
+                    x, w["q"], w["s"], group_size=cfg.group_size,
+                    packed_int4=True, pack_blocks=pack_blocks,
+                )
+            return out if resid is None else (out + resid).astype(out.dtype)
         if cfg.quant == "int8":
-            return wo_quant_gemm(x, w["q"], w["s"], interpret=interpret)
+            return wo_quant_gemm(x, w["q"], w["s"], ds=r_ds, c_op=r_op,
+                                 interpret=interpret)
         return wo_quant_gemm(
-            x, w["q"], w["s"], group_size=cfg.group_size, packed_int4=True,
+            x, w["q"], w["s"], r_ds, c_op=r_op,
+            group_size=cfg.group_size, packed_int4=True,
             pack_blocks=pack_blocks, interpret=interpret,
         )
     if not kernels:
-        return jnp.matmul(
+        out = jnp.matmul(
             x, w, preferred_element_type=jnp.float32
         ).astype(x.dtype)
-    return pallas_gemm_api(x, w, interpret=interpret)
+        return out if resid is None else (out + resid).astype(out.dtype)
+    out = pallas_gemm_api(x, w, interpret=interpret)
+    return out if resid is None else (out + resid).astype(out.dtype)
 
 
 class _FusedNorm(NamedTuple):
@@ -695,15 +729,24 @@ def _ffn_block(x, layer, cfg: LlamaConfig, *, tp_axis=None, interpret=None, kern
 
 
 def _ffn_core(x2, bsd, layer, cfg: LlamaConfig, *, tp_axis=None,
-              interpret=None, kernels=True):
+              interpret=None, kernels=True, resid=None):
     """SwiGLU FFN on a flattened [B*S, D] input (or a pre-quantized
     (x_q, scales) tuple from the fused W4A8 norm).
+
+    ``resid``: optional [B*S, D] residual — the output then INCLUDES the
+    residual connection, fused into the down-projection GEMM epilogue on
+    kernel paths (requires ``tp_axis=None``: under TP the psum must see
+    the partial product alone).
 
     Mixtral MoE layers (``"moe" in layer``) route here to the top-k expert
     block: ragged grouped-GEMM dispatch on the kernel path, dense einsum on
     the reference path (quantized stacks dequantized first — the einsum is
     the f32 golden reference)."""
     b, s, d = bsd
+    assert resid is None or tp_axis is None, (
+        "fused FFN residual requires tp_axis=None (the psum must reduce "
+        "the bare partial product)"
+    )
     if "moe" in layer:
         from composable_kernel_tpu.models import moe as moe_mod
 
@@ -760,7 +803,8 @@ def _ffn_core(x2, bsd, layer, cfg: LlamaConfig, *, tp_axis=None,
             if isinstance(w["w_gate"], dict):
                 w = moe_mod.dequantize_moe_weights(w)
             o = moe_mod.moe_block(x2.astype(cfg.jdtype), w, mcfg)
-        return o.reshape(b, s, d).astype(cfg.jdtype)
+        o = o.reshape(b, s, d).astype(cfg.jdtype)
+        return o if resid is None else o + resid.reshape(b, s, d)
     if "w_gateup" in layer:
         gu = _linear(x2, layer["w_gateup"], cfg, interpret, kernels)
         f_loc = gu.shape[-1] // 2
@@ -771,7 +815,8 @@ def _ffn_core(x2, bsd, layer, cfg: LlamaConfig, *, tp_axis=None,
     h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(
         cfg.jdtype
     )
-    o = _linear(h, layer["w_down"], cfg, interpret, kernels, global_k=cfg.ffn_dim)
+    o = _linear(h, layer["w_down"], cfg, interpret, kernels,
+                global_k=cfg.ffn_dim, resid=resid)
     if tp_axis is not None:
         o = jax.lax.psum(o, tp_axis)  # row-parallel down projection
     return o.reshape(b, s, d)
@@ -1066,11 +1111,18 @@ def _decode_layer(
     tp_axis=None,
     interpret=None,
     kernels: bool = True,
+    defer_kv: bool = False,
 ):
     """One transformer block at decode time: x [B, 1, D] -> (x, updated kv).
 
     Shared by ``decode_step_batched`` and the pipeline-parallel decode ring
     (parallel/pipeline.py), which applies it per stage via lax.scan.
+
+    ``defer_kv``: skip the per-layer cache write — the fresh token's K/V
+    fold into the attention kernel in-VMEM (``flash_decode(k_new=...)``)
+    and the caller batches all layers' writes into one
+    ``kv_cache_update_all`` launch per step. Returns
+    ``(x, kv-unchanged, (k_row, v_row))`` instead of ``(x, kv)``.
     """
     b, s = x.shape[:2]
     lens = positions + 1
@@ -1106,25 +1158,39 @@ def _decode_layer(
     k_in = _quantize_kv(k, kv["ks"]) if is_i8 else k
     v_in = _quantize_kv(v, kv["vs"]) if is_i8 else v
     kv = dict(kv)
-    if kernels and s == 1 and kv["k"].shape[2] % 32 == 0:
-        # in-place slab-rewrite kernel: the jnp scatter costs ~52 us per
-        # cache per layer at B=8 (ops/kv_update.py)
-        from composable_kernel_tpu.ops.kv_update import kv_cache_update
-
-        kv["k"], kv["v"] = kv_cache_update(
-            kv["k"], kv["v"], k_in.astype(kv["k"].dtype),
-            v_in.astype(kv["v"].dtype), positions, interpret=interpret,
+    pending = None
+    if defer_kv and kernels and s == 1 and kv["k"].shape[2] % 32 == 0:
+        # deferred append: the fresh row folds into the attention kernel
+        # (storage dtype, so the math matches a write+readback exactly) and
+        # the cache write batches across layers in the caller
+        pending = (k_in.astype(kv["k"].dtype), v_in.astype(kv["v"].dtype))
+        scales = {"k_scale": kv["ks"], "v_scale": kv["vs"]} if is_i8 else {}
+        o = flash_decode(
+            q, kv["k"], kv["v"], kv_seq_len=positions,
+            k_new=pending[0], v_new=pending[1],
+            window=cfg.sliding_window, interpret=interpret, **scales,
         )
-    else:
-        kv["k"] = upd(kv["k"], k_in)
-        kv["v"] = upd(kv["v"], v_in)
-    scales = {"k_scale": kv["ks"], "v_scale": kv["vs"]} if is_i8 else {}
-    if kernels:
+    elif kernels:
+        if s == 1 and kv["k"].shape[2] % 32 == 0:
+            # in-place slab-rewrite kernel: the jnp scatter costs ~52 us per
+            # cache per layer at B=8 (ops/kv_update.py)
+            from composable_kernel_tpu.ops.kv_update import kv_cache_update
+
+            kv["k"], kv["v"] = kv_cache_update(
+                kv["k"], kv["v"], k_in.astype(kv["k"].dtype),
+                v_in.astype(kv["v"].dtype), positions, interpret=interpret,
+            )
+        else:
+            kv["k"] = upd(kv["k"], k_in)
+            kv["v"] = upd(kv["v"], v_in)
+        scales = {"k_scale": kv["ks"], "v_scale": kv["vs"]} if is_i8 else {}
         o = flash_decode(
             q, kv["k"], kv["v"], kv_seq_len=lens,
             window=cfg.sliding_window, interpret=interpret, **scales,
         )
     else:
+        kv["k"] = upd(kv["k"], k_in)
+        kv["v"] = upd(kv["v"], v_in)
         from composable_kernel_tpu.reference.attention import ref_attention
 
         kf, vf = kv["k"], kv["v"]
@@ -1136,21 +1202,35 @@ def _decode_layer(
                           q_offset=None if cfg.sliding_window is None
                           else lens - s)
     o = o.transpose(0, 2, 1, 3).reshape(b * s, nh * hd)
-    o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
-    if tp_axis is not None:
+    if tp_axis is None:
+        # residual add fused into the wo GEMM epilogue (one launch)
+        x = _linear(o, layer["wo"], cfg, interpret, kernels,
+                    global_k=cfg.dim, resid=x.reshape(b * s, -1)
+                    ).reshape(b, s, -1)
+    else:
+        o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
         o = jax.lax.psum(o, tp_axis)
-    x = x + o.reshape(b, s, -1)
+        x = x + o.reshape(b, s, -1)
     if cfg.quant in ("w4a8", "w8a8") and kernels and "moe" not in layer:
         x2f = _norm_quant_2d(x, layer["ffn_norm"], cfg, interpret)
-        x = x + _ffn_core(
-            x2f, (b, s, x.shape[-1]), layer, cfg,
-            tp_axis=tp_axis, interpret=interpret, kernels=kernels,
-        )
+        if tp_axis is None:
+            x = _ffn_core(
+                x2f, (b, s, x.shape[-1]), layer, cfg,
+                tp_axis=None, interpret=interpret, kernels=kernels,
+                resid=x.reshape(b * s, -1),
+            )
+        else:
+            x = x + _ffn_core(
+                x2f, (b, s, x.shape[-1]), layer, cfg,
+                tp_axis=tp_axis, interpret=interpret, kernels=kernels,
+            )
     else:
         h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
         x = x + _ffn_block(
             h, layer, cfg, tp_axis=tp_axis, interpret=interpret, kernels=kernels
         )
+    if defer_kv:
+        return x, kv, pending
     return x, kv
 
 
@@ -1180,12 +1260,32 @@ def decode_step_batched(
     sin_b = sin[:, None, None, :]
 
     new_cache = []
+    pendings = []
     for layer, kv in zip(params["layers"], cache):
-        x, kv = _decode_layer(
+        x, kv, pending = _decode_layer(
             x, layer, kv, positions, cos_b, sin_b, cfg,
             tp_axis=tp_axis, interpret=interpret, kernels=kernels,
+            defer_kv=True,
         )
         new_cache.append(kv)
+        pendings.append(pending)
+
+    if any(p is not None for p in pendings):
+        # deferred cache writes, back-to-back at step end: consecutive
+        # slab-rewrite launches pipeline at ~2 us each on v5e, vs ~23 us
+        # when interleaved between the attention/GEMM kernels mid-layer
+        # (probe_kv_update_all; a single many-ref launch is far worse —
+        # per-grid-step DMAs serialize across refs: 3.4 ms for 64 caches)
+        from composable_kernel_tpu.ops.kv_update import kv_cache_update
+
+        for i, p in enumerate(pendings):
+            if p is None:
+                continue
+            new_cache[i] = dict(new_cache[i])
+            new_cache[i]["k"], new_cache[i]["v"] = kv_cache_update(
+                new_cache[i]["k"], new_cache[i]["v"], p[0], p[1],
+                positions, interpret=interpret,
+            )
 
     from composable_kernel_tpu.ops.quant.prepared import PreparedWeights
 
@@ -1406,6 +1506,7 @@ def paged_decode_step(
     off = positions % page
 
     new_pools = []
+    pending = []
     hd = cfg.head_dim
     for layer, pool in zip(params["layers"], pools):
         if cfg.quant in ("w4a8", "w8a8") and kernels:
@@ -1432,19 +1533,22 @@ def paged_decode_step(
         is_i8 = "ks" in pool
         k_in = _quantize_kv(k, pool["ks"]) if is_i8 else k
         v_in = _quantize_kv(v, pool["vs"]) if is_i8 else v
+        scales = (
+            {"k_scale": pool["ks"], "v_scale": pool["vs"]} if is_i8 else {}
+        )
         if kernels and pool["k"].shape[2] % 32 == 0:
-            # in-place slab-rewrite kernel (ops/kv_update.py): the jnp page
-            # scatter lowers to a full-pool scatter, same ~52 us/cache cost
-            # the contiguous decode path already eliminated
-            from composable_kernel_tpu.ops.kv_update import (
-                kv_cache_update_paged,
-            )
-
-            pool["k"], pool["v"] = kv_cache_update_paged(
-                pool["k"], pool["v"], k_in.astype(pool["k"].dtype),
-                v_in.astype(pool["v"].dtype), pg, off, interpret=interpret,
+            # deferred append: the fresh row folds into the paged attention
+            # kernel in-VMEM; all layers' pool writes batch into one
+            # kv_cache_update_paged_all launch after the loop
+            pending.append((k_in.astype(pool["k"].dtype),
+                            v_in.astype(pool["v"].dtype)))
+            o = paged_flash_decode(
+                q, pool["k"], pool["v"], table, positions,
+                k_new=pending[-1][0], v_new=pending[-1][1],
+                window=cfg.sliding_window, interpret=interpret, **scales,
             )
         else:
+            pending.append(None)
             # vectorized page scatter: rows (pg[b], :, off[b]) <- k[b, :, 0]
             pool["k"] = pool["k"].at[pg, :, off].set(
                 k_in[:, :, 0, :].astype(pool["k"].dtype)
@@ -1452,27 +1556,47 @@ def paged_decode_step(
             pool["v"] = pool["v"].at[pg, :, off].set(
                 v_in[:, :, 0, :].astype(pool["v"].dtype)
             )
-        scales = (
-            {"k_scale": pool["ks"], "v_scale": pool["vs"]} if is_i8 else {}
-        )
-        o = paged_flash_decode(
-            q, pool["k"], pool["v"], table, lens,
-            window=cfg.sliding_window, interpret=interpret, **scales,
-        )
+            o = paged_flash_decode(
+                q, pool["k"], pool["v"], table, lens,
+                window=cfg.sliding_window, interpret=interpret, **scales,
+            )
         o = o.transpose(0, 2, 1, 3).reshape(b, nh * hd)
-        o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
-        x = x + o.reshape(b, 1, -1)
+        if kernels:
+            # residual add fused into the wo GEMM epilogue
+            x = _linear(o, layer["wo"], cfg, interpret, kernels,
+                        global_k=cfg.dim, resid=x.reshape(b, -1)
+                        ).reshape(b, 1, -1)
+        else:
+            o = _linear(o, layer["wo"], cfg, interpret, kernels,
+                        global_k=cfg.dim)
+            x = x + o.reshape(b, 1, -1)
         if cfg.quant in ("w4a8", "w8a8") and kernels and "moe" not in layer:
             x2f = _norm_quant_2d(x, layer["ffn_norm"], cfg, interpret)
-            x = x + _ffn_core(
+            x = _ffn_core(
                 x2f, (b, 1, x.shape[-1]), layer, cfg,
                 interpret=interpret, kernels=kernels,
+                resid=x.reshape(b, -1),
             )
         else:
             h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
             x = x + _ffn_block(h, layer, cfg, interpret=interpret,
                                kernels=kernels)
         new_pools.append(pool)
+
+    if any(p is not None for p in pending):
+        # deferred pool writes, back-to-back at step end (see
+        # decode_step_batched: consecutive slab-rewrite launches pipeline;
+        # many-ref single launches serialize their per-step DMAs)
+        from composable_kernel_tpu.ops.kv_update import kv_cache_update_paged
+
+        for i, p in enumerate(pending):
+            if p is None:
+                continue
+            new_pools[i] = dict(new_pools[i])
+            new_pools[i]["k"], new_pools[i]["v"] = kv_cache_update_paged(
+                new_pools[i]["k"], new_pools[i]["v"], p[0], p[1],
+                pg, off, interpret=interpret,
+            )
 
     from composable_kernel_tpu.ops.quant.prepared import PreparedWeights
 

@@ -586,6 +586,8 @@ def flash_decode(
     scale: float | None = None,
     k_scale=None,
     v_scale=None,
+    k_new=None,
+    v_new=None,
     window: int | None = None,
     config: AttentionConfig | None = None,
     out_dtype=None,
@@ -621,10 +623,12 @@ def flash_decode(
 
         return decode_attention(
             q, k, v, kv_seq_len=kv_seq_len, k_scale=k_scale, v_scale=v_scale,
+            k_new=k_new, v_new=v_new,
             window=window, block_k=max(cfg.block_k, 512), scale=scale,
             out_dtype=out_dtype, interpret=interpret,
         )
 
+    assert k_new is None, "deferred fresh-token append uses the unsplit path"
     assert window is None, "sliding-window decode uses the unsplit path"
     chunk = sk // num_splits
     # [B, Hkv, S, D] -> [B*splits, Hkv, chunk, D]: fold splits into batch

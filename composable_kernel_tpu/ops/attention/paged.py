@@ -51,6 +51,7 @@ def _paged_kernel(
     has_kv_scale: bool = False,
     window: int | None = None,
     causal_sq: int = 1,
+    has_new: bool = False,
 ):
     """Grid = (B, pages): each page is DMA'd exactly once and serves every
     head — the bandwidth-shaped layout for decode, where KV streaming is
@@ -60,14 +61,27 @@ def _paged_kernel(
     ``causal_sq > 1``: the Sq queries sit at positions lens-Sq .. lens-1
     and query i attends keys <= lens-Sq+i (in-chunk causality — the
     speculative verify step over page pools). Query rows are laid out
-    (group, Sq) per kv head, so row r's chunk index is r % Sq."""
+    (group, Sq) per kv head, so row r's chunk index is r % Sq.
+
+    ``has_new``: the deferred-append decode path — ``lens`` counts only
+    the OLD cache rows; the fresh token's K/V ride separate [1, Hkv, 8, D]
+    VMEM operands and fold into the online softmax at the last grid step,
+    so the decode step never waits on (or launches) a per-layer cache
+    write (the batched ``kv_cache_update_all`` runs once per step
+    instead)."""
     idx = 0
     if has_kv_scale:
         k_scale_ref = rest[idx]; idx += 1
         v_scale_ref = rest[idx]; idx += 1
+    if has_new:
+        kn_ref = rest[idx]; idx += 1
+        vn_ref = rest[idx]; idx += 1
     o_ref, m_scr, l_scr, acc_scr = rest[idx : idx + 4]
     kk = pl.program_id(1)
     batch = pl.program_id(0)
+    # newest query position: with a deferred fresh token the live length is
+    # lens + 1 and the window/liveness bounds shift by one
+    newest_off = 1 if has_new else 0
 
     @pl.when(kk == 0)
     def _init():
@@ -82,7 +96,8 @@ def _paged_kernel(
         # the rolling-window bandwidth saving without a rolling buffer.
         # With a multi-query chunk the OLDEST query (at lens-Sq) reaches
         # furthest back, so liveness uses its lower bound.
-        live &= kk * page + page - 1 > lens_ref[0, batch] - causal_sq - window
+        live &= (kk * page + page - 1
+                 > lens_ref[0, batch] - causal_sq - window + newest_off)
 
     @pl.when(live)
     def _step():
@@ -101,7 +116,7 @@ def _paged_kernel(
         else:
             mask = k_pos < lens_ref[0, batch]
             if window is not None:
-                mask &= k_pos > lens_ref[0, batch] - 1 - window
+                mask &= k_pos > lens_ref[0, batch] - 1 - window + newest_off
         for h in range(n_kv_heads):
             rows = slice(h * rows_per_kv, (h + 1) * rows_per_kv)
             q = q_ref[0, rows, :]  # [rows_per_kv, D]
@@ -135,6 +150,28 @@ def _paged_kernel(
 
     @pl.when(kk == n_steps - 1)
     def _finish():
+        if has_new:
+            # fold the fresh token in-VMEM: one extra online-softmax column
+            # per head (an [rows, 1] dot on the VPU + a rank-1 acc update).
+            # K/V arrive in the cache's storage domain (int8 when the cache
+            # is quantized), so the result is bit-compatible with writing
+            # the row first and reading it back.
+            for h in range(n_kv_heads):
+                rows = slice(h * rows_per_kv, (h + 1) * rows_per_kv)
+                q = q_ref[0, rows, :].astype(jnp.float32)
+                kn = kn_ref[0, h : h + 1, :].astype(jnp.float32)  # [1, D]
+                vn = vn_ref[0, h : h + 1, :].astype(jnp.float32)
+                s_mul = (scale * k_scale_ref[0, 0, h]) if has_kv_scale else scale
+                s_new = jnp.sum(q * kn, axis=-1, keepdims=True) * s_mul
+                m_prev = m_scr[rows, :]
+                m_new = jnp.maximum(m_prev, s_new)
+                corr = jnp.exp(m_prev - m_new)
+                p_new = jnp.exp(s_new - m_new[:, :1])
+                l_scr[rows, :] = l_scr[rows, :] * corr + p_new
+                m_scr[rows, :] = m_new
+                acc_scr[rows, :] = (
+                    acc_scr[rows, :] * corr[:, :1] + p_new * vn
+                )
         l = l_scr[...][:, :1]
         l_safe = jnp.where(l > 0.0, l, 1.0)
         if has_kv_scale:
@@ -158,6 +195,8 @@ def paged_flash_decode(
     *,
     k_scale=None,
     v_scale=None,
+    k_new=None,
+    v_new=None,
     window: int | None = None,
     causal: bool = False,
     scale: float | None = None,
@@ -176,6 +215,11 @@ def paged_flash_decode(
     block_table: [B, max_pages] int32 — page ids per sequence, in order.
                  Entries past the live length are ignored (any value).
     seq_lens:    [B] int32 live key counts.
+    k_new/v_new: optional [B, Hkv, 1, D] deferred fresh-token rows (pool
+                 storage dtype; requires sq == 1) — folded into the online
+                 softmax in-VMEM so the pool write can batch across layers
+                 (ops.kv_update.kv_cache_update_paged_all). ``seq_lens``
+                 then counts only rows already in the pool.
     Returns [B, Hq, Sq, D].
     """
     b, hq, sq, d = q.shape
@@ -194,6 +238,10 @@ def paged_flash_decode(
     has_kv_scale = k_scale is not None
     if has_kv_scale:
         assert v_scale is not None and k_scale.shape == (b, hkv)
+    has_new = k_new is not None
+    if has_new:
+        assert v_new is not None and sq == 1 and not causal
+        assert k_new.shape == (b, hkv, 1, d) and v_new.shape == (b, hkv, 1, dv)
 
     dp = _ceil_mult(d, _LANES)
     dvp = _ceil_mult(dv, _LANES)
@@ -240,6 +288,22 @@ def paged_flash_decode(
             jnp.asarray(k_scale, jnp.float32).reshape(-1, 1, hkv),
             jnp.asarray(v_scale, jnp.float32).reshape(-1, 1, hkv),
         ]
+    if has_new:
+        # [B, Hkv, D] 3-D layout: trailing block dims equal the array dims
+        # (Mosaic's rule), so no row padding and no per-call jnp.pad
+        in_specs += [
+            pl.BlockSpec((1, hkv, dp), lambda batch, kk, *_: (batch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, dvp), lambda batch, kk, *_: (batch, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        kn3 = k_new.reshape(b, hkv, d)
+        vn3 = v_new.reshape(b, hkv, dv)
+        if dp != d:
+            kn3 = jnp.pad(kn3, ((0, 0), (0, 0), (0, dp - d)))
+        if dvp != dv:
+            vn3 = jnp.pad(vn3, ((0, 0), (0, 0), (0, dvp - dv)))
+        inputs += [kn3, vn3]
 
     kernel = functools.partial(
         _paged_kernel,
@@ -251,6 +315,7 @@ def paged_flash_decode(
         has_kv_scale=has_kv_scale,
         window=window,
         causal_sq=sq if causal else 1,
+        has_new=has_new,
     )
 
     out = pl.pallas_call(
@@ -286,6 +351,8 @@ def decode_attention(
     kv_seq_len=None,
     k_scale=None,
     v_scale=None,
+    k_new=None,
+    v_new=None,
     window: int | None = None,
     causal: bool = False,
     block_k: int = 512,
@@ -306,6 +373,14 @@ def decode_attention(
     ``causal=True`` places query i at position kv_seq_len-Sq+i with
     in-chunk causality — the bandwidth-shaped kernel for the speculative
     verify step and small chunked-prefill tails.
+
+    ``k_new``/``v_new`` [B, Hkv, 1, D]: the deferred-append decode path —
+    ``kv_seq_len`` then counts only the rows already in the cache, and the
+    fresh token folds into the online softmax in-VMEM (requires sq == 1;
+    pass the rows in the cache's storage dtype — quantized when the cache
+    is int8). The cache write itself can then batch across layers
+    (ops.kv_update.kv_cache_update_all) instead of paying a launch per
+    layer.
     """
     b, hq, sq, d = q.shape
     _, hkv, sk, dv = v.shape
@@ -320,6 +395,11 @@ def decode_attention(
     has_kv_scale = k_scale is not None
     if has_kv_scale:
         assert v_scale is not None and k_scale.shape == (b, hkv)
+    has_new = k_new is not None
+    if has_new:
+        assert v_new is not None and sq == 1 and not causal
+        assert k_new.shape == (b, hkv, 1, d) and v_new.shape == (b, hkv, 1, dv)
+        assert kv_seq_len is not None, "deferred append needs old-row counts"
 
     bk = min(_ceil_mult(sk, 128), max(128, _ceil_mult(min(block_k, sk), 128)))
     dp = _ceil_mult(d, _LANES)
@@ -368,6 +448,22 @@ def decode_attention(
             jnp.asarray(k_scale, jnp.float32).reshape(-1, 1, hkv),
             jnp.asarray(v_scale, jnp.float32).reshape(-1, 1, hkv),
         ]
+    if has_new:
+        # [B, Hkv, D] 3-D layout: trailing block dims equal the array dims
+        # (Mosaic's rule), so no row padding and no per-call jnp.pad
+        in_specs += [
+            pl.BlockSpec((1, hkv, dp), lambda batch, kk, *_: (batch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, dvp), lambda batch, kk, *_: (batch, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        kn3 = k_new.reshape(b, hkv, d)
+        vn3 = v_new.reshape(b, hkv, dv)
+        if dp != d:
+            kn3 = jnp.pad(kn3, ((0, 0), (0, 0), (0, dp - d)))
+        if dvp != dv:
+            vn3 = jnp.pad(vn3, ((0, 0), (0, 0), (0, dvp - dv)))
+        inputs += [kn3, vn3]
 
     if window is not None and not causal:
         assert sq == 1, (
@@ -384,6 +480,7 @@ def decode_attention(
         has_kv_scale=has_kv_scale,
         window=window,
         causal_sq=sq if causal else 1,
+        has_new=has_new,
     )
 
     out = pl.pallas_call(

@@ -34,6 +34,14 @@ __all__ = [
     "kv_cache_update_paged_chunk",
 ]
 
+# Measured negative (round 4, scripts/probe_kv_update_all.py): batching all
+# layers' cache updates into ONE launch with 2L aliased in/out refs — the
+# per-grid-step block DMAs serialize across refs (no cross-ref pipelining),
+# so a 64-cache launch costs 3.4 ms where 32 consecutive 2-cache launches
+# pipeline at ~2 us each (61.9 us total). The decode steps therefore defer
+# the writes (attention folds the fresh token in-VMEM, paged.py has_new)
+# and replay the per-layer kernels back-to-back at step end.
+
 _SLAB = 32  # int8 sublane tile; covers bf16 (16) and f32 (8) too
 
 

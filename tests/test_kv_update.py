@@ -52,6 +52,7 @@ class TestContiguous:
         np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
 
 
+
 class TestPaged:
     @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.int8])
     def test_matches_scatter(self, dtype):

@@ -75,6 +75,65 @@ class TestPagedDecode:
         check_err(got, want, **TOL)
 
 
+class TestDeferredAppend:
+    """decode_attention(k_new=, v_new=): the fresh token folds into the
+    online softmax in-VMEM instead of being written to the cache first
+    (the deferred-append decode path; cache writes batch across layers
+    via kv_cache_update_all)."""
+
+    @pytest.mark.parametrize("lens", [[7, 200], [0, 511]])
+    def test_matches_write_then_attend(self, lens):
+        from composable_kernel_tpu.ops.attention import decode_attention
+
+        b, hq, hkv, d, s_max = 2, 8, 2, 128, 512
+        q = jax.random.normal(KEYS[0], (b, hq, 1, d), jnp.float32).astype(jnp.bfloat16)
+        ks = jax.random.normal(KEYS[1], (b, hkv, s_max, d), jnp.float32).astype(jnp.bfloat16)
+        vs = jax.random.normal(KEYS[2], (b, hkv, s_max, d), jnp.float32).astype(jnp.bfloat16)
+        kn = jax.random.normal(KEYS[3], (b, hkv, 1, d), jnp.float32).astype(jnp.bfloat16)
+        vn = jax.random.normal(KEYS[0], (b, hkv, 1, d), jnp.float32).astype(jnp.bfloat16)
+        lens_a = jnp.asarray(lens, jnp.int32)
+
+        got = decode_attention(q, ks, vs, kv_seq_len=lens_a, k_new=kn, v_new=vn)
+
+        # baseline: write the row at positions[b], attend with lens+1
+        def write(c, new):
+            return jax.vmap(
+                lambda cb, nb, p: jax.lax.dynamic_update_slice(cb, nb, (0, p, 0))
+            )(c, new, lens_a)
+
+        want = decode_attention(q, write(ks, kn), write(vs, vn),
+                                kv_seq_len=lens_a + 1)
+        check_err(got, want, **TOL)
+
+    def test_int8_cache_and_window(self):
+        from composable_kernel_tpu.ops.attention import decode_attention
+
+        b, hq, hkv, d, s_max = 2, 4, 2, 128, 512
+        q = jax.random.normal(KEYS[0], (b, hq, 1, d), jnp.float32).astype(jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        ks = jnp.asarray(rng.integers(-127, 128, (b, hkv, s_max, d)), jnp.int8)
+        vs = jnp.asarray(rng.integers(-127, 128, (b, hkv, s_max, d)), jnp.int8)
+        kn = jnp.asarray(rng.integers(-127, 128, (b, hkv, 1, d)), jnp.int8)
+        vn = jnp.asarray(rng.integers(-127, 128, (b, hkv, 1, d)), jnp.int8)
+        k_sc = jnp.asarray(rng.random((b, hkv)) * 0.02 + 0.01, jnp.float32)
+        v_sc = jnp.asarray(rng.random((b, hkv)) * 0.02 + 0.01, jnp.float32)
+        lens_a = jnp.asarray([130, 490], jnp.int32)
+
+        def write(c, new):
+            return jax.vmap(
+                lambda cb, nb, p: jax.lax.dynamic_update_slice(cb, nb, (0, p, 0))
+            )(c, new, lens_a)
+
+        for window in (None, 64):
+            got = decode_attention(q, ks, vs, kv_seq_len=lens_a,
+                                   k_scale=k_sc, v_scale=v_sc,
+                                   k_new=kn, v_new=vn, window=window)
+            want = decode_attention(q, write(ks, kn), write(vs, vn),
+                                    kv_seq_len=lens_a + 1,
+                                    k_scale=k_sc, v_scale=v_sc, window=window)
+            check_err(got, want, **TOL)
+
+
 class TestPagedKVCache:
     def test_alloc_append_free(self):
         cache = PagedKVCache(n_pages=6, page=128, n_kv_heads=2, head_dim=64)
