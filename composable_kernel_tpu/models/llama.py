@@ -1141,6 +1141,73 @@ def _decode_layer(
         h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
         x2 = h.reshape(b * s, -1)
     hd = cfg.head_dim
+
+    if (defer_kv and kernels and s == 1 and "wqkv" in layer
+            and "bqkv" not in layer and kv["k"].shape[2] % 32 == 0
+            and hd % 2 == 0):
+        # fused glue path: ONE rope+quant+pack launch between the QKV GEMM
+        # and the attention kernel (ops/rope_prep.py) replaces the per-
+        # layer XLA chain (rope mults/concats, head transposes, KV quant,
+        # the attention kernel's q pad+reshape, and the output transpose —
+        # ~10 small launches whose overhead dwarfs their work at decode)
+        from composable_kernel_tpu.ops.attention.paged import decode_attention
+        from composable_kernel_tpu.ops.rope_prep import rope_quant_prep
+
+        qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
+        ratio = cfg.n_heads + 2 * cfg.n_kv_heads
+        nh = qkv.shape[-1] * cfg.n_heads // ratio // hd
+        nkv = qkv.shape[-1] * cfg.n_kv_heads // ratio // hd
+        is_i8 = "ks" in kv
+        q_p, k_new3, v_new3 = rope_quant_prep(
+            qkv, cos_b.reshape(b, -1), sin_b.reshape(b, -1),
+            n_heads=nh, n_kv_heads=nkv, head_dim=hd,
+            k_scale=kv.get("ks"), v_scale=kv.get("vs"),
+            interpret=interpret,
+        )
+        kn = k_new3 if k_new3.shape[-1] == hd else k_new3[..., :hd]
+        vn = v_new3 if v_new3.shape[-1] == hd else v_new3[..., :hd]
+        pending = (kn.reshape(b, nkv, 1, hd).astype(kv["k"].dtype),
+                   vn.reshape(b, nkv, 1, hd).astype(kv["v"].dtype))
+        scales = {"k_scale": kv["ks"], "v_scale": kv["vs"]} if is_i8 else {}
+        o = decode_attention(
+            None, kv["k"], kv["v"], kv_seq_len=positions,
+            k_new=k_new3[..., : kv["k"].shape[-1]],
+            v_new=v_new3[..., : kv["v"].shape[-1]],
+            q_packed=(q_p, nh), out_layout="flat", block_k=1024,
+            window=cfg.sliding_window, interpret=interpret, **scales,
+        )  # [B, nh*hd] — the wo input layout, no transpose glue
+        kv = dict(kv)
+        if tp_axis is None:
+            x = _linear(o, layer["wo"], cfg, interpret, kernels,
+                        global_k=cfg.dim, resid=x.reshape(b * s, -1)
+                        ).reshape(b, s, -1)
+        else:
+            o = _linear(o, layer["wo"], cfg, interpret, kernels,
+                        global_k=cfg.dim)
+            o = jax.lax.psum(o, tp_axis)
+            x = x + o.reshape(b, s, -1)
+        if cfg.quant in ("w4a8", "w8a8") and kernels and "moe" not in layer:
+            x2f = _norm_quant_2d(x, layer["ffn_norm"], cfg, interpret)
+            if tp_axis is None:
+                x = _ffn_core(
+                    x2f, (b, s, x.shape[-1]), layer, cfg,
+                    tp_axis=None, interpret=interpret, kernels=kernels,
+                    resid=x.reshape(b * s, -1),
+                )
+            else:
+                x = x + _ffn_core(
+                    x2f, (b, s, x.shape[-1]), layer, cfg,
+                    tp_axis=tp_axis, interpret=interpret, kernels=kernels,
+                )
+        else:
+            h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels,
+                        interpret)
+            x = x + _ffn_block(
+                h, layer, cfg, tp_axis=tp_axis, interpret=interpret,
+                kernels=kernels
+            )
+        return x, kv, pending
+
     q, k, v = _qkv_proj(x2, layer, cfg, interpret, kernels)
     nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
     q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)

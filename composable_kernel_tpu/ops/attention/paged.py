@@ -52,6 +52,7 @@ def _paged_kernel(
     window: int | None = None,
     causal_sq: int = 1,
     has_new: bool = False,
+    rows_live: int | None = None,
 ):
     """Grid = (B, pages): each page is DMA'd exactly once and serves every
     head — the bandwidth-shaped layout for decode, where KV streaming is
@@ -150,7 +151,7 @@ def _paged_kernel(
 
     @pl.when(kk == n_steps - 1)
     def _finish():
-        if has_new:
+        if has_new:  # noqa: B023 (static python flag)
             # fold the fresh token in-VMEM: one extra online-softmax column
             # per head (an [rows, 1] dot on the VPU + a rank-1 acc update).
             # K/V arrive in the cache's storage domain (int8 when the cache
@@ -174,7 +175,19 @@ def _paged_kernel(
                 )
         l = l_scr[...][:, :1]
         l_safe = jnp.where(l > 0.0, l, 1.0)
-        if has_kv_scale:
+        if rows_live is not None:
+            # flat output layout: only the live rows of each head group,
+            # concatenated head-major — [Hkv*rows_live, D] = the [B, Hq*D]
+            # 2-D layout the wo projection consumes, no pad/transpose glue
+            parts = []
+            for h in range(n_kv_heads):
+                rows = slice(h * rows_per_kv, h * rows_per_kv + rows_live)
+                o_h = acc_scr[rows, :] / l_safe[rows]
+                if has_kv_scale:
+                    o_h = o_h * v_scale_ref[0, 0, h]
+                parts.append(o_h)
+            o_ref[0] = jnp.concatenate(parts, axis=0).astype(o_ref.dtype)
+        elif has_kv_scale:
             # deferred per-head v scale (exact: constant along the summed
             # key axis, and the int8->bf16 v convert is lossless); SMEM
             # loads are scalar-only, so apply per head slice
@@ -358,6 +371,8 @@ def decode_attention(
     block_k: int = 512,
     scale: float | None = None,
     out_dtype=None,
+    q_packed: tuple | None = None,
+    out_layout: str = "bhsd",
     interpret: bool | None = None,
 ):
     """Head-grouped dense decode attention over a contiguous KV cache.
@@ -374,16 +389,32 @@ def decode_attention(
     in-chunk causality — the bandwidth-shaped kernel for the speculative
     verify step and small chunked-prefill tails.
 
-    ``k_new``/``v_new`` [B, Hkv, 1, D]: the deferred-append decode path —
-    ``kv_seq_len`` then counts only the rows already in the cache, and the
-    fresh token folds into the online softmax in-VMEM (requires sq == 1;
-    pass the rows in the cache's storage dtype — quantized when the cache
-    is int8). The cache write itself can then batch across layers
-    (ops.kv_update.kv_cache_update_all) instead of paying a launch per
-    layer.
+    ``k_new``/``v_new`` [B, Hkv, 1, D] (or [B, Hkv, D]): the deferred-
+    append decode path — ``kv_seq_len`` then counts only the rows already
+    in the cache, and the fresh token folds into the online softmax
+    in-VMEM (requires sq == 1; pass the rows in the cache's storage dtype
+    — quantized when the cache is int8). The cache write itself then
+    happens off the attention critical path (back-to-back slab rewrites
+    at step end).
+
+    ``q_packed=(q_arr, hq)``: q already in the kernel's packed layout
+    [B, Hkv*rows_pad, Dp] (ops.rope_prep emits it) — skips the per-call
+    pad+reshape; pass ``q=None``. ``out_layout="flat"`` returns
+    [B, Hq*Dv] directly (the wo-projection input layout; sq == 1 only).
     """
-    b, hq, sq, d = q.shape
-    _, hkv, sk, dv = v.shape
+    if q_packed is not None:
+        assert q is None
+        q_arr, hq = q_packed
+        b = q_arr.shape[0]
+        sq = 1
+        _, hkv, sk, dv = v.shape
+        d = k.shape[-1]
+        dp = _ceil_mult(d, _LANES)
+        assert q_arr.shape[2] == dp, (q_arr.shape, dp)
+    else:
+        b, hq, sq, d = q.shape
+        _, hkv, sk, dv = v.shape
+        dp = _ceil_mult(d, _LANES)
     assert hq % hkv == 0
     group = hq // hkv
     if scale is None:
@@ -391,24 +422,37 @@ def decode_attention(
     if interpret is None:
         interpret = _interpret_default()
     if out_dtype is None:
-        out_dtype = q.dtype if jnp.issubdtype(q.dtype, jnp.floating) else jnp.bfloat16
+        qd = (q if q_packed is None else q_packed[0]).dtype
+        out_dtype = qd if jnp.issubdtype(qd, jnp.floating) else jnp.bfloat16
     has_kv_scale = k_scale is not None
     if has_kv_scale:
         assert v_scale is not None and k_scale.shape == (b, hkv)
     has_new = k_new is not None
     if has_new:
         assert v_new is not None and sq == 1 and not causal
-        assert k_new.shape == (b, hkv, 1, d) and v_new.shape == (b, hkv, 1, dv)
+        if k_new.ndim == 4:
+            k_new = k_new.reshape(b, hkv, d)
+            v_new = v_new.reshape(b, hkv, dv)
+        assert k_new.shape == (b, hkv, d) and v_new.shape[:2] == (b, hkv)
         assert kv_seq_len is not None, "deferred append needs old-row counts"
+    assert out_layout in ("bhsd", "flat")
+    flat_out = out_layout == "flat"
+    if flat_out:
+        assert sq == 1, "flat output layout is per-token decode only"
 
     bk = min(_ceil_mult(sk, 128), max(128, _ceil_mult(min(block_k, sk), 128)))
-    dp = _ceil_mult(d, _LANES)
     dvp = _ceil_mult(dv, _LANES)
     rows = group * sq
     rows_pad = _ceil_mult(rows, 8)
-    q_r = q.reshape(b, hkv, rows, d)
-    q_r = jnp.pad(q_r, ((0, 0), (0, 0), (0, rows_pad - rows), (0, dp - d)))
-    q_p = q_r.reshape(b, hkv * rows_pad, dp)
+    if q_packed is not None:
+        assert q_arr.shape == (b, hkv * rows_pad, dp), (
+            q_arr.shape, (b, hkv * rows_pad, dp)
+        )
+        q_p = q_arr
+    else:
+        q_r = q.reshape(b, hkv, rows, d)
+        q_r = jnp.pad(q_r, ((0, 0), (0, 0), (0, rows_pad - rows), (0, dp - d)))
+        q_p = q_r.reshape(b, hkv * rows_pad, dp)
     k_p = pad_to(k, (None, None, bk, dp))
     v_p = pad_to(v, (None, None, bk, dvp))
     n_steps = k_p.shape[2] // bk
@@ -481,16 +525,18 @@ def decode_attention(
         window=window,
         causal_sq=sq if causal else 1,
         has_new=has_new,
+        rows_live=rows if flat_out else None,
     )
 
+    out_rows = hkv * rows if flat_out else hkv * rows_pad
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, hkv * rows_pad, dvp), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, out_rows, dvp), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, n_steps),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, hkv * rows_pad, dvp), q_index,
+            out_specs=pl.BlockSpec((1, out_rows, dvp), q_index,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((hkv * rows_pad, _LANES), jnp.float32),
@@ -504,6 +550,10 @@ def decode_attention(
         interpret=interpret,
     )(table, lens, *inputs)
 
+    if flat_out:
+        if dvp != dv:
+            out = out[:, :, :dv]
+        return out.reshape(b, hq * dv)
     out = out.reshape(b, hkv, rows_pad, dvp)[:, :, :rows, :dv]
     return out.reshape(b, hq, sq, dv)
 
