@@ -1583,51 +1583,80 @@ def paged_decode_step(
         else:
             h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
             x2 = h.reshape(b, -1)
-        q, k, v = _qkv_proj(x2, layer, cfg, interpret, kernels)
-        nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
-        q = q.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
-        q = jnp.concatenate(
-            [q[..., : hd // 2] * cos_b - q[..., hd // 2 :] * sin_b,
-             q[..., hd // 2 :] * cos_b + q[..., : hd // 2] * sin_b], axis=-1
-        ).astype(q.dtype)
-        k = jnp.concatenate(
-            [k[..., : hd // 2] * cos_b - k[..., hd // 2 :] * sin_b,
-             k[..., hd // 2 :] * cos_b + k[..., : hd // 2] * sin_b], axis=-1
-        ).astype(k.dtype)
         pool = dict(pool)
         is_i8 = "ks" in pool
-        k_in = _quantize_kv(k, pool["ks"]) if is_i8 else k
-        v_in = _quantize_kv(v, pool["vs"]) if is_i8 else v
         scales = (
             {"k_scale": pool["ks"], "v_scale": pool["vs"]} if is_i8 else {}
         )
-        if kernels and pool["k"].shape[2] % 32 == 0:
-            # deferred append: the fresh row folds into the paged attention
-            # kernel in-VMEM; all layers' pool writes batch into one
-            # kv_cache_update_paged_all launch after the loop
-            pending.append((k_in.astype(pool["k"].dtype),
-                            v_in.astype(pool["v"].dtype)))
-            o = paged_flash_decode(
-                q, pool["k"], pool["v"], table, positions,
-                k_new=pending[-1][0], v_new=pending[-1][1],
-                window=cfg.sliding_window, interpret=interpret, **scales,
+        if (kernels and "wqkv" in layer and "bqkv" not in layer
+                and pool["k"].shape[2] % 32 == 0 and hd % 2 == 0):
+            # fused glue path: rope+quant+pack in one launch + deferred
+            # append with in-VMEM fold-in (see _decode_layer)
+            from composable_kernel_tpu.ops.rope_prep import rope_quant_prep
+
+            qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
+            ratio = cfg.n_heads + 2 * cfg.n_kv_heads
+            nh = qkv.shape[-1] * cfg.n_heads // ratio // hd
+            nkv = qkv.shape[-1] * cfg.n_kv_heads // ratio // hd
+            q_p, k_new3, v_new3 = rope_quant_prep(
+                qkv, cos_b.reshape(b, -1), sin_b.reshape(b, -1),
+                n_heads=nh, n_kv_heads=nkv, head_dim=hd,
+                k_scale=pool.get("ks"), v_scale=pool.get("vs"),
+                interpret=interpret,
             )
+            kn = k_new3 if k_new3.shape[-1] == hd else k_new3[..., :hd]
+            vn = v_new3 if v_new3.shape[-1] == hd else v_new3[..., :hd]
+            pending.append((kn.reshape(b, nkv, 1, hd).astype(pool["k"].dtype),
+                            vn.reshape(b, nkv, 1, hd).astype(pool["v"].dtype)))
+            o = paged_flash_decode(
+                None, pool["k"], pool["v"], table, positions,
+                k_new=k_new3[..., : pool["k"].shape[-1]],
+                v_new=v_new3[..., : pool["v"].shape[-1]],
+                q_packed=(q_p, nh), out_layout="flat",
+                window=cfg.sliding_window, interpret=interpret, **scales,
+            )  # [B, nh*hd]
         else:
-            pending.append(None)
-            # vectorized page scatter: rows (pg[b], :, off[b]) <- k[b, :, 0]
-            pool["k"] = pool["k"].at[pg, :, off].set(
-                k_in[:, :, 0, :].astype(pool["k"].dtype)
-            )
-            pool["v"] = pool["v"].at[pg, :, off].set(
-                v_in[:, :, 0, :].astype(pool["v"].dtype)
-            )
-            o = paged_flash_decode(
-                q, pool["k"], pool["v"], table, lens,
-                window=cfg.sliding_window, interpret=interpret, **scales,
-            )
-        o = o.transpose(0, 2, 1, 3).reshape(b, nh * hd)
+            q, k, v = _qkv_proj(x2, layer, cfg, interpret, kernels)
+            nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
+            q = q.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+            v = v.reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+            q = jnp.concatenate(
+                [q[..., : hd // 2] * cos_b - q[..., hd // 2 :] * sin_b,
+                 q[..., hd // 2 :] * cos_b + q[..., : hd // 2] * sin_b],
+                axis=-1,
+            ).astype(q.dtype)
+            k = jnp.concatenate(
+                [k[..., : hd // 2] * cos_b - k[..., hd // 2 :] * sin_b,
+                 k[..., hd // 2 :] * cos_b + k[..., : hd // 2] * sin_b],
+                axis=-1,
+            ).astype(k.dtype)
+            k_in = _quantize_kv(k, pool["ks"]) if is_i8 else k
+            v_in = _quantize_kv(v, pool["vs"]) if is_i8 else v
+            if kernels and pool["k"].shape[2] % 32 == 0:
+                # deferred append: the fresh row folds into the paged
+                # attention kernel in-VMEM; pool writes replay at step end
+                pending.append((k_in.astype(pool["k"].dtype),
+                                v_in.astype(pool["v"].dtype)))
+                o = paged_flash_decode(
+                    q, pool["k"], pool["v"], table, positions,
+                    k_new=pending[-1][0], v_new=pending[-1][1],
+                    window=cfg.sliding_window, interpret=interpret, **scales,
+                )
+            else:
+                pending.append(None)
+                # vectorized page scatter: (pg[b], :, off[b]) <- k[b, :, 0]
+                pool["k"] = pool["k"].at[pg, :, off].set(
+                    k_in[:, :, 0, :].astype(pool["k"].dtype)
+                )
+                pool["v"] = pool["v"].at[pg, :, off].set(
+                    v_in[:, :, 0, :].astype(pool["v"].dtype)
+                )
+                o = paged_flash_decode(
+                    q, pool["k"], pool["v"], table, lens,
+                    window=cfg.sliding_window, interpret=interpret, **scales,
+                )
+            o = o.transpose(0, 2, 1, 3).reshape(b, nh * hd)
         if kernels:
             # residual add fused into the wo GEMM epilogue
             x = _linear(o, layer["wo"], cfg, interpret, kernels,

@@ -215,6 +215,8 @@ def paged_flash_decode(
     scale: float | None = None,
     config: AttentionConfig | None = None,
     out_dtype=None,
+    q_packed: tuple | None = None,
+    out_layout: str = "bhsd",
     interpret: bool | None = None,
 ):
     """Decode attention over a paged KV pool.
@@ -233,28 +235,45 @@ def paged_flash_decode(
                  softmax in-VMEM so the pool write can batch across layers
                  (ops.kv_update.kv_cache_update_paged_all). ``seq_lens``
                  then counts only rows already in the pool.
-    Returns [B, Hq, Sq, D].
+    q_packed/out_layout: as in :func:`decode_attention` — q already in
+    the kernel's packed layout, and/or a flat [B, Hq*Dv] output (sq == 1).
+    Returns [B, Hq, Sq, D] (or [B, Hq*Dv] when flat).
     """
-    b, hq, sq, d = q.shape
     p_total, hkv, page, dv = v_pool.shape
+    if q_packed is not None:
+        assert q is None
+        q_arr, hq = q_packed
+        b = q_arr.shape[0]
+        sq = 1
+        d = k_pool.shape[-1]
+    else:
+        b, hq, sq, d = q.shape
     assert k_pool.shape == (p_total, hkv, page, d)
     assert hq % hkv == 0
     assert page % 128 == 0, f"page size {page} must be a lane multiple"
     group = hq // hkv
     max_pages = block_table.shape[1]
+    assert out_layout in ("bhsd", "flat")
+    flat_out = out_layout == "flat"
+    if flat_out:
+        assert sq == 1, "flat output layout is per-token decode only"
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     if interpret is None:
         interpret = _interpret_default()
     if out_dtype is None:
-        out_dtype = q.dtype
+        qd = (q if q_packed is None else q_packed[0]).dtype
+        out_dtype = qd
     has_kv_scale = k_scale is not None
     if has_kv_scale:
         assert v_scale is not None and k_scale.shape == (b, hkv)
     has_new = k_new is not None
     if has_new:
         assert v_new is not None and sq == 1 and not causal
-        assert k_new.shape == (b, hkv, 1, d) and v_new.shape == (b, hkv, 1, dv)
+        if k_new.ndim == 4:
+            k_new = k_new.reshape(b, hkv, d)
+            v_new = v_new.reshape(b, hkv, dv)
+        assert k_new.shape == (b, hkv, d) and v_new.shape[:2] == (b, hkv)
 
     dp = _ceil_mult(d, _LANES)
     dvp = _ceil_mult(dv, _LANES)
@@ -263,9 +282,15 @@ def paged_flash_decode(
     # stay sublane-aligned
     rows = group * sq
     rows_pad = _ceil_mult(rows, 8)
-    q_r = q.reshape(b, hkv, rows, d)
-    q_r = jnp.pad(q_r, ((0, 0), (0, 0), (0, rows_pad - rows), (0, dp - d)))
-    q_p = q_r.reshape(b, hkv * rows_pad, dp)
+    if q_packed is not None:
+        assert q_arr.shape == (b, hkv * rows_pad, dp), (
+            q_arr.shape, (b, hkv * rows_pad, dp)
+        )
+        q_p = q_arr
+    else:
+        q_r = q.reshape(b, hkv, rows, d)
+        q_r = jnp.pad(q_r, ((0, 0), (0, 0), (0, rows_pad - rows), (0, dp - d)))
+        q_p = q_r.reshape(b, hkv * rows_pad, dp)
     k_p = pad_to(k_pool, (None, None, None, dp))
     v_p = pad_to(v_pool, (None, None, None, dvp))
 
@@ -329,16 +354,18 @@ def paged_flash_decode(
         window=window,
         causal_sq=sq if causal else 1,
         has_new=has_new,
+        rows_live=rows if flat_out else None,
     )
 
+    out_rows = hkv * rows if flat_out else hkv * rows_pad
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, hkv * rows_pad, dvp), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, out_rows, dvp), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, max_pages),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, hkv * rows_pad, dvp), q_index,
+            out_specs=pl.BlockSpec((1, out_rows, dvp), q_index,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((hkv * rows_pad, _LANES), jnp.float32),
@@ -352,6 +379,10 @@ def paged_flash_decode(
         interpret=interpret,
     )(table, lens, *inputs)
 
+    if flat_out:
+        if dvp != dv:
+            out = out[:, :, :dv]
+        return out.reshape(b, hq * dv)
     out = out.reshape(b, hkv, rows_pad, dvp)[:, :, :rows, :dv]
     return out.reshape(b, hq, sq, dv)
 

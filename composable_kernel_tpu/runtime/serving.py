@@ -177,6 +177,10 @@ class ServingEngine:
                 return
             if self.packed_prefill and len(pairs) >= 2:
                 self._prefill_packed(pairs)
+            elif (self.prefill_chunk and len(pairs) >= 2 and not self.paged
+                  and max(len(r.prompt) for _, r in pairs)
+                  > self.prefill_chunk):
+                self._chunked_prefill_wave(pairs)
             else:
                 for slot, req in pairs:
                     self._prefill_into(slot, req)
@@ -365,6 +369,86 @@ class ServingEngine:
             new_cache.append(e)
         self.cache = new_cache
         return logits
+
+    def _chunked_prefill_wave(self, pairs):
+        """Chunked prefill of a whole admission wave in lockstep: every
+        round runs ONE batched ``prefill_chunk_step`` over all wave slots
+        (vs streaming each prompt through its own 1-slot chunk loop —
+        B-fold fewer steps at the same chunk size). Composes the
+        continuous-batching chunk path with wave admission; the
+        packed-varlen wave (`_prefill_packed`) stays the default when
+        chunking is off.
+
+        Shorter prompts keep stepping with padding tokens once exhausted;
+        their rows beyond the true length are garbage but never read (the
+        decode masks attend kv_seq_len = live length, and each later
+        decode append overwrites its row before the mask reaches it).
+        """
+        from composable_kernel_tpu.models import llama
+
+        c = self.prefill_chunk
+        bw = self.b  # fixed wave width: one compile per (bw, c)
+        assert len(pairs) <= bw
+        for _, req in pairs:
+            self._validate_prefill(req)
+        lens = [len(req.prompt) for _, req in pairs]
+        n_rounds = -(-max(lens) // c)
+        import numpy as np
+
+        toks = np.zeros((bw, n_rounds * c), np.int32)
+        for i, (_, req) in enumerate(pairs):
+            toks[i, : len(req.prompt)] = req.prompt
+        toks = jnp.asarray(toks)
+
+        if not hasattr(self, "_chunk_wave_cache"):
+            self._chunk_wave_cache = None
+        if self._chunk_wave_cache is None:
+            def _round(p, cache, chunk, pos, calibrate):
+                return llama.prefill_chunk_step(
+                    p, cache, chunk, pos, self.cfg, kernels=self.kernels,
+                    interpret=self.interpret, calibrate_scales=calibrate,
+                )
+
+            self._chunk_wave_cache = {
+                calib: jax.jit(lambda p, cch, ch, po, _c=calib: _round(
+                    p, cch, ch, po, _c))
+                for calib in (False, True)
+            }
+
+        tmp = llama.init_kv_cache(self.cfg, bw)
+        last_logits = [None] * len(pairs)
+        for j in range(n_rounds):
+            chunk = jax.lax.dynamic_slice_in_dim(toks, j * c, c, 1)
+            # pos as a traced scalar: one compile per calib flag, not per j
+            logits, tmp = self._chunk_wave_cache[j == 0](
+                self.params, tmp, chunk, jnp.int32(j * c)
+            )
+            for i, l in enumerate(lens):
+                if (l - 1) // c == j:
+                    last_logits[i] = logits[i, (l - 1) % c]
+
+        # scatter each wave slot's rows + scales into the engine cache slot
+        new_cache = []
+        for eng, t in zip(self.cache, tmp):
+            e = dict(eng)
+            for i, (slot, _) in enumerate(pairs):
+                e["k"] = jax.lax.dynamic_update_slice(
+                    e["k"], t["k"][i : i + 1], (slot, 0, 0, 0)
+                )
+                e["v"] = jax.lax.dynamic_update_slice(
+                    e["v"], t["v"][i : i + 1], (slot, 0, 0, 0)
+                )
+                if "ks" in eng:
+                    e["ks"] = jax.lax.dynamic_update_slice(
+                        e["ks"], t["ks"][i : i + 1], (slot, 0)
+                    )
+                    e["vs"] = jax.lax.dynamic_update_slice(
+                        e["vs"], t["vs"][i : i + 1], (slot, 0)
+                    )
+            new_cache.append(e)
+        self.cache = new_cache
+        for i, (slot, req) in enumerate(pairs):
+            self._finish_prefill(slot, req, last_logits[i])
 
     # --------------------------------------------------------------- decode
     def pending(self) -> int:

@@ -164,6 +164,32 @@ def test_chunked_prefill_matches_monolithic():
     assert ra.output == rb.output, (ra.output, rb.output)
 
 
+def test_chunked_prefill_wave_matches_sequential():
+    # >=2 mixed-length requests admitting together with prefill_chunk set
+    # take the batched chunk-wave path; outputs must equal the per-slot
+    # sequential chunk loop (single-slot engine) exactly (greedy, f32)
+    prompts = [
+        list(np.asarray(jax.random.randint(
+            jax.random.PRNGKey(30 + i), (n,), 0, CFG.vocab_size)))
+        for i, n in enumerate((24, 9, 17))
+    ]
+    eng = ServingEngine(PARAMS, CFG, batch_slots=3, kernels=False,
+                        prefill_chunk=8)
+    reqs = [Request(i, p, max_new_tokens=4) for i, p in enumerate(prompts)]
+    for r in reqs:
+        eng.add(r)
+    while eng.pending():
+        eng.step()
+    for i, (r, p) in enumerate(zip(reqs, prompts)):
+        eng1 = ServingEngine(PARAMS, CFG, batch_slots=1, kernels=False,
+                             prefill_chunk=8)
+        r1 = Request(i, p, max_new_tokens=4)
+        eng1.add(r1)
+        while eng1.pending():
+            eng1.step()
+        assert r.output == r1.output, (i, r.output, r1.output)
+
+
 class TestPagedServing:
     """Paged-pool engine produces identical greedy outputs to slot caches."""
 
