@@ -399,7 +399,11 @@ def decode_attention(
     v_new=None,
     window: int | None = None,
     causal: bool = False,
-    block_k: int = 512,
+    # default from the round-4 sweep (scripts/probe_decode_attn.py): the
+    # kernel is grid-step-overhead bound (~1.1 us/step + call base), so
+    # bk=1024 beats 512 (54 vs 71 us at B=8 GQA 32/8, prefix 1k) despite
+    # reading more dead rows past a block boundary
+    block_k: int = 1024,
     scale: float | None = None,
     out_dtype=None,
     q_packed: tuple | None = None,
