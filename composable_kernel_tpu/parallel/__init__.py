@@ -10,6 +10,7 @@ from composable_kernel_tpu.parallel.api import (
     make_mesh,
     shard_params,
     tp_decode_step,
+    tp_decode_step_batched,
     tp_forward,
     train_step,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "make_mesh",
     "shard_params",
     "tp_decode_step",
+    "tp_decode_step_batched",
     "tp_forward",
     "train_step",
     "MeshPlan",

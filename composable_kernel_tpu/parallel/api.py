@@ -291,6 +291,43 @@ def tp_decode_step(params, cache, tokens, pos, cfg: llama.LlamaConfig, mesh: Mes
     )(params, cache, tokens, jnp.asarray([pos], jnp.int32))
 
 
+def tp_decode_step_batched(params, cache, tokens, positions,
+                           cfg: llama.LlamaConfig, mesh: Mesh, *,
+                           kernels=True):
+    """TP+DP continuous-batching decode: per-slot positions over a
+    head-sharded KV cache.
+
+    The batched analog of :func:`tp_decode_step` — routes through
+    ``llama.decode_step_batched``, so the deferred-append fast path
+    (rope+quant+pack prep kernel, in-VMEM fresh-token fold-in,
+    end-of-step slab rewrites) runs per shard on its local head group
+    with the same wo/down psums the prefill TP plan uses.
+
+    tokens: [B, 1]; positions: [B] int32 (B sharded over 'dp').
+    """
+    params, gs_map = _strip_gs(params)
+    specs = param_specs(params, cfg)
+    kv_spec = P("dp", "tp", None, None)
+    entry_spec = {"k": kv_spec, "v": kv_spec}
+    if cfg.kv_quant == "int8":
+        entry_spec = {**entry_spec, "ks": P("dp", "tp"), "vs": P("dp", "tp")}
+    cache_spec = [entry_spec for _ in range(cfg.n_layers)]
+
+    def inner(params, cache, tokens, positions):
+        return llama.decode_step_batched(
+            _restore_gs(params, gs_map), cache, tokens, positions, cfg,
+            tp_axis="tp", kernels=kernels,
+        )
+
+    return shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(specs, cache_spec, P("dp", None), P("dp")),
+        out_specs=(P("dp", None, None), cache_spec),
+        check_rep=False,
+    )(params, cache, tokens, jnp.asarray(positions, jnp.int32))
+
+
 # ------------------------------------------------------------ train step ---
 
 

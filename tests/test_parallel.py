@@ -78,6 +78,68 @@ def test_tp_decode_parity():
     check_err(got, want, rtol=6e-2, atol=6e-2)
 
 
+def test_tp_decode_batched_fast_path():
+    # continuous-batching decode under TP with the round-4 fast path live
+    # per shard: fused-qkv w4a8 weights + int8 KV -> rope_quant_prep,
+    # in-VMEM fresh-token fold-in, end-of-step slab rewrites, psum'd wo
+    from composable_kernel_tpu.parallel import tp_decode_step_batched
+
+    cfg = llama.tiny_config(quant="w4a8", tp_pack=2, fuse_qkv=True,
+                            kv_quant="int8")
+    qp = llama.quantize_weights(PARAMS, cfg)
+    mesh = make_mesh(tp=2, dp=2)
+    sharded = shard_params(qp, cfg, mesh)
+    cache = llama.init_kv_cache(cfg, 2)
+    # seed distinct prefixes so per-slot masking is exercised
+    import jax.random as jr
+
+    for kv in cache:
+        kv["k"] = jr.randint(jr.PRNGKey(5), kv["k"].shape, -90, 90,
+                             jnp.int32).astype(kv["k"].dtype)
+        kv["v"] = jr.randint(jr.PRNGKey(6), kv["v"].shape, -90, 90,
+                             jnp.int32).astype(kv["v"].dtype)
+        kv["ks"] = jnp.full_like(kv["ks"], 0.02)
+        kv["vs"] = jnp.full_like(kv["vs"], 0.02)
+    nxt = TOKENS[:, :1]
+    pos = jnp.asarray([9, 21], jnp.int32)
+    got, got_cache = tp_decode_step_batched(
+        sharded, cache, nxt, pos, cfg, mesh, kernels=True
+    )
+    want, want_cache = llama.decode_step_batched(
+        qp, cache, nxt, pos, cfg, kernels=True
+    )
+    g = np.asarray(got, np.float32)
+    w = np.asarray(want, np.float32)
+    rel = np.linalg.norm(g - w) / np.linalg.norm(w)
+    # per-shard activation quant differs from the unsharded run (local
+    # absmax over the K-slice) -> aggregate gate, as in tp_forward tests
+    assert rel < 0.06, rel
+    # cache write structure: rows OTHER than positions[b] must be exactly
+    # the seeded values (the deferred append touches one row per slot);
+    # the written row tracks the unsharded run only statistically (TP
+    # activations diverge in ulps through per-shard quant + psum order)
+    pos_np = np.asarray(pos)
+    for gc, wc, kv0 in zip(got_cache, want_cache, cache):
+        for key in ("k", "v"):
+            gk = np.asarray(gc[key], np.int32)
+            wk = np.asarray(wc[key], np.int32)
+            seed = np.asarray(kv0[key], np.int32)
+            for slot in range(gk.shape[0]):
+                p = pos_np[slot]
+                mask = np.ones(gk.shape[2], bool)
+                mask[p] = False
+                np.testing.assert_array_equal(
+                    gk[slot][:, mask], seed[slot][:, mask]
+                )
+                row_diff = np.abs(gk[slot][:, p] - wk[slot][:, p])
+                # ~1 int8 ulp of drift across the row is the expected
+                # TP-vs-unsharded numeric divergence; structure is what
+                # this asserts (exactness is covered single-device)
+                assert row_diff.mean() < 2.0 and row_diff.max() <= 16, (
+                    row_diff.mean(), row_diff.max()
+                )
+
+
 def test_tp_forward_qwen2_biases():
     # Qwen2-style q/k/v projection biases shard column-parallel with their
     # weights (param_specs maps bq/bk/bv to P('tp'))
