@@ -1120,8 +1120,8 @@ def _decode_layer(
 
     ``defer_kv``: skip the per-layer cache write — the fresh token's K/V
     fold into the attention kernel in-VMEM (``flash_decode(k_new=...)``)
-    and the caller batches all layers' writes into one
-    ``kv_cache_update_all`` launch per step. Returns
+    and the caller replays all layers' writes back-to-back at step
+    end (consecutive slab-rewrite launches pipeline). Returns
     ``(x, kv-unchanged, (k_row, v_row))`` instead of ``(x, kv)``.
     """
     b, s = x.shape[:2]

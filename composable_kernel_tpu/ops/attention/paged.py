@@ -67,9 +67,8 @@ def _paged_kernel(
     ``has_new``: the deferred-append decode path — ``lens`` counts only
     the OLD cache rows; the fresh token's K/V ride separate [1, Hkv, 8, D]
     VMEM operands and fold into the online softmax at the last grid step,
-    so the decode step never waits on (or launches) a per-layer cache
-    write (the batched ``kv_cache_update_all`` runs once per step
-    instead)."""
+    so the decode step never waits on a per-layer cache write (the
+    slab rewrites replay back-to-back at step end instead)."""
     idx = 0
     if has_kv_scale:
         k_scale_ref = rest[idx]; idx += 1
@@ -233,7 +232,7 @@ def paged_flash_decode(
     k_new/v_new: optional [B, Hkv, 1, D] deferred fresh-token rows (pool
                  storage dtype; requires sq == 1) — folded into the online
                  softmax in-VMEM so the pool write can batch across layers
-                 (ops.kv_update.kv_cache_update_paged_all). ``seq_lens``
+                 (back-to-back kv_cache_update_paged at step end). ``seq_lens``
                  then counts only rows already in the pool.
     q_packed/out_layout: as in :func:`decode_attention` — q already in
     the kernel's packed layout, and/or a flat [B, Hq*Dv] output (sq == 1).

@@ -73,26 +73,29 @@ def main():
     params = jax.jit(lambda p: llama.prepare_params(p, cfg))(params)
     jax.block_until_ready(params)
 
-    real_flash_decode = llama.flash_decode
-    real_kv_update = kvu_mod.kv_cache_update
-    real_kv_update_all = kvu_mod.kv_cache_update_all
+    from composable_kernel_tpu.ops.attention import paged as paged_mod
 
-    def stub_flash_decode(q, k, v, **kw):
-        # same output shape as attention, negligible work
+    real_flash_decode = llama.flash_decode
+    real_decode_attention = paged_mod.decode_attention
+    real_kv_update = kvu_mod.kv_cache_update
+
+    def stub_attn(q, k, v, **kw):
+        # same output shape as attention, negligible work; the fast path
+        # calls decode_attention with q_packed + flat output
+        if q is None:
+            q_p, hq = kw["q_packed"]
+            return jnp.zeros((q_p.shape[0], hq * k.shape[-1]), q_p.dtype)
         return q
 
     def stub_kv_update(k_cache, v_cache, k_new, v_new, positions, **kw):
         return k_cache, v_cache
 
-    def stub_kv_update_all(caches, news, positions, **kw):
-        return list(caches)
-
     def set_stubs(attn=False, kvu=False):
-        llama.flash_decode = stub_flash_decode if attn else real_flash_decode
-        kvu_mod.kv_cache_update = stub_kv_update if kvu else real_kv_update
-        kvu_mod.kv_cache_update_all = (
-            stub_kv_update_all if kvu else real_kv_update_all
+        llama.flash_decode = stub_attn if attn else real_flash_decode
+        paged_mod.decode_attention = (
+            stub_attn if attn else real_decode_attention
         )
+        kvu_mod.kv_cache_update = stub_kv_update if kvu else real_kv_update
 
     def step_no_lmhead(params, cache, toks, pos, cfg):
         logits, cache = llama.decode_step_batched(params, cache, toks, pos, cfg)

@@ -50,11 +50,22 @@ def main():
     kw = dict(seq_len=256, batch_size=16, kernels=on_tpu,
               max_windows=args.windows)
 
+    out_path = (Path(__file__).resolve().parent.parent / "docs" / "perf"
+                / "accuracy_gate_r4.jsonl")
+
+    def record(name, quant, p, delta):
+        # append incrementally: the tunnel can stall for tens of minutes,
+        # so completed rows must survive a killed run
+        with open(out_path, "a") as f:
+            f.write(json.dumps(dict(
+                name=name, quant=quant, ppl=round(p, 4),
+                delta=round(delta, 4), n_params_m=83.4,
+                windows=args.windows, kernels=on_tpu)) + "\n")
+
     cfg_full = llama.tiny_config(**base, quant="bf16", group_size=128)
     p_full = perplexity(params, cfg_full, toks, **kw)
-    print(f"full f32                 : ppl {p_full:.4f}")
-
-    rows = [("full", "none", p_full, 0.0)]
+    print(f"full f32                 : ppl {p_full:.4f}", flush=True)
+    record("full", "none", p_full, 0.0)
 
     def gate(name, cfg_q, params_q):
         p = perplexity(params_q, cfg_q, toks, **kw)
@@ -62,7 +73,7 @@ def main():
         verdict = "PASS" if delta <= 0.1 else "FAIL"
         print(f"{name:25s}: ppl {p:.4f}  delta {delta:+.4f}  [{verdict}]",
               flush=True)
-        rows.append((name, cfg_q.quant, p, delta))
+        record(name, cfg_q.quant, p, delta)
         return delta
 
     cfg = llama.tiny_config(**base, quant="w4a16", group_size=128)
@@ -81,14 +92,6 @@ def main():
 
     cfg = llama.tiny_config(**base, quant="int8", group_size=128)
     gate("w8a16 perchannel rtn", cfg, llama.quantize_weights(params, cfg))
-
-    out = Path(__file__).resolve().parent.parent / "docs" / "perf"
-    with open(out / "accuracy_gate_r4.jsonl", "w") as f:
-        for name, quant, p, delta in rows:
-            f.write(json.dumps(dict(
-                name=name, quant=quant, ppl=round(p, 4),
-                delta=round(delta, 4), n_params_m=83.4,
-                windows=args.windows, kernels=on_tpu)) + "\n")
 
 
 if __name__ == "__main__":

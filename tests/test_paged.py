@@ -79,7 +79,7 @@ class TestDeferredAppend:
     """decode_attention(k_new=, v_new=): the fresh token folds into the
     online softmax in-VMEM instead of being written to the cache first
     (the deferred-append decode path; cache writes batch across layers
-    via kv_cache_update_all)."""
+    back-to-back at step end)."""
 
     @pytest.mark.parametrize("lens", [[7, 200], [0, 511]])
     def test_matches_write_then_attend(self, lens):
