@@ -1,0 +1,167 @@
+"""Host codegen tests.
+
+CK analog: ``codegen/test/`` — each test asks a Problem for its Solutions,
+"RTC-compiles" the emitted source (here: exec / jax.export), runs it, and
+verifies against the host reference (``codegen/test/gemm_multiple_d.cpp``
+pattern: emitted string -> hiprtc -> launch -> check_err).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from composable_kernel_tpu import dtypes
+from composable_kernel_tpu.codegen import (
+    AotCache,
+    GemmMultipleDProblem,
+    GroupedConvFwdProblem,
+    WoQuantGemmProblem,
+    deserialize_solution,
+    get_solutions,
+)
+from composable_kernel_tpu.ops import epilogues as ep
+from composable_kernel_tpu.reference.gemm import ref_gemm
+from composable_kernel_tpu.reference.quant import ref_dequant_gemm
+from composable_kernel_tpu.utils import check_err
+
+
+def _rand(key, shape, dtype=jnp.bfloat16, scale=1.0):
+    return (jax.random.normal(key, shape) * scale).astype(dtype)
+
+
+class TestGemmSolutions:
+    def test_enumerates_supported_instances(self):
+        p = GemmMultipleDProblem(m=128, n=256, k=256)
+        sols = get_solutions(p)
+        assert len(sols) >= 2  # heuristic head + registry instances
+        names = [s.name for s in sols]
+        assert len(set(names)) == len(names)
+        # every emitted source is self-contained python
+        for s in sols[:2]:
+            compile(s.source, "<test>", "exec")
+
+    def test_emitted_gemm_matches_reference(self):
+        k0, k1 = jax.random.split(jax.random.PRNGKey(0))
+        a, b = _rand(k0, (64, 128)), _rand(k1, (128, 256))
+        p = GemmMultipleDProblem(m=64, n=256, k=128)
+        run = get_solutions(p)[0].build()
+        check_err(run(a, b), ref_gemm(a, b), dtype=jnp.bfloat16)
+
+    def test_named_epilogue_with_bias(self):
+        k0, k1, k2 = jax.random.split(jax.random.PRNGKey(1), 3)
+        a, b = _rand(k0, (32, 128)), _rand(k1, (128, 128))
+        bias = _rand(k2, (128,), jnp.float32)
+        p = GemmMultipleDProblem(
+            m=32, n=128, k=128, epilogue="add_fast_gelu", d_shapes=((),)
+        )
+        run = get_solutions(p)[0].build()
+        want = ref_gemm(a, b, ds=(bias,), c_op=ep.add_fast_gelu)
+        check_err(run(a, b, bias), want, dtype=jnp.bfloat16)
+
+    def test_freeform_epilogue_src(self):
+        # arbitrary source-string epilogue = CK codegen's std::string
+        # prologue/epilogue parameter (operation.hpp:22-50)
+        k0, k1 = jax.random.split(jax.random.PRNGKey(2))
+        a, b = _rand(k0, (32, 128)), _rand(k1, (128, 128))
+        p = GemmMultipleDProblem(
+            m=32, n=128, k=128,
+            epilogue_src="lambda acc: jnp.minimum(acc * 2.0, 1.0)",
+        )
+        run = get_solutions(p)[0].build()
+        want = ref_gemm(a, b, c_op=lambda acc: jnp.minimum(acc * 2.0, 1.0))
+        check_err(run(a, b), want, dtype=jnp.bfloat16)
+
+    def test_lower_produces_stablehlo(self):
+        p = GemmMultipleDProblem(m=32, n=128, k=128)
+        txt = get_solutions(p)[0].lower().as_text()
+        assert "stablehlo" in txt or "func.func" in txt
+
+
+class TestWoQuantSolutions:
+    def test_emitted_w4a16_matches_reference(self):
+        key = jax.random.PRNGKey(3)
+        k0, k1, k2 = jax.random.split(key, 3)
+        m, n, k, g = 16, 128, 256, 128
+        a = _rand(k0, (m, k))
+        w_q = jax.random.randint(k1, (k, n), -8, 8, jnp.int8)
+        scales = (jax.random.uniform(k2, (k // g, n)) * 0.1 + 0.01).astype(
+            jnp.float32
+        )
+        packed = dtypes.pack_int4(w_q, axis=0)
+        p = WoQuantGemmProblem(m=m, n=n, k=k, weight_dtype="int4", group_size=g)
+        sols = get_solutions(p)
+        assert sols, "no supported instances at the decode shape"
+        run = sols[0].build()
+        want = ref_dequant_gemm(
+            a, packed, scales, group_size=g, packed_int4=True
+        )
+        check_err(run(a, packed, scales), want, dtype=jnp.bfloat16)
+
+    def test_emitted_w8a16_per_channel(self):
+        key = jax.random.PRNGKey(4)
+        k0, k1, k2 = jax.random.split(key, 3)
+        m, n, k = 8, 128, 128
+        a = _rand(k0, (m, k))
+        w_q = jax.random.randint(k1, (k, n), -128, 128, jnp.int8)
+        scales = (jax.random.uniform(k2, (n,)) * 0.02 + 0.001).astype(
+            jnp.float32
+        )
+        p = WoQuantGemmProblem(
+            m=m, n=n, k=k, weight_dtype="int8", group_size=None
+        )
+        run = get_solutions(p)[0].build()
+        want = ref_dequant_gemm(a, w_q, scales)
+        check_err(run(a, w_q, scales), want, dtype=jnp.bfloat16)
+
+
+class TestConvSolutions:
+    def test_emitted_conv_matches_xla(self):
+        k0, k1 = jax.random.split(jax.random.PRNGKey(5))
+        x = _rand(k0, (2, 8, 8, 16), jnp.float32)
+        w = _rand(k1, (3, 3, 16, 32), jnp.float32)
+        p = GroupedConvFwdProblem(
+            batch=2, spatial=(8, 8), in_channels=16, out_channels=32,
+            filter=(3, 3), epilogue="relu",
+        )
+        (sol,) = get_solutions(p)
+        out = sol.build()(x, w)
+        from composable_kernel_tpu.ops.conv import conv_fwd
+
+        want = conv_fwd(
+            x, w, padding="SAME", c_op=lambda acc: jnp.maximum(acc, 0.0)
+        )
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
+class TestAotExport:
+    def test_serialize_roundtrip_numerics(self):
+        k0, k1 = jax.random.split(jax.random.PRNGKey(6))
+        a, b = _rand(k0, (32, 128)), _rand(k1, (128, 128))
+        p = GemmMultipleDProblem(m=32, n=128, k=128, epilogue="silu")
+        sol = get_solutions(p)[0]
+        fn = deserialize_solution(sol.serialize())
+        np.testing.assert_array_equal(
+            np.asarray(fn(a, b)), np.asarray(sol.build()(a, b))
+        )
+
+    def test_aot_cache_hit(self, tmp_path):
+        p = GemmMultipleDProblem(m=32, n=128, k=128)
+        sol = get_solutions(p)[0]
+        cache = AotCache(str(tmp_path))
+        fn1, hit1 = cache.load_or_build(sol)
+        fn2, hit2 = cache.load_or_build(sol)
+        assert (hit1, hit2) == (False, True)
+        k0, k1 = jax.random.split(jax.random.PRNGKey(7))
+        a, b = _rand(k0, (32, 128)), _rand(k1, (128, 128))
+        np.testing.assert_array_equal(np.asarray(fn1(a, b)), np.asarray(fn2(a, b)))
+
+    def test_wrong_shape_rejected(self):
+        # exported artifacts are shape-specialized, like a compiled
+        # instance: calling off-spec must fail loudly, not misbehave
+        p = GemmMultipleDProblem(m=32, n=128, k=128)
+        fn = deserialize_solution(get_solutions(p)[0].serialize())
+        a = jnp.zeros((64, 128), jnp.bfloat16)
+        b = jnp.zeros((128, 128), jnp.bfloat16)
+        with pytest.raises(Exception):
+            jax.block_until_ready(fn(a, b))
