@@ -1505,6 +1505,186 @@ def prefill_chunk_step(
     return logits.reshape(b, c, -1), new_cache
 
 
+def prefill_chunk_step_packed(
+    params,
+    cache,
+    tokens,
+    lens,
+    slots,
+    pos,
+    cfg: LlamaConfig,
+    *,
+    interpret=None,
+    kernels: bool = True,
+    calibrate_scales: bool = False,
+):
+    """One packed chunk round over the LIVE entries of a chunked-prefill
+    wave: the composition of the packed-varlen group mode
+    (``forward_varlen`` / CK fmha_fwd_kernel.hpp:505-555) with chunked
+    prefill (``prefill_chunk_step``), which neither covers alone — the
+    batched chunk wave pays ``B_wave * ceil(max_len/c)`` chunk rows while
+    this pays ``sum(ceil(len_i/c))`` (finished prompts drop out of later
+    rounds instead of stepping on padding).
+
+    tokens:  [E, c] — entry e's chunk rows (fixed span c; c % 128 == 0).
+    lens:    [E] int32 in [0, c] — live rows; 0 marks a bucket-padding
+             entry (no compute, no cache effect).
+    slots:   [E] int32 — cache slot per entry (distinct for live entries;
+             dead entries may alias slot 0).
+    pos:     [E] int32 — the entry's cache write offset (a multiple of c;
+             all live entries of round j sit at j*c).
+    Returns ``(last_logits [E, V], cache)`` — last-row logits per entry
+    (valid for entries whose prompt ends in this round).
+    """
+    from composable_kernel_tpu.ops.attention import (
+        flash_attention_varlen_cache,
+    )
+    from composable_kernel_tpu.ops.kv_update import kv_cache_append_chunk
+
+    e_n, c = tokens.shape
+    assert c % 128 == 0, f"packed chunk span {c} must be a multiple of 128"
+    t = e_n * c
+    hd = cfg.head_dim
+    lens = jnp.asarray(lens, jnp.int32)
+    slots = jnp.asarray(slots, jnp.int32)
+    pos = jnp.asarray(pos, jnp.int32)
+    starts = jnp.arange(e_n, dtype=jnp.int32) * c  # fixed-span packing
+    kv_lens = pos + lens
+
+    x = jnp.take(params["embed"], tokens.reshape(t), axis=0)[None]  # [1,T,D]
+    row = jnp.arange(t, dtype=jnp.int32)
+    positions = pos[row // c] + row % c
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)  # [T, hd/2]
+
+    row_c = jax.lax.broadcasted_iota(jnp.int32, (e_n, 1, c, 1), 2)
+    live_rows = row_c < lens[:, None, None, None]
+
+    new_cache = []
+    for layer, kv in zip(params["layers"], cache):
+        h = rmsnorm(x, layer["attn_norm"], cfg.norm_eps, kernels, interpret)
+        q, k, v = _qkv_proj(h.reshape(t, -1), layer, cfg, interpret, kernels)
+        nh, nkv = q.shape[-1] // hd, k.shape[-1] // hd
+        q = q.reshape(t, nh, hd).transpose(1, 0, 2)[None]
+        k = k.reshape(t, nkv, hd).transpose(1, 0, 2)[None]
+        q = apply_rope(q, cos, sin)[0].transpose(1, 0, 2)  # [T, nh, hd]
+        k = apply_rope(k, cos, sin)[0].transpose(1, 0, 2)  # [T, nkv, hd]
+        v3 = v.reshape(t, nkv, hd)
+
+        # entry-major chunk blocks for the cache write
+        k_e = k.reshape(e_n, c, nkv, hd).transpose(0, 2, 1, 3)
+        v_e = v3.reshape(e_n, c, nkv, hd).transpose(0, 2, 1, 3)
+
+        is_i8 = "ks" in kv
+        kv = dict(kv)
+        if is_i8 and calibrate_scales:
+            # per-entry absmax over LIVE rows only (dead/pad rows carry
+            # garbage), scattered to each entry's slot; dead entries must
+            # not touch any slot's scale — one-hot blend instead of
+            # .at[slots].set so a dead entry aliasing slot 0 is a no-op
+            b_slots = kv["ks"].shape[0]
+            absk = jnp.max(
+                jnp.where(live_rows, jnp.abs(k_e.astype(jnp.float32)), 0.0),
+                axis=(2, 3),
+            )  # [E, Hkv]
+            absv = jnp.max(
+                jnp.where(live_rows, jnp.abs(v_e.astype(jnp.float32)), 0.0),
+                axis=(2, 3),
+            )
+            ks_e = jnp.maximum(absk / 127.0, 1e-6)
+            vs_e = jnp.maximum(absv / 127.0, 1e-6)
+            onehot = (
+                (slots[:, None] == jnp.arange(b_slots)[None, :])
+                & (lens > 0)[:, None]
+            ).astype(jnp.float32)  # [E, B]
+            hit = jnp.sum(onehot, axis=0)[:, None]  # [B, 1]
+            kv["ks"] = (
+                jnp.einsum("eb,eh->bh", onehot, ks_e)
+                + (1.0 - hit) * kv["ks"]
+            )
+            kv["vs"] = (
+                jnp.einsum("eb,eh->bh", onehot, vs_e)
+                + (1.0 - hit) * kv["vs"]
+            )
+        if is_i8:
+            ks_g = kv["ks"][slots]  # [E, Hkv]
+            vs_g = kv["vs"][slots]
+            k_w = jnp.clip(
+                jnp.round(k_e.astype(jnp.float32) / ks_g[:, :, None, None]),
+                -127, 127,
+            ).astype(jnp.int8)
+            v_w = jnp.clip(
+                jnp.round(v_e.astype(jnp.float32) / vs_g[:, :, None, None]),
+                -127, 127,
+            ).astype(jnp.int8)
+        else:
+            k_w = k_e.astype(kv["k"].dtype)
+            v_w = v_e.astype(kv["v"].dtype)
+
+        if kernels:
+            kv["k"], kv["v"] = kv_cache_append_chunk(
+                kv["k"], kv["v"], k_w, v_w, slots, pos, lens,
+                interpret=interpret,
+            )
+        else:
+            for ei in range(e_n):
+                cur_k = jax.lax.dynamic_slice(
+                    kv["k"], (slots[ei], 0, pos[ei], 0), (1, nkv, c, hd)
+                )
+                cur_v = jax.lax.dynamic_slice(
+                    kv["v"], (slots[ei], 0, pos[ei], 0), (1, nkv, c, hd)
+                )
+                sel = live_rows[ei][None]
+                kv["k"] = jax.lax.dynamic_update_slice(
+                    kv["k"], jnp.where(sel, k_w[ei][None], cur_k),
+                    (slots[ei], 0, pos[ei], 0),
+                )
+                kv["v"] = jax.lax.dynamic_update_slice(
+                    kv["v"], jnp.where(sel, v_w[ei][None], cur_v),
+                    (slots[ei], 0, pos[ei], 0),
+                )
+
+        scales = (
+            {"k_scale": kv["ks"], "v_scale": kv["vs"]} if is_i8 else {}
+        )
+        if kernels:
+            o = flash_attention_varlen_cache(
+                q, kv["k"], kv["v"], starts, lens, kv_lens,
+                slot_ids=slots, window=cfg.sliding_window,
+                block_q=256 if c % 256 == 0 else 128,
+                block_k=next(b for b in (1024, 512, 256, 128)
+                             if kv["k"].shape[2] % b == 0),
+                interpret=interpret, **scales,
+            )  # [T, nh, hd]
+        else:
+            from composable_kernel_tpu.reference.attention import (
+                ref_attention_varlen_cache,
+            )
+            import numpy as _np
+
+            cache_for_ref_k = kv["k"][_np.asarray(slots)]
+            cache_for_ref_v = kv["v"][_np.asarray(slots)]
+            o = ref_attention_varlen_cache(
+                q, cache_for_ref_k, cache_for_ref_v,
+                _np.asarray(starts), _np.asarray(lens), _np.asarray(kv_lens),
+                k_scale=kv["ks"][_np.asarray(slots)] if is_i8 else None,
+                v_scale=kv["vs"][_np.asarray(slots)] if is_i8 else None,
+                window=cfg.sliding_window,
+            )
+        o = o.reshape(t, nh * hd)
+        o = _linear(o, layer["wo"], cfg, interpret, kernels, global_k=cfg.dim)
+        x = x + o.reshape(1, t, -1)
+        h = rmsnorm(x, layer["ffn_norm"], cfg.norm_eps, kernels, interpret)
+        x = x + _ffn_block(h, layer, cfg, interpret=interpret, kernels=kernels)
+        new_cache.append(kv)
+
+    last = starts + jnp.clip(lens - 1, 0, c - 1)
+    x_last = jnp.take(x[0], last, axis=0)  # [E, D]
+    x_last = rmsnorm(x_last[None], params["norm"], cfg.norm_eps, kernels,
+                     interpret)[0]
+    logits = _linear(x_last, params["lm_head"], cfg, interpret, kernels)
+    return logits, new_cache
+
+
 # ------------------------------------------------------------- paged cache ---
 
 

@@ -10,6 +10,7 @@ from composable_kernel_tpu.ops.attention.kernel import (
 )
 from composable_kernel_tpu.ops.attention.varlen import (
     flash_attention_varlen,
+    flash_attention_varlen_cache,
     pack_varlen,
     unpack_varlen,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "flash_attention",
     "flash_attention_grad",
     "flash_attention_varlen",
+    "flash_attention_varlen_cache",
     "flash_decode",
     "pack_varlen",
     "paged_flash_decode",

@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 from composable_kernel_tpu.ops.gemm.kernel import _interpret_default
 
 __all__ = [
+    "kv_cache_append_chunk",
     "kv_cache_update",
     "kv_cache_update_paged",
     "kv_cache_update_paged_chunk",
@@ -261,3 +262,73 @@ def kv_cache_update_paged_chunk(k_pool, v_pool, k_new, v_new, table, pos, *,
         ),
         interpret=interpret,
     )(off_mod, pg, sl, k_pool, v_pool, k_shift, v_shift)
+
+
+def _chunk_kernel(sl_ref, pos_ref, len_ref, kc_ref, vc_ref, kn_ref, vn_ref,
+                  ko_ref, vo_ref, *, c: int):
+    e = pl.program_id(0)
+    live = len_ref[e]
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (1, c, 1), 1)
+    take = ridx < live  # rows past the entry's live length keep the cache
+    ko_ref[0] = jnp.where(take, kn_ref[0], kc_ref[0])
+    vo_ref[0] = jnp.where(take, vn_ref[0], vc_ref[0])
+
+
+def kv_cache_append_chunk(k_cache, v_cache, k_new, v_new, slots, pos, lens, *,
+                          interpret: bool | None = None):
+    """Write packed prefill chunks into contiguous caches in place.
+
+    k_new/v_new: [E, H, c, D] — entry e's chunk rows (c fixed span).
+    slots[e]:    cache slot the entry writes (entries must name distinct
+                 slots — the wave invariant; dead entries may alias slot 0
+                 since their writes keep the cache, see lens).
+    pos[e]:      row offset (a multiple of c: chunk rounds advance by c).
+    lens[e]:     live rows; rows >= lens[e] keep the existing cache
+                 content, lens[e] == 0 is a full no-op rewrite (bucket
+                 padding entries never corrupt finished slots).
+
+    The chunked-prefill analog of :func:`kv_cache_update`: one aliased
+    c-row slab rewrite per entry instead of a traced-offset scatter over
+    the [B, H, S, D] cache. Returns (k_cache, v_cache).
+    """
+    b, h, s, d = k_cache.shape
+    e, h2, c, d2 = k_new.shape
+    assert (h2, d2) == (h, d) and v_new.shape == k_new.shape
+    assert v_cache.shape == k_cache.shape
+    assert c % _SLAB == 0, f"chunk span {c} must be a multiple of {_SLAB}"
+    assert s % c == 0, (s, c)
+    if interpret is None:
+        interpret = _interpret_default()
+    slots = jnp.asarray(slots, jnp.int32)
+    pos = jnp.asarray(pos, jnp.int32)
+    lens = jnp.asarray(lens, jnp.int32)
+
+    def slab_idx(ee, sl_ref, pos_ref, len_ref):
+        return (sl_ref[ee], 0, pos_ref[ee] // c, 0)
+
+    def new_idx(ee, *_):
+        return (ee, 0, 0, 0)
+
+    cache_spec = pl.BlockSpec((1, h, c, d), slab_idx, memory_space=pltpu.VMEM)
+    new_spec = pl.BlockSpec((1, h, c, d), new_idx, memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_chunk_kernel, c=c),
+        out_shape=(
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(e,),
+            in_specs=[cache_spec, cache_spec, new_spec, new_spec],
+            out_specs=(cache_spec, cache_spec),
+        ),
+        # operands incl. the three scalar-prefetch args: slots=0, pos=1,
+        # lens=2, k_cache=3, v_cache=4 alias outputs 0/1
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(slots, pos, lens, k_cache, v_cache, k_new, v_new)

@@ -162,6 +162,38 @@ def ref_quant_attention(
     return out.astype(out_dtype or jnp.bfloat16)
 
 
+def ref_attention_varlen_cache(
+    q, cache_k, cache_v, starts, lens, kv_lens, *,
+    k_scale=None, v_scale=None, window=None, scale=None,
+):
+    """Reference for packed chunk queries against per-slot KV caches
+    (``ops.attention.flash_attention_varlen_cache``): sequence w's rows
+    ``q[starts[w] : starts[w]+lens[w]]`` attend cache slot w rows
+    ``[0, kv_lens[w])`` with bottom-right causal alignment (chunk row i at
+    key position kv_lens[w]-lens[w]+i). starts/lens/kv_lens host-static.
+    """
+    starts = np.asarray(starts)
+    lens = np.asarray(lens)
+    kv_lens = np.asarray(kv_lens)
+    out = jnp.zeros(q.shape, jnp.float32)
+    for w, (s0, li, kl) in enumerate(zip(starts, lens, kv_lens)):
+        s0, li, kl = int(s0), int(li), int(kl)
+        if li == 0:
+            continue
+        kf = cache_k[w, :, :kl].astype(jnp.float32)
+        vf = cache_v[w, :, :kl].astype(jnp.float32)
+        if k_scale is not None:
+            kf = kf * k_scale[w][:, None, None]
+            vf = vf * v_scale[w][:, None, None]
+        o = ref_attention(
+            q[s0 : s0 + li].transpose(1, 0, 2)[None],
+            kf[None], vf[None],
+            causal=True, window=window, scale=scale, out_dtype=jnp.float32,
+        )[0].transpose(1, 0, 2)
+        out = out.at[s0 : s0 + li].set(o)
+    return out.astype(q.dtype)
+
+
 def ref_attention_varlen(q, k, v, starts, lens, *, window=None, scale=None):
     """Packed group-mode reference: per-sequence causal attention over
     block-aligned packed [T, H, D] buffers (ops.attention.varlen layout,

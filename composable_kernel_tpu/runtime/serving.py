@@ -145,7 +145,17 @@ class ServingEngine:
 
     # ------------------------------------------------------------ admission
     def add(self, req: Request):
+        """Queue a request (validated eagerly so bad requests fail at the
+        call site). Admission is deferred to the next ``step()`` boundary —
+        or an explicit :meth:`admit` — so requests added between steps
+        admit TOGETHER and take the wave prefill paths (packed-varlen /
+        packed chunk rounds); the previous synchronous per-add admission
+        always formed 1-request waves and silently bypassed them."""
+        self._validate_prefill(req)
         self.queue.append(req)
+
+    def admit(self):
+        """Admit queued requests now (otherwise the next step() does)."""
         self._admit()
 
     def _pages_needed(self, req: Request) -> int:
@@ -371,23 +381,27 @@ class ServingEngine:
         return logits
 
     def _chunked_prefill_wave(self, pairs):
-        """Chunked prefill of a whole admission wave in lockstep: every
-        round runs ONE batched ``prefill_chunk_step`` over all wave slots
-        (vs streaming each prompt through its own 1-slot chunk loop —
-        B-fold fewer steps at the same chunk size). Composes the
-        continuous-batching chunk path with wave admission; the
-        packed-varlen wave (`_prefill_packed`) stays the default when
-        chunking is off.
+        """Chunked prefill of a whole admission wave in lockstep.
 
-        Shorter prompts keep stepping with padding tokens once exhausted;
-        their rows beyond the true length are garbage but never read (the
-        decode masks attend kv_seq_len = live length, and each later
-        decode append overwrites its row before the mask reaches it).
+        Default (``c % 128 == 0``): PACKED ragged rounds — each round runs
+        one ``prefill_chunk_step_packed`` over only the LIVE entries
+        (prompts still inside their length), bucketed to a power-of-two
+        entry count for compile reuse. A mixed-length wave pays
+        ``sum(ceil(len_i/c))`` chunk rows instead of the padded wave's
+        ``B_wave * ceil(max_len/c)`` — the chunk-path analog of the
+        packed-varlen admission wave (`_prefill_packed`), composing CK's
+        group mode with chunked prefill.
+
+        Fallback (chunk size not 128-aligned, or a cache length the
+        varlen-cache kernel cannot tile): the padded lockstep wave — one
+        batched ``prefill_chunk_step`` over all wave slots per round;
+        shorter prompts step on padding tokens whose rows are garbage but
+        never read (decode masks attend kv_seq_len = live length).
         """
         from composable_kernel_tpu.models import llama
 
         c = self.prefill_chunk
-        bw = self.b  # fixed wave width: one compile per (bw, c)
+        bw = self.b  # fixed wave width
         assert len(pairs) <= bw
         for _, req in pairs:
             self._validate_prefill(req)
@@ -395,37 +409,83 @@ class ServingEngine:
         n_rounds = -(-max(lens) // c)
         import numpy as np
 
-        toks = np.zeros((bw, n_rounds * c), np.int32)
-        for i, (_, req) in enumerate(pairs):
-            toks[i, : len(req.prompt)] = req.prompt
-        toks = jnp.asarray(toks)
-
-        if not hasattr(self, "_chunk_wave_cache"):
-            self._chunk_wave_cache = None
-        if self._chunk_wave_cache is None:
-            def _round(p, cache, chunk, pos, calibrate):
-                return llama.prefill_chunk_step(
-                    p, cache, chunk, pos, self.cfg, kernels=self.kernels,
-                    interpret=self.interpret, calibrate_scales=calibrate,
-                )
-
-            self._chunk_wave_cache = {
-                calib: jax.jit(lambda p, cch, ch, po, _c=calib: _round(
-                    p, cch, ch, po, _c))
-                for calib in (False, True)
-            }
-
+        packed_ok = (
+            self.kernels
+            and c % 128 == 0
+            and self.cfg.max_seq_len % 128 == 0
+        )
         tmp = llama.init_kv_cache(self.cfg, bw)
         last_logits = [None] * len(pairs)
-        for j in range(n_rounds):
-            chunk = jax.lax.dynamic_slice_in_dim(toks, j * c, c, 1)
-            # pos as a traced scalar: one compile per calib flag, not per j
-            logits, tmp = self._chunk_wave_cache[j == 0](
-                self.params, tmp, chunk, jnp.int32(j * c)
-            )
-            for i, l in enumerate(lens):
-                if (l - 1) // c == j:
-                    last_logits[i] = logits[i, (l - 1) % c]
+
+        if packed_ok:
+            if not hasattr(self, "_chunk_packed_cache"):
+                self._chunk_packed_cache = {}
+
+            def _get_fn(e_n, calib):
+                key = (e_n, calib)
+                if key not in self._chunk_packed_cache:
+                    def _round(p, cache, toks, lens_, slots, pos, _c=calib):
+                        return llama.prefill_chunk_step_packed(
+                            p, cache, toks, lens_, slots, pos, self.cfg,
+                            kernels=self.kernels, interpret=self.interpret,
+                            calibrate_scales=_c,
+                        )
+
+                    self._chunk_packed_cache[key] = jax.jit(_round)
+                return self._chunk_packed_cache[key]
+
+            for j in range(n_rounds):
+                live = [i for i, l in enumerate(lens) if l > j * c]
+                e_n = 1
+                while e_n < len(live):
+                    e_n *= 2  # bucket: compiles bounded by log2(bw)+1
+                e_n = min(e_n, bw)
+                toks = np.zeros((e_n, c), np.int32)
+                lens_r = np.zeros((e_n,), np.int32)
+                slots = np.zeros((e_n,), np.int32)
+                for e, i in enumerate(live):
+                    li = min(c, lens[i] - j * c)
+                    toks[e, :li] = pairs[i][1].prompt[j * c : j * c + li]
+                    lens_r[e] = li
+                    slots[e] = i  # wave slot; dead pad entries alias 0
+                pos = np.full((e_n,), j * c, np.int32)
+                logits, tmp = _get_fn(e_n, j == 0)(
+                    self.params, tmp, jnp.asarray(toks), jnp.asarray(lens_r),
+                    jnp.asarray(slots), jnp.asarray(pos),
+                )
+                for e, i in enumerate(live):
+                    if (lens[i] - 1) // c == j:
+                        last_logits[i] = logits[e]
+        else:
+            toks = np.zeros((bw, n_rounds * c), np.int32)
+            for i, (_, req) in enumerate(pairs):
+                toks[i, : len(req.prompt)] = req.prompt
+            toks = jnp.asarray(toks)
+
+            if not hasattr(self, "_chunk_wave_cache"):
+                self._chunk_wave_cache = None
+            if self._chunk_wave_cache is None:
+                def _round(p, cache, chunk, pos, calibrate):
+                    return llama.prefill_chunk_step(
+                        p, cache, chunk, pos, self.cfg, kernels=self.kernels,
+                        interpret=self.interpret, calibrate_scales=calibrate,
+                    )
+
+                self._chunk_wave_cache = {
+                    calib: jax.jit(lambda p, cch, ch, po, _c=calib: _round(
+                        p, cch, ch, po, _c))
+                    for calib in (False, True)
+                }
+
+            for j in range(n_rounds):
+                chunk = jax.lax.dynamic_slice_in_dim(toks, j * c, c, 1)
+                # pos as a traced scalar: one compile per calib flag
+                logits, tmp = self._chunk_wave_cache[j == 0](
+                    self.params, tmp, chunk, jnp.int32(j * c)
+                )
+                for i, l in enumerate(lens):
+                    if (l - 1) // c == j:
+                        last_logits[i] = logits[i, (l - 1) % c]
 
         # scatter each wave slot's rows + scales into the engine cache slot
         new_cache = []
@@ -462,6 +522,8 @@ class ServingEngine:
 
         Returns the list of requests finished this step.
         """
+        self._admit()  # deferred admission: everything queued since the
+        # last step admits as one wave (see add())
         finished_at_prefill, self._prefill_finished = self._prefill_finished, []
         if not self.active_slots():
             return finished_at_prefill
@@ -634,6 +696,7 @@ class SpeculativeServingEngine(ServingEngine):
 
     def step(self):
         """One speculative round: up to ``spec_chunk`` tokens per slot."""
+        self._admit()  # deferred admission (see ServingEngine.add)
         finished, self._prefill_finished = self._prefill_finished, []
         active = self.active_slots()
         if not active:

@@ -499,3 +499,87 @@ class TestVarlenPacked:
         want = flash_attention_varlen(qp, kp, vp, qs_, ql, ks2, kl,
                                       causal=True, block_q=128, block_k=128)
         check_err(out, want, rtol=1e-3, atol=1e-3)
+
+
+class TestVarlenCache:
+    """Packed chunk queries vs per-slot KV caches
+    (flash_attention_varlen_cache): the chunked-prefill composition of
+    ck_tile's group mode (fmha_fwd_kernel.hpp:505-555) with a mid-prefill
+    cache."""
+
+    def _setup(self, chunk_lens, pos, hq=8, hkv=2, d=64, s_max=1024,
+               int8=False, seed=7):
+        from composable_kernel_tpu.ops.attention import pack_varlen
+
+        b = len(chunk_lens)
+        rng = jax.random.split(jax.random.PRNGKey(seed), 3 * b + 1)
+        qs = [
+            jax.random.normal(rng[3 * i], (L, hq, d), jnp.float32).astype(
+                jnp.bfloat16
+            )
+            if L
+            else jnp.zeros((0, hq, d), jnp.bfloat16)
+            for i, L in enumerate(chunk_lens)
+        ]
+        kv_lens = [p + L for p, L in zip(pos, chunk_lens)]
+        ck = jnp.zeros((b, hkv, s_max, d), jnp.float32)
+        cv = jnp.zeros((b, hkv, s_max, d), jnp.float32)
+        for i in range(b):
+            kl = kv_lens[i]
+            ck = ck.at[i, :, :kl].set(
+                jax.random.normal(rng[3 * i + 1], (hkv, kl, d))
+            )
+            cv = cv.at[i, :, :kl].set(
+                jax.random.normal(rng[3 * i + 2], (hkv, kl, d))
+            )
+        scales = {}
+        if int8:
+            ks = jnp.maximum(jnp.max(jnp.abs(ck), axis=(2, 3)) / 127.0, 1e-6)
+            vs = jnp.maximum(jnp.max(jnp.abs(cv), axis=(2, 3)) / 127.0, 1e-6)
+            ck = jnp.clip(jnp.round(ck / ks[:, :, None, None]), -127, 127
+                          ).astype(jnp.int8)
+            cv = jnp.clip(jnp.round(cv / vs[:, :, None, None]), -127, 127
+                          ).astype(jnp.int8)
+            scales = {"k_scale": ks, "v_scale": vs}
+        else:
+            ck, cv = ck.astype(jnp.bfloat16), cv.astype(jnp.bfloat16)
+        qp, starts, lens = pack_varlen(qs, 256)
+        return qp, ck, cv, starts, lens, jnp.asarray(kv_lens, jnp.int32), scales
+
+    def _check(self, chunk_lens, pos, window=None, int8=False):
+        from composable_kernel_tpu.ops.attention import (
+            flash_attention_varlen_cache,
+        )
+        from composable_kernel_tpu.reference.attention import (
+            ref_attention_varlen_cache,
+        )
+
+        qp, ck, cv, starts, lens, kv_lens, scales = self._setup(
+            chunk_lens, pos, int8=int8
+        )
+        out = flash_attention_varlen_cache(
+            qp, ck, cv, starts, lens, kv_lens, window=window, **scales
+        )
+        want = ref_attention_varlen_cache(
+            qp, ck, cv, np.asarray(starts), np.asarray(lens),
+            np.asarray(kv_lens), window=window,
+            k_scale=scales.get("k_scale"), v_scale=scales.get("v_scale"),
+        )
+        for i, L in enumerate(chunk_lens):
+            s0 = int(starts[i])
+            if L:
+                check_err(out[s0 : s0 + L], want[s0 : s0 + L], **TOL,
+                          msg=f"seq {i}")
+
+    def test_mixed_chunks_mid_prefill(self):
+        # ragged chunk lens at ragged positions (incl. pos=0 first chunk)
+        self._check([256, 100, 256, 30], [0, 300, 512, 700])
+
+    def test_int8_cache_per_head_scales(self):
+        self._check([128, 256, 64], [100, 0, 640], int8=True)
+
+    def test_zero_length_finished_slot(self):
+        self._check([256, 0, 90], [128, 500, 0])
+
+    def test_sliding_window(self):
+        self._check([256, 256], [300, 100], window=128)

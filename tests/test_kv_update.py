@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 from composable_kernel_tpu.ops.kv_update import (
+    kv_cache_append_chunk,
     kv_cache_update,
     kv_cache_update_paged,
     kv_cache_update_paged_chunk,
@@ -156,3 +157,50 @@ class TestPagedChunk:
         # untouched live pages bit-identical
         np.testing.assert_array_equal(np.asarray(got_k[1]), np.asarray(kp[1]))
         np.testing.assert_array_equal(np.asarray(got_k[4]), np.asarray(kp[4]))
+
+
+class TestAppendChunk:
+    """Packed chunk-round append (kv_cache_append_chunk): masked c-row
+    slab rewrites at per-entry (slot, pos, len) — the contiguous-cache
+    write path of the packed chunked-prefill wave."""
+
+    @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.int8])
+    def test_matches_masked_scatter(self, dtype):
+        b, h, s_max, d, c = 5, 2, 256, 128, 64
+        keys = jax.random.split(KEY, 4)
+        kc = _rand(keys[0], (b, h, s_max, d), dtype)
+        vc = _rand(keys[1], (b, h, s_max, d), dtype)
+        kn = _rand(keys[2], (3, h, c, d), dtype)
+        vn = _rand(keys[3], (3, h, c, d), dtype)
+        slots = jnp.asarray([4, 0, 2], jnp.int32)
+        pos = jnp.asarray([64, 128, 0], jnp.int32)
+        lens = jnp.asarray([64, 30, 0], jnp.int32)  # full, partial, dead
+
+        want_k, want_v = np.asarray(kc).copy(), np.asarray(vc).copy()
+        for e in range(3):
+            sl, p0, li = int(slots[e]), int(pos[e]), int(lens[e])
+            want_k[sl, :, p0 : p0 + li] = np.asarray(kn)[e, :, :li]
+            want_v[sl, :, p0 : p0 + li] = np.asarray(vn)[e, :, :li]
+
+        got_k, got_v = kv_cache_append_chunk(kc, vc, kn, vn, slots, pos, lens)
+        np.testing.assert_array_equal(np.asarray(got_k), want_k)
+        np.testing.assert_array_equal(np.asarray(got_v), want_v)
+
+    def test_dead_entry_aliasing_slot0_keeps_cache(self):
+        # bucket-padding entries point at slot 0 with len 0: slot 0's
+        # cache must come through bit-identical
+        b, h, s_max, d, c = 2, 2, 128, 128, 32
+        keys = jax.random.split(KEY, 4)
+        kc = _rand(keys[0], (b, h, s_max, d), jnp.bfloat16)
+        vc = _rand(keys[1], (b, h, s_max, d), jnp.bfloat16)
+        kn = _rand(keys[2], (2, h, c, d), jnp.bfloat16)
+        vn = _rand(keys[3], (2, h, c, d), jnp.bfloat16)
+        slots = jnp.asarray([1, 0], jnp.int32)
+        pos = jnp.asarray([32, 0], jnp.int32)
+        lens = jnp.asarray([32, 0], jnp.int32)
+        got_k, got_v = kv_cache_append_chunk(kc, vc, kn, vn, slots, pos, lens)
+        np.testing.assert_array_equal(np.asarray(got_k[0]), np.asarray(kc[0]))
+        np.testing.assert_array_equal(np.asarray(got_v[0]), np.asarray(vc[0]))
+        np.testing.assert_array_equal(
+            np.asarray(got_k[1, :, 32:64]), np.asarray(kn[0])
+        )

@@ -459,3 +459,163 @@ class TestForwardVarlen:
                                     block=128, block_q=128, block_k=128,
                                     kernels=False)
         check_err(got, want, rtol=6e-2, atol=6e-2)
+
+
+class TestPackedChunkedPrefill:
+    """prefill_chunk_step_packed: packed ragged chunk rounds (the
+    composition of the group-mode varlen pack with chunked prefill —
+    finished prompts drop out of later rounds)."""
+
+    C = 128
+
+    def _run_packed(self, cfg, params, prompts, n_slots, kernels=True):
+        c = self.C
+        lens_full = [p.shape[0] for p in prompts]
+        cache = llama.init_kv_cache(cfg, n_slots)
+        n_rounds = -(-max(lens_full) // c)
+        last_logits = [None] * len(prompts)
+        for j in range(n_rounds):
+            live = [i for i, L in enumerate(lens_full) if L > j * c]
+            e_n = len(live)
+            toks = np.zeros((e_n, c), np.int32)
+            lens = np.zeros((e_n,), np.int32)
+            for e, i in enumerate(live):
+                li = min(c, lens_full[i] - j * c)
+                toks[e, :li] = np.asarray(prompts[i][j * c : j * c + li])
+                lens[e] = li
+            slots = np.asarray(live, np.int32)
+            pos = np.full((e_n,), j * c, np.int32)
+            logits, cache = llama.prefill_chunk_step_packed(
+                params, cache, jnp.asarray(toks), jnp.asarray(lens),
+                jnp.asarray(slots), jnp.asarray(pos), cfg,
+                kernels=kernels, calibrate_scales=(j == 0),
+            )
+            for e, i in enumerate(live):
+                if (lens_full[i] - 1) // c == j:
+                    last_logits[i] = logits[e]
+        return last_logits, cache
+
+    def test_matches_full_prefill_bf16(self):
+        cfg = CFG_BF16
+        rng = jax.random.PRNGKey(5)
+        lens_full = [200, 130, 96]
+        prompts = [
+            jax.random.randint(jax.random.fold_in(rng, i), (L,), 0,
+                               cfg.vocab_size)
+            for i, L in enumerate(lens_full)
+        ]
+        last_logits, cache = self._run_packed(cfg, PARAMS_BF16, prompts, 3)
+
+        for i, (L, p) in enumerate(zip(lens_full, prompts)):
+            full_logits, seeds = llama.forward(
+                PARAMS_BF16, p[None], cfg, return_cache=True
+            )
+            check_err(last_logits[i], full_logits[0, -1], rtol=6e-2,
+                      atol=6e-2, msg=f"prompt {i} last logits")
+            # cache prefix parity for this slot
+            full_cache = llama.seed_kv_cache(
+                llama.init_kv_cache(cfg, 1), seeds, cfg
+            )
+            for kv_c, kv_f in zip(cache, full_cache):
+                check_err(
+                    kv_c["k"][i, :, :L].astype(jnp.float32),
+                    kv_f["k"][0, :, :L].astype(jnp.float32),
+                    rtol=6e-2, atol=6e-2, msg=f"prompt {i} cache",
+                )
+
+        # decode continuation from the packed-built cache vs full-prefill
+        nxt = jnp.asarray([[3], [7], [11]], jnp.int32)
+        pos_v = jnp.asarray(lens_full, jnp.int32)
+        g1, _ = llama.decode_step_batched(
+            PARAMS_BF16, cache, nxt, pos_v, cfg
+        )
+        for i, p in enumerate(prompts):
+            _, seeds = llama.forward(PARAMS_BF16, p[None], cfg,
+                                     return_cache=True)
+            fc = llama.seed_kv_cache(llama.init_kv_cache(cfg, 1), seeds, cfg)
+            g2, _ = llama.decode_step_batched(
+                PARAMS_BF16, fc, nxt[i : i + 1], pos_v[i : i + 1], cfg
+            )
+            check_err(g1[i], g2[0], rtol=6e-2, atol=6e-2,
+                      msg=f"prompt {i} decode continuation")
+
+    def test_int8_kv_matches_padded_chunk_wave(self):
+        cfg = llama.tiny_config(quant="bf16", kv_quant="int8")
+        params = PARAMS_BF16
+        rng = jax.random.PRNGKey(6)
+        lens_full = [256, 140]
+        prompts = [
+            jax.random.randint(jax.random.fold_in(rng, i), (L,), 0,
+                               cfg.vocab_size)
+            for i, L in enumerate(lens_full)
+        ]
+        last_logits, cache = self._run_packed(cfg, params, prompts, 2)
+        for i, (L, p) in enumerate(zip(lens_full, prompts)):
+            # per-request padded chunk loop (the trusted path)
+            c1 = llama.init_kv_cache(cfg, 1)
+            lg = None
+            for j in range(-(-L // self.C)):
+                li = min(self.C, L - j * self.C)
+                chunk = jnp.zeros((1, self.C), jnp.int32)
+                chunk = chunk.at[0, :li].set(p[j * self.C : j * self.C + li])
+                lg, c1 = llama.prefill_chunk_step(
+                    params, c1, chunk, j * self.C, cfg,
+                    calibrate_scales=(j == 0),
+                )
+                if (L - 1) // self.C == j:
+                    lg = lg[0, (L - 1) % self.C]
+            check_err(last_logits[i], lg, rtol=8e-2, atol=8e-2,
+                      msg=f"prompt {i}")
+
+    def test_bucket_padding_entry_is_inert(self):
+        cfg = CFG_BF16
+        rng = jax.random.PRNGKey(7)
+        p0 = jax.random.randint(rng, (100,), 0, cfg.vocab_size)
+        # run slot 1's chunk with and without a dead padding entry
+        cache_a = llama.init_kv_cache(cfg, 2)
+        toks = jnp.zeros((1, self.C), jnp.int32).at[0, :100].set(p0)
+        lg_a, cache_a = llama.prefill_chunk_step_packed(
+            params=PARAMS_BF16, cache=cache_a, tokens=toks,
+            lens=jnp.asarray([100], jnp.int32),
+            slots=jnp.asarray([1], jnp.int32),
+            pos=jnp.asarray([0], jnp.int32), cfg=cfg,
+        )
+        cache_b = llama.init_kv_cache(cfg, 2)
+        toks2 = jnp.concatenate([toks, jnp.zeros_like(toks)], axis=0)
+        lg_b, cache_b = llama.prefill_chunk_step_packed(
+            params=PARAMS_BF16, cache=cache_b, tokens=toks2,
+            lens=jnp.asarray([100, 0], jnp.int32),
+            slots=jnp.asarray([1, 0], jnp.int32),
+            pos=jnp.asarray([0, 0], jnp.int32), cfg=cfg,
+        )
+        # same logits up to bf16 retiling noise (T=128 vs 256 changes GEMM
+        # block padding), and slot 0 (the dead entry's alias target) must
+        # be BIT-identical — the padding entry never touches any cache
+        check_err(lg_a[0], lg_b[0], rtol=2e-2, atol=2e-2)
+        for kv_a, kv_b in zip(cache_a, cache_b):
+            np.testing.assert_array_equal(
+                np.asarray(kv_a["k"][0]), np.asarray(kv_b["k"][0])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(kv_a["v"][0]), np.asarray(kv_b["v"][0])
+            )
+            check_err(
+                kv_a["k"][1].astype(jnp.float32),
+                kv_b["k"][1].astype(jnp.float32), rtol=2e-2, atol=2e-2,
+            )
+
+    def test_kernels_reference_parity(self):
+        cfg = CFG_BF16
+        rng = jax.random.PRNGKey(8)
+        lens_full = [160, 96]
+        prompts = [
+            jax.random.randint(jax.random.fold_in(rng, i), (L,), 0,
+                               cfg.vocab_size)
+            for i, L in enumerate(lens_full)
+        ]
+        lg_k, cache_k = self._run_packed(cfg, PARAMS_BF16, prompts, 2,
+                                         kernels=True)
+        lg_r, cache_r = self._run_packed(cfg, PARAMS_BF16, prompts, 2,
+                                         kernels=False)
+        for i in range(2):
+            check_err(lg_k[i], lg_r[i], rtol=6e-2, atol=6e-2)

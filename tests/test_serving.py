@@ -70,6 +70,7 @@ class TestServing:
         eng = ServingEngine(PARAMS, CFG, batch_slots=1, kernels=False)
         probe = Request(0, [3, 4], max_new_tokens=4)
         eng.add(probe)
+        eng.admit()  # admission is deferred to step()/admit()
         first = probe.output[0]
         while eng.pending():
             eng.step()
@@ -211,6 +212,7 @@ class TestPagedServing:
         reqs = [Request(i, [3 + i, 7, 11], max_new_tokens=4) for i in range(3)]
         for r in reqs:
             eng.add(r)
+        eng.admit()
         assert sum(r is not None for r in eng.slot_req) == 2  # pool-limited
         assert len(eng.queue) == 1
         steps = 0
@@ -631,3 +633,50 @@ class TestSpeculativePackedPrefill:
         want, wstats = self._run(packed=False, paged=paged)
         assert got == want, (got, want)
         assert gstats == wstats, (gstats, wstats)
+
+
+class TestPackedChunkWave:
+    """Packed ragged chunk rounds (_chunked_prefill_wave, c % 128 == 0):
+    a mixed-length wave pays sum(ceil(len/c)) chunk rows; outputs must
+    match isolated greedy decoding."""
+
+    def test_matches_isolated_greedy(self):
+        prompts = [
+            list(np.asarray(jax.random.randint(
+                jax.random.PRNGKey(60 + i), (n,), 0, CFG.vocab_size)))
+            for i, n in enumerate((200, 140, 96))
+        ]
+        eng = ServingEngine(PARAMS, CFG, batch_slots=3, kernels=True,
+                            interpret=True, prefill_chunk=128)
+        reqs = [Request(i, p, max_new_tokens=3) for i, p in enumerate(prompts)]
+        for r in reqs:
+            eng.add(r)
+        steps = 0
+        while eng.pending():
+            eng.step()
+            steps += 1
+            assert steps < 40
+        for i, (r, p) in enumerate(zip(reqs, prompts)):
+            want = _isolated_greedy(p, 3)
+            assert r.output == want, (i, r.output, want)
+
+    def test_compile_bucket_reuse(self):
+        # two waves with different live-set sizes share the (e_n, calib)
+        # jit cache entries; the cache stays power-of-two sized
+        prompts = [
+            list(np.asarray(jax.random.randint(
+                jax.random.PRNGKey(70 + i), (n,), 0, CFG.vocab_size)))
+            for i, n in enumerate((140, 130, 96, 40))
+        ]
+        eng = ServingEngine(PARAMS, CFG, batch_slots=4, kernels=True,
+                            interpret=True, prefill_chunk=128)
+        reqs = [Request(i, p, max_new_tokens=2) for i, p in enumerate(prompts)]
+        for r in reqs:
+            eng.add(r)
+        while eng.pending():
+            eng.step()
+        keys = set(eng._chunk_packed_cache)
+        assert keys <= {(1, False), (2, False), (4, True), (4, False),
+                        (2, True), (1, True)}, keys
+        for r, p in zip(reqs, prompts):
+            assert r.output == _isolated_greedy(p, 2), r.id
