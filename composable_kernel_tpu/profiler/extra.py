@@ -363,3 +363,131 @@ def profile_quant_attention(ns):
     record("static_quant_int8", r)
     print(f"static-quant attention B{b} H{hq}/{hkv} S{s} D{d}: "
           f"{r.avg_ms:.3f} ms, {r.tflops:.1f} TOPS-eff")
+
+
+@register("varlen_attention")
+def profile_varlen_attention(ns):
+    """Packed group-mode attention engines (CK fmha group mode,
+    fmha_fwd_kernel.hpp:505-555): (a) packed-varlen self-attention vs the
+    padded flash path, (b) the varlen-CACHE chunk kernel (packed chunk
+    queries vs per-slot caches — the chunked-prefill composition) vs the
+    padded per-slot chunk attention."""
+    jax, jnp, on_tpu = _env()
+    from composable_kernel_tpu.ops.attention import (
+        flash_attention,
+        flash_attention_varlen,
+        flash_attention_varlen_cache,
+        pack_varlen,
+    )
+    from composable_kernel_tpu.profiler.cli import record
+
+    def _host_ref(q_, k_, v_, offs):
+        # f64 host softmax: NEVER use an on-TPU matmul as the golden
+        # reference (f32 matmuls run one-pass bf16 on this backend)
+        L, Hq, dd = q_.shape
+        Lk = k_.shape[0]
+        g = Hq // k_.shape[1]
+        q64 = np.asarray(q_, np.float64)
+        k64 = np.repeat(np.asarray(k_, np.float64), g, axis=1)
+        v64 = np.repeat(np.asarray(v_, np.float64), g, axis=1)
+        sc = np.einsum("qhd,khd->hqk", q64, k64) / np.sqrt(dd)
+        qpos = offs + np.arange(L)[:, None]
+        mask = np.arange(Lk)[None, :] <= qpos
+        sc = np.where(mask[None], sc, -1e30)
+        pp = np.exp(sc - sc.max(-1, keepdims=True))
+        pp /= pp.sum(-1, keepdims=True)
+        return np.einsum("hqk,khd->qhd", pp, v64)
+
+    hq, hkv, d = ns.heads, ns.kv_heads or ns.heads, ns.k
+    lens = ([2048, 1024, 512, 512, 256, 128] if on_tpu
+            else [200, 96, 64])
+    keys = jax.random.split(jax.random.PRNGKey(0), 3 * len(lens))
+    qs = [jax.random.normal(keys[3 * i], (L, hq, d), jnp.float32
+                            ).astype(jnp.bfloat16) for i, L in enumerate(lens)]
+    ks = [jax.random.normal(keys[3 * i + 1], (L, hkv, d), jnp.float32
+                            ).astype(jnp.bfloat16) for i, L in enumerate(lens)]
+    vs = [jax.random.normal(keys[3 * i + 2], (L, hkv, d), jnp.float32
+                            ).astype(jnp.bfloat16) for i, L in enumerate(lens)]
+    bq, bk = (512, 1024) if on_tpu else (128, 128)
+    qp, q_starts, q_lens = pack_varlen(qs, bq)
+    kp, kv_starts, kv_lens = pack_varlen(ks, bk)
+    vp, _, _ = pack_varlen(vs, bk)
+    if ns.verify:
+        got = np.asarray(flash_attention_varlen(
+            qp, kp, vp, q_starts, q_lens, kv_starts, kv_lens,
+            causal=True, block_q=bq, block_k=bk, interpret=not on_tpu,
+        ).astype(jnp.float32))
+        for i, (s0, L) in enumerate(zip(np.asarray(q_starts), lens)):
+            want_i = _host_ref(qs[i], ks[i], vs[i], 0)
+            err = np.abs(got[s0:s0 + L] - want_i).max()
+            assert err < 0.05, (i, err)
+    fn = lambda q_, k_, v_: flash_attention_varlen(
+        q_, k_, v_, q_starts, q_lens, kv_starts, kv_lens,
+        causal=True, block_q=bq, block_k=bk, interpret=not on_tpu)
+    flops = sum(4.0 * hq * L * L * d * 0.5 for L in lens)
+    r = _time(fn, qp, kp, vp, flops=flops, on_tpu=on_tpu)
+    record("varlen_packed", r)
+    # padded comparator: every sequence padded to max(lens)
+    smax = max(lens)
+    b = len(lens)
+    qd = jnp.stack([jnp.pad(q, ((0, smax - q.shape[0]), (0, 0), (0, 0)))
+                    for q in qs]).transpose(0, 2, 1, 3)
+    kd = jnp.stack([jnp.pad(k, ((0, smax - k.shape[0]), (0, 0), (0, 0)))
+                    for k in ks]).transpose(0, 2, 1, 3)
+    vd = jnp.stack([jnp.pad(v, ((0, smax - v.shape[0]), (0, 0), (0, 0)))
+                    for v in vs]).transpose(0, 2, 1, 3)
+    lens_j = jnp.asarray(lens, jnp.int32)
+    fn_pad = lambda q_, k_, v_: flash_attention(
+        q_, k_, v_, causal=True, kv_seq_len=lens_j, causal_offset=jnp.zeros(
+            (b,), jnp.int32), interpret=not on_tpu)
+    r_pad = _time(fn_pad, qd, kd, vd, flops=flops, on_tpu=on_tpu)
+    record("padded_flash", r_pad)
+    print(f"varlen_attention H{hq}/{hkv} D{d} lens={lens}: packed "
+          f"{r.avg_ms:.3f} ms vs padded {r_pad.avg_ms:.3f} ms "
+          f"({r_pad.avg_ms / r.avg_ms:.2f}x)")
+
+    # ---- (b) varlen-CACHE chunk kernel vs padded chunk attention -------
+    c = 512 if on_tpu else 128
+    s_max = 4096 if on_tpu else 256
+    e_n = len(lens)
+    pos = jnp.asarray([min(L * 2, s_max - c) // c * c for L in lens],
+                      jnp.int32)
+    ck_keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    cache_k = jax.random.normal(ck_keys[0], (e_n, hkv, s_max, d), jnp.float32
+                                ).astype(jnp.bfloat16)
+    cache_v = jax.random.normal(ck_keys[1], (e_n, hkv, s_max, d), jnp.float32
+                                ).astype(jnp.bfloat16)
+    q_chunk = jax.random.normal(ck_keys[2], (e_n * c, hq, d), jnp.float32
+                                ).astype(jnp.bfloat16)
+    starts_c = jnp.arange(e_n, dtype=jnp.int32) * c
+    lens_c = jnp.full((e_n,), c, jnp.int32)
+    kv_lens_c = pos + c
+    if ns.verify:
+        got = np.asarray(flash_attention_varlen_cache(
+            q_chunk, cache_k, cache_v, starts_c, lens_c, kv_lens_c,
+            block_q=min(512, c), interpret=not on_tpu).astype(jnp.float32))
+        for i in range(e_n):
+            kl = int(np.asarray(kv_lens_c)[i])
+            want_i = _host_ref(
+                q_chunk[i * c:(i + 1) * c],
+                np.asarray(cache_k[i, :, :kl]).transpose(1, 0, 2),
+                np.asarray(cache_v[i, :, :kl]).transpose(1, 0, 2),
+                kl - c,
+            )
+            err = np.abs(got[i * c:(i + 1) * c] - want_i).max()
+            assert err < 0.05, (i, err)
+    fn_c = lambda q_, k_, v_: flash_attention_varlen_cache(
+        q_, k_, v_, starts_c, lens_c, kv_lens_c, block_q=min(512, c),
+        interpret=not on_tpu)
+    flops_c = float(sum(4.0 * hq * c * int(kl) * d
+                        for kl in np.asarray(kv_lens_c)))
+    r_c = _time(fn_c, q_chunk, cache_k, cache_v, flops=flops_c, on_tpu=on_tpu)
+    record("varlen_cache_chunk", r_c)
+    q4 = q_chunk.reshape(e_n, c, hq, d).transpose(0, 2, 1, 3)
+    fn_cp = lambda q_, k_, v_: flash_attention(
+        q_, k_, v_, causal=True, kv_seq_len=kv_lens_c, causal_offset=pos,
+        interpret=not on_tpu)
+    r_cp = _time(fn_cp, q4, cache_k, cache_v, flops=flops_c, on_tpu=on_tpu)
+    record("padded_chunk_flash", r_cp)
+    print(f"varlen_cache chunk e={e_n} c={c} s_max={s_max}: packed "
+          f"{r_c.avg_ms:.3f} ms vs padded chunk {r_cp.avg_ms:.3f} ms")
