@@ -10,6 +10,7 @@ which instance registry family supplies its configs.
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass, field
 
 import jax
@@ -48,8 +49,11 @@ class GemmMultipleDProblem:
     family = "gemm"
 
     def key(self) -> str:
+        # deterministic digest: Python hash() is randomized per process
+        # (PYTHONHASHSEED) and the key names the AotCache file — a random
+        # suffix would defeat the cross-restart disk cache
         ep = self.epilogue or (
-            "src%d" % (abs(hash(self.epilogue_src)) % 10**8)
+            "src" + hashlib.sha256(self.epilogue_src.encode()).hexdigest()[:8]
             if self.epilogue_src
             else "none"
         )

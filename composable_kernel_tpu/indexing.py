@@ -57,6 +57,33 @@ def clamped_block(kk, live_len, block):
     return jnp.minimum(kk, jnp.maximum(n_live - 1, 0))
 
 
+def clamped_parity_block(kk, sub, live_len, block, stride):
+    """Clamp a strided sub-operand's block index to the live prefix.
+
+    Sub-operand ``sub`` of a ``stride``-wide bundle reads tile
+    ``kk*stride + sub`` of ``block`` rows. Dead tiles park at the LARGEST
+    live tile of the SAME residue class (index unchanged from the
+    sub-operand's previous step -> Pallas skips the re-fetch entirely),
+    or at tile ``sub`` when no live tile of that class exists. This is
+    what makes multi-sub-operand KV streaming (ops/attention/paged.py
+    ``kv_subs``) read only ceil(live_len/block) tiles while issuing
+    ``stride`` concurrent DMAs per grid step — the measured v5e DMA rate
+    at one 2048-row stream is ~438 GB/s vs ~624 at four 256-row streams
+    (scripts/probe_kv_dma.py).
+    """
+    tile = kk * stride + sub
+    last_live = jnp.maximum(
+        jax.lax.div(live_len + (block - 1), block) - 1, 0
+    )
+    # largest tile == sub (mod stride) that is <= last_live; tile `sub`
+    # itself when the class has no live tile (floor-div of the clamped
+    # non-negative gap keeps the arithmetic sign-safe)
+    park = sub + jax.lax.div(
+        jnp.maximum(last_live - sub, 0), stride
+    ) * stride
+    return jnp.where(tile <= last_live, tile, park)
+
+
 def fit_packed_block(target, half_seg, group_size=1, lane=128):
     """Largest packed K-block <= ``target`` that (a) divides ``half_seg``,
     (b) is a whole number of scale groups when groups fit inside the half

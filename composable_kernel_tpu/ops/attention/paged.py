@@ -36,13 +36,20 @@ _NEG_INF = -1e30
 _LANES = 128
 
 
+def _fused_heads_default(hkv: int) -> bool:
+    """Default head strategy: the block-diagonal fused step wins whenever
+    several kv heads share a block DMA (the per-head loop is MXU-issue
+    bound, not FLOP bound); a single kv head has nothing to fuse."""
+    return hkv > 1
+
+
 def _paged_kernel(
     table_ref,  # [B, max_pages] int32 scalar prefetch
     lens_ref,  # [1, B] int32 scalar prefetch
     q_ref,  # [1, Hq*Sq(pad), D] — ALL heads of one sequence
-    k_ref,  # [1, Hkv, page, D] — one whole page, all kv heads
-    v_ref,
-    *rest,  # [k_scale_ref, v_scale_ref,] o_ref, scratches
+    *rest,  # kv_subs k refs + kv_subs v refs ([1, Hkv, page/kv_subs, D]
+    #         sub-tiles of the grid step's page span), then
+    #         [k_scale_ref, v_scale_ref,] [kn_ref, vn_ref,] o_ref, scratches
     scale: float,
     page: int,
     n_steps: int,
@@ -53,6 +60,8 @@ def _paged_kernel(
     causal_sq: int = 1,
     has_new: bool = False,
     rows_live: int | None = None,
+    fused_heads: bool = False,
+    kv_subs: int = 1,
 ):
     """Grid = (B, pages): each page is DMA'd exactly once and serves every
     head — the bandwidth-shaped layout for decode, where KV streaming is
@@ -69,7 +78,10 @@ def _paged_kernel(
     VMEM operands and fold into the online softmax at the last grid step,
     so the decode step never waits on a per-layer cache write (the
     slab rewrites replay back-to-back at step end instead)."""
-    idx = 0
+    assert kv_subs == 1 or fused_heads, "kv_subs>1 requires the fused step"
+    k_refs = rest[:kv_subs]
+    v_refs = rest[kv_subs : 2 * kv_subs]
+    idx = 2 * kv_subs
     if has_kv_scale:
         k_scale_ref = rest[idx]; idx += 1
         v_scale_ref = rest[idx]; idx += 1
@@ -77,6 +89,7 @@ def _paged_kernel(
         kn_ref = rest[idx]; idx += 1
         vn_ref = rest[idx]; idx += 1
     o_ref, m_scr, l_scr, acc_scr = rest[idx : idx + 4]
+    bs = page // kv_subs  # rows per sub-tile
     kk = pl.program_id(1)
     batch = pl.program_id(0)
     # newest query position: with a deferred fresh token the live length is
@@ -99,8 +112,99 @@ def _paged_kernel(
         live &= (kk * page + page - 1
                  > lens_ref[0, batch] - causal_sq - window + newest_off)
 
-    @pl.when(live)
+    def _fused_sub(t):
+        # Block-diagonal fused-heads sub-step: ONE MXU dot computes every
+        # head's scores — Q_all [Hkv*rows, D] @ (K sub-tile reshaped
+        # [Hkv*bs, D])^T — with cross-head entries masked to -inf so
+        # exp() zeroes them EXACTLY, which makes the single
+        # P_all @ V_all dot exact too (the zero rows of P kill the
+        # cross-head products). Trades 2 large MXU issues for the
+        # per-head loop's 2*Hkv small ones plus Hkv online-softmax
+        # chains: the decode grid is issue/sequencing bound, not
+        # FLOP bound (docs/performance.md round-4; the per-head loop
+        # measured 54 us/layer vs a ~22 us DMA floor at B=8 GQA 32/8).
+        # With kv_subs > 1 the page span is split into sub-operands so
+        # Mosaic issues 2*kv_subs concurrent KV DMAs per step (the v5e
+        # DMA engine needs ~4+ streams for peak rate —
+        # scripts/probe_kv_dma.py) and dead tails clamp at bs granularity
+        # (indexing.clamped_parity_block). CK analog: the persistent
+        # tile-loop amortization idea of
+        # device_grouped_gemm_tile_loop.hpp:26-95, applied to the MXU
+        # issue and DMA streams instead of thread blocks.
+        rows_tot = n_kv_heads * rows_per_kv
+        cols_tot = n_kv_heads * bs
+        pos0 = kk * page + t * bs  # global key position of sub col 0
+        q_all = q_ref[0]  # [rows_tot, D]
+        k_all = k_refs[t][0].reshape(cols_tot, k_refs[t].shape[-1]).astype(
+            q_all.dtype
+        )
+        v_all = v_refs[t][0].reshape(cols_tot, v_refs[t].shape[-1]).astype(
+            q_all.dtype
+        )
+        s = jax.lax.dot_general(
+            q_all, k_all, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [rows_tot, cols_tot]
+        if has_kv_scale:
+            # per-head k scale as a [rows_tot, 1] column (SMEM loads
+            # are scalar-only: build from Hkv scalars once per step)
+            s_col = jnp.concatenate(
+                [
+                    jnp.full((rows_per_kv, 1),
+                             scale * k_scale_ref[0, 0, h], jnp.float32)
+                    for h in range(n_kv_heads)
+                ],
+                axis=0,
+            )
+            s = s * s_col
+        else:
+            s = s * scale
+        r = jax.lax.broadcasted_iota(jnp.int32, (rows_tot, cols_tot), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (rows_tot, cols_tot), 1)
+        ch = c // bs
+        k_pos = pos0 + (c - ch * bs)
+        mask = (r // rows_per_kv) == ch  # block-diagonal head match
+        if causal_sq > 1:
+            r_loc = r - (r // rows_per_kv) * rows_per_kv
+            q_pos = (lens_ref[0, batch] - causal_sq
+                     + jax.lax.rem(r_loc, causal_sq))
+            mask &= k_pos <= q_pos
+            if window is not None:
+                mask &= k_pos > q_pos - window
+        else:
+            mask &= k_pos < lens_ref[0, batch]
+            if window is not None:
+                mask &= k_pos > (lens_ref[0, batch] - 1 - window
+                                 + newest_off)
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_scr[...]
+        row_max = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, row_max)
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, :1])
+        l_scr[...] = l_scr[...] * corr + jnp.sum(p, axis=-1,
+                                                 keepdims=True)
+        m_scr[...] = m_new
+        acc_scr[...] = acc_scr[...] * corr[:, :1] + jax.lax.dot_general(
+            p.astype(v_all.dtype), v_all, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if fused_heads:
+        for t in range(kv_subs):
+            sub_live = kk * page + t * bs < lens_ref[0, batch]
+            if window is not None:
+                sub_live &= (kk * page + (t + 1) * bs - 1
+                             > lens_ref[0, batch] - causal_sq - window
+                             + newest_off)
+            pl.when(sub_live)(functools.partial(_fused_sub, t))
+
+    @pl.when(live & jnp.bool_(not fused_heads))
     def _step():
+        if fused_heads:
+            return  # static: body compiled out; the fused subs ran above
+        k_ref, v_ref = k_refs[0], v_refs[0]
         # mask geometry is head-independent: compute once per step
         shape = (rows_per_kv, page)
         k_pos = kk * page + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -216,6 +320,7 @@ def paged_flash_decode(
     out_dtype=None,
     q_packed: tuple | None = None,
     out_layout: str = "bhsd",
+    fused_heads: bool | None = None,
     interpret: bool | None = None,
 ):
     """Decode attention over a paged KV pool.
@@ -342,6 +447,8 @@ def paged_flash_decode(
             vn3 = jnp.pad(vn3, ((0, 0), (0, 0), (0, dvp - dv)))
         inputs += [kn3, vn3]
 
+    if fused_heads is None:
+        fused_heads = _fused_heads_default(hkv)
     kernel = functools.partial(
         _paged_kernel,
         scale=scale,
@@ -354,6 +461,7 @@ def paged_flash_decode(
         causal_sq=sq if causal else 1,
         has_new=has_new,
         rows_live=rows if flat_out else None,
+        fused_heads=fused_heads,
     )
 
     out_rows = hkv * rows if flat_out else hkv * rows_pad
@@ -407,6 +515,8 @@ def decode_attention(
     out_dtype=None,
     q_packed: tuple | None = None,
     out_layout: str = "bhsd",
+    fused_heads: bool | None = None,
+    kv_subs: int | None = None,
     interpret: bool | None = None,
 ):
     """Head-grouped dense decode attention over a contiguous KV cache.
@@ -507,12 +617,44 @@ def decode_attention(
     def kv_index(batch, kk, table_s, lens_s):
         return (batch, 0, indexing.clamped_block(kk, lens_s[0, batch], bk), 0)
 
+    if fused_heads is None:
+        fused_heads = _fused_heads_default(hkv)
+    if kv_subs is None:
+        # 2 sub-operands per K and per V = 4 concurrent DMA streams: the
+        # v5e DMA engine needs several in-flight streams for peak rate
+        # (scripts/probe_kv_dma.py: 438 GB/s at 1 stream, 624 at 4), and
+        # the parity-parked clamp (indexing.clamped_parity_block) reads
+        # dead tails at bs granularity instead of bk.
+        kv_subs = 2 if fused_heads else 1
+    kv_subs = max(1, min(kv_subs, bk // 128))
+    if not fused_heads:
+        kv_subs = 1
+    while bk % kv_subs:
+        kv_subs -= 1
+    bs = bk // kv_subs
+
+    def kv_sub_index(t, ksubs=kv_subs, bs_=None):
+        def f(batch, kk, table_s, lens_s):
+            return (
+                batch,
+                0,
+                indexing.clamped_parity_block(
+                    kk, t, lens_s[0, batch], bs, ksubs
+                ),
+                0,
+            )
+        return f
+
     in_specs = [
         pl.BlockSpec((1, hkv * rows_pad, dp), q_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hkv, bk, dp), kv_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hkv, bk, dvp), kv_index, memory_space=pltpu.VMEM),
     ]
-    inputs = [q_p, k_p, v_p]
+    for t in range(kv_subs):
+        in_specs.append(pl.BlockSpec((1, hkv, bs, dp), kv_sub_index(t),
+                                     memory_space=pltpu.VMEM))
+    for t in range(kv_subs):
+        in_specs.append(pl.BlockSpec((1, hkv, bs, dvp), kv_sub_index(t),
+                                     memory_space=pltpu.VMEM))
+    inputs = [q_p] + [k_p] * kv_subs + [v_p] * kv_subs
     if has_kv_scale:
         # [B, 1, Hkv] with a (1, 1, Hkv) block: trailing dims equal the
         # array dims, satisfying Mosaic's block rule (a (1, Hkv) block over
@@ -560,6 +702,8 @@ def decode_attention(
         causal_sq=sq if causal else 1,
         has_new=has_new,
         rows_live=rows if flat_out else None,
+        fused_heads=fused_heads,
+        kv_subs=kv_subs,
     )
 
     out_rows = hkv * rows if flat_out else hkv * rows_pad

@@ -74,7 +74,7 @@ def unpack_varlen(packed, starts, lens):
 
 
 def _varlen_kernel(
-    meta_ref,  # [4, n_q_blocks] int32: q_pos_base, kv_len, kv_blk0, q_rem
+    meta_ref,  # [3, n_q_blocks] int32: q_pos_base, kv_len, kv_blk0
     q_ref,  # [1, bq, D]
     k_ref,  # [1, bk, D]
     v_ref,
@@ -240,8 +240,7 @@ def flash_attention_varlen(
     # kv_len - q_len + q_off + r
     q_pos0 = kv_len - q_lens[seq] + q_off
     kv_blk0 = kv_starts[seq] // bk
-    q_rem = q_lens[seq] - q_off
-    meta = jnp.stack([q_pos0, kv_len, kv_blk0, q_rem]).astype(jnp.int32)
+    meta = jnp.stack([q_pos0, kv_len, kv_blk0]).astype(jnp.int32)
 
     def q_index(h, qb, kv, *_):
         return (h, qb, 0)
@@ -290,7 +289,7 @@ def flash_attention_varlen(
 
 
 def _varlen_cache_kernel(
-    meta_ref,  # [4, n_q_blocks] int32: q_pos_base, kv_len, seq, q_rem
+    meta_ref,  # [3, n_q_blocks] int32: q_pos_base, kv_len, seq
     q_ref,  # [1, bq, D]
     k_ref,  # [1, 1, bk, D]  (cache block of this q-block's slot)
     v_ref,  # [1, 1, bk, Dv]
@@ -419,7 +418,10 @@ def flash_attention_varlen_cache(
     key position ``kv_lens[w] - q_lens[w] + i`` (the chunked-prefill
     convention shared with ``prefill_chunk_step``'s causal_offset).
     Zero-length sequences are allowed (finished wave slots): they own no
-    q rows and cost nothing. Returns [Tq, Hq, Dv].
+    q rows and cost nothing. Rows in the block padding (past a sequence's
+    ``q_lens``) produce unspecified output — consumers must slice live
+    rows via ``unpack_varlen``/the packing geometry, never read pad rows.
+    Returns [Tq, Hq, Dv].
     """
     tq, hq, d = q.shape
     b, hkv, s_max, dk = cache_k.shape
@@ -470,8 +472,7 @@ def flash_attention_varlen_cache(
     q_off = blk_row0 - q_starts[seq]
     kv_len = kv_lens[seq]
     q_pos0 = kv_len - q_lens[seq] + q_off
-    q_rem = q_lens[seq] - q_off
-    meta = jnp.stack([q_pos0, kv_len, slot_ids[seq], q_rem]).astype(jnp.int32)
+    meta = jnp.stack([q_pos0, kv_len, slot_ids[seq]]).astype(jnp.int32)
 
     def q_index(h, qb, kv, *_):
         return (h, qb, 0)

@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -279,10 +280,18 @@ def kv_cache_append_chunk(k_cache, v_cache, k_new, v_new, slots, pos, lens, *,
     """Write packed prefill chunks into contiguous caches in place.
 
     k_new/v_new: [E, H, c, D] — entry e's chunk rows (c fixed span).
-    slots[e]:    cache slot the entry writes (entries must name distinct
-                 slots — the wave invariant; dead entries may alias slot 0
-                 since their writes keep the cache, see lens).
-    pos[e]:      row offset (a multiple of c: chunk rounds advance by c).
+    slots[e]:    cache slot the entry writes. LIVE entries must name
+                 distinct slots, and dead (lens==0) pad entries must NOT
+                 alias a slot that any live entry writes this call: two
+                 grid steps read-modify-writing the same aliased slab can
+                 re-fetch the stale double-buffered input buffer on real
+                 TPU and revert the live write (see the module-level
+                 aliasing note / CLAUDE.md). Point pads at a slot with no
+                 live writer — several pads sharing one dead slot is fine
+                 (identity rewrites are idempotent).
+    pos[e]:      row offset (a multiple of c: chunk rounds advance by c;
+                 checked host-side when pos is concrete — a misaligned
+                 offset would silently floor to the wrong slab).
     lens[e]:     live rows; rows >= lens[e] keep the existing cache
                  content, lens[e] == 0 is a full no-op rewrite (bucket
                  padding entries never corrupt finished slots).
@@ -299,6 +308,14 @@ def kv_cache_append_chunk(k_cache, v_cache, k_new, v_new, slots, pos, lens, *,
     assert s % c == 0, (s, c)
     if interpret is None:
         interpret = _interpret_default()
+    if not isinstance(pos, jax.core.Tracer):
+        pos_np = np.asarray(pos)
+        if (pos_np % c).any():
+            raise ValueError(
+                f"kv_cache_append_chunk: pos must be multiples of the chunk "
+                f"span c={c}, got {pos_np.tolist()} (misaligned offsets "
+                f"would silently floor to the wrong cache slab)"
+            )
     slots = jnp.asarray(slots, jnp.int32)
     pos = jnp.asarray(pos, jnp.int32)
     lens = jnp.asarray(lens, jnp.int32)

@@ -442,12 +442,25 @@ class ServingEngine:
                 e_n = min(e_n, bw)
                 toks = np.zeros((e_n, c), np.int32)
                 lens_r = np.zeros((e_n,), np.int32)
-                slots = np.zeros((e_n,), np.int32)
+                # Dead pad entries must target a wave slot that is NOT
+                # live this round: a pad aliasing a live slot gives two
+                # grid steps a read-modify-write of the same aliased cache
+                # slab, which on real TPU can re-fetch the stale
+                # double-buffered input and revert the live entry's write
+                # (the kv_cache_append_chunk "written exactly once"
+                # invariant). One always exists when padding exists
+                # (len(live) < e_n <= bw); several pads sharing it is fine
+                # — identity rewrites are idempotent.
+                if len(live) < e_n:
+                    dead = next(s for s in range(bw) if s not in set(live))
+                else:
+                    dead = 0  # no pads; value unused
+                slots = np.full((e_n,), dead, np.int32)
                 for e, i in enumerate(live):
                     li = min(c, lens[i] - j * c)
                     toks[e, :li] = pairs[i][1].prompt[j * c : j * c + li]
                     lens_r[e] = li
-                    slots[e] = i  # wave slot; dead pad entries alias 0
+                    slots[e] = i  # live entry -> its own wave slot
                 pos = np.full((e_n,), j * c, np.int32)
                 logits, tmp = _get_fn(e_n, j == 0)(
                     self.params, tmp, jnp.asarray(toks), jnp.asarray(lens_r),
