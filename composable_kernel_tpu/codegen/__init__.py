@@ -29,11 +29,16 @@ grouped_conv_fwd) plus the framework's north-star wo-quant GEMM family.
 """
 
 from composable_kernel_tpu.codegen.problems import (
+    AttentionProblem,
     GemmMultipleDProblem,
     GroupedConvFwdProblem,
     WoQuantGemmProblem,
 )
-from composable_kernel_tpu.codegen.emit import Solution, get_solutions
+from composable_kernel_tpu.codegen.emit import (
+    Solution,
+    dispatch_attention,
+    get_solutions,
+)
 from composable_kernel_tpu.codegen.aot import (
     AotCache,
     deserialize_solution,
@@ -41,6 +46,8 @@ from composable_kernel_tpu.codegen.aot import (
 )
 
 __all__ = [
+    "AttentionProblem",
+    "dispatch_attention",
     "GemmMultipleDProblem",
     "GroupedConvFwdProblem",
     "WoQuantGemmProblem",

@@ -168,3 +168,89 @@ class GroupedConvFwdProblem:
         for ds in self.d_shapes:
             args.append(_sds(ds if ds else (self.out_channels,), self.dtype))
         return tuple(args)
+
+
+@dataclass(frozen=True)
+class AttentionProblem:
+    """FMHA forward — the attention-family codegen analog of the
+    reference's per-config instance generator + traits dispatcher
+    (``example/ck_tile/01_fmha/generate.py`` emits one .cpp per
+    (dtype, hdim, mode, bias, mask, ...) config; ``fmha_fwd.hpp:438-514``
+    dispatches ``fmha_fwd_traits`` onto the generated symbols). Here a
+    problem enumerates AttentionConfig instances from the registry and
+    each Solution is an emitted module binding one config; the traits
+    dispatcher is :func:`composable_kernel_tpu.codegen.dispatch_attention`.
+
+    mode:
+      "batch"  — ``flash_attention`` over [B, Hq, Sq, D] (causal/window/
+                 alibi traits; int8 KV via kv_cache="int8").
+      "decode" — ``decode_attention`` head-grouped single-token decode
+                 over a [B, Hkv, S, D] cache (seq_q is the small chunk).
+    (The varlen group mode keeps runtime geometry args — packed starts/
+    lens — so it is dispatched at the API layer, not emitted per-shape.)
+    """
+
+    batch: int
+    n_heads: int
+    n_kv_heads: int
+    seq_q: int
+    seq_kv: int
+    head_dim: int
+    dtype: str = "bfloat16"
+    mode: str = "batch"
+    causal: bool = True
+    window: int | None = None
+    alibi: bool = False
+    lse: bool = False
+    dropout: float = 0.0
+    kv_cache: str = "none"  # "none" | "int8" (per-head scales)
+
+    family = "attention"
+
+    def __post_init__(self):
+        assert self.mode in ("batch", "decode"), self.mode
+        assert self.kv_cache in ("none", "int8"), self.kv_cache
+        assert self.n_heads % self.n_kv_heads == 0
+        if self.mode == "decode":
+            assert not self.alibi and not self.lse and self.dropout == 0.0
+
+    def key(self) -> str:
+        traits = [self.mode, self.dtype, f"hd{self.head_dim}"]
+        traits.append("causal" if self.causal else "full")
+        if self.window:
+            traits.append(f"w{self.window}")
+        if self.alibi:
+            traits.append("alibi")
+        if self.lse:
+            traits.append("lse")
+        if self.dropout:
+            traits.append(f"do{self.dropout}")
+        if self.kv_cache != "none":
+            traits.append(f"kv{self.kv_cache}")
+        shape = (
+            f"b{self.batch}h{self.n_heads}g{self.n_kv_heads}"
+            f"sq{self.seq_q}skv{self.seq_kv}"
+        )
+        return "fmha_fwd_" + "_".join(traits) + "_" + shape
+
+    def abstract_args(self):
+        b, hq, hkv, d = self.batch, self.n_heads, self.n_kv_heads, self.head_dim
+        kv_dtype = "int8" if self.kv_cache == "int8" else self.dtype
+        if self.mode == "decode":
+            args = [
+                _sds((b, hq, self.seq_q, d), self.dtype),
+                _sds((b, hkv, self.seq_kv, d), kv_dtype),
+                _sds((b, hkv, self.seq_kv, d), kv_dtype),
+                _sds((b,), "int32"),  # kv_seq_len
+            ]
+        else:
+            args = [
+                _sds((b, hq, self.seq_q, d), self.dtype),
+                _sds((b, hkv, self.seq_kv, d), kv_dtype),
+                _sds((b, hkv, self.seq_kv, d), kv_dtype),
+            ]
+        if self.kv_cache == "int8":
+            args += [_sds((b, hkv), "float32"), _sds((b, hkv), "float32")]
+        if self.alibi:
+            args.append(_sds((hq,), "float32"))
+        return tuple(args)

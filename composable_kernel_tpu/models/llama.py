@@ -1529,8 +1529,10 @@ def prefill_chunk_step_packed(
     tokens:  [E, c] — entry e's chunk rows (fixed span c; c % 128 == 0).
     lens:    [E] int32 in [0, c] — live rows; 0 marks a bucket-padding
              entry (no compute, no cache effect).
-    slots:   [E] int32 — cache slot per entry (distinct for live entries;
-             dead entries may alias slot 0).
+    slots:   [E] int32 — cache slot per entry (distinct for live
+             entries; dead entries must point at a slot NO live entry
+             writes this round — aliasing a live slot risks the stale
+             double-buffer revert, see kv_cache_append_chunk).
     pos:     [E] int32 — the entry's cache write offset (a multiple of c;
              all live entries of round j sit at j*c).
     Returns ``(last_logits [E, V], cache)`` — last-row logits per entry

@@ -297,13 +297,115 @@ def _fa_kernel(
     if window is not None:
         interior &= kv_idx * bk > (q_blk * bq + bq - 1 + lens_ref[1, batch]) - window
 
-    @pl.when(live & interior)
-    def _step_plain():
-        _step(False)
+    # ---- diagonal-tile sub-split (MEASURED NEGATIVE — off by default) -----
+    # The block-aligned DIAGONAL tile of a causal sweep is half dead, and
+    # at (1024,1024) blocks that waste is ~1.25x baked into the dots floor
+    # (docs/performance.md round-3 roofline). This path splits the
+    # exactly-aligned diagonal tile into a [bq, bk/2] lower-left dot plus
+    # a [bq/2, bk/2] bottom-right dot — 0.75x the MXU and exp work, two
+    # sequential online-softmax folds (associative over key chunks).
+    # On-chip (round 5, 4k causal GQA 32/8): int8-KV 106.2 -> 96.5 TF-eff,
+    # bf16 109.7 -> 99.3 — the 3-way pl.when dispatch plus the serialized
+    # second fold cost more than the 25%-of-one-tile FLOP saving recovers,
+    # the same verdict as every round-3 scheduling attempt. Config 4 is
+    # hereby CLOSED at the (1024,1024) single-masked-path numbers; the
+    # code stays behind CKT_DIAG_SPLIT=1 for re-probing on future Mosaic
+    # versions. CK analog: masking_specialization.hpp:10-54 dispatch
+    # pushed into the diagonal tile itself.
+    import os
 
-    @pl.when(live & jnp.logical_not(interior))
-    def _step_masked():
-        _step(True)
+    diag_split = (
+        os.environ.get("CKT_DIAG_SPLIT") == "1"
+        and causal
+        and window is None
+        and bq == bk
+        and bq >= 512
+        and not has_bias
+        and not has_alibi
+        and dropout_rate == 0.0
+        and static_quant is None
+        and not mxu_int8
+    )
+
+    def _step_diag():
+        h = bk // 2
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s_mul = scale
+        if has_kv_scale:
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
+            s_mul = scale * k_scale_ref[0, 0, 0]
+        q = (q.astype(jnp.float32) * s_mul).astype(q.dtype)
+
+        def fold(s, rows0, keys0, n_rows):
+            # one online-softmax fold of s [n_rows, h] into scratch rows
+            # [rows0, rows0+n_rows); keys start at tile-relative keys0
+            r_rel = rows0 + jax.lax.broadcasted_iota(
+                jnp.int32, (n_rows, h), 0
+            )
+            k_rel = keys0 + jax.lax.broadcasted_iota(
+                jnp.int32, (n_rows, h), 1
+            )
+            k_pos = kv_idx * bk + k_rel
+            mask = (k_rel <= r_rel) & (k_pos < lens_ref[0, batch])
+            s = jnp.where(mask, s, _NEG_INF)
+            rows = slice(rows0, rows0 + n_rows)
+            m_prev = m_scr[rows, :]
+            row_max = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, row_max)
+            corr = jnp.exp(m_prev - m_new)
+            m_scr[rows, :] = m_new
+            p16 = jnp.exp(s - m_new[:, :1]).astype(v.dtype)
+            l_add = jnp.sum(p16.astype(jnp.float32), axis=-1, keepdims=True)
+            l_scr[rows, :] = l_scr[rows, :] * corr + l_add
+            return p16, corr, rows
+
+        # lower-left: all rows x first-half keys
+        s_lo = jax.lax.dot_general(
+            q, k[:h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p_lo, corr, rows = fold(s_lo, 0, 0, bq)
+        acc_scr[...] = acc_scr[...] * corr[:, :1] + jax.lax.dot_general(
+            p_lo, v[:h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # bottom-right: only rows >= h can see keys >= h
+        s_hi = jax.lax.dot_general(
+            q[h:], k[h:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p_hi, corr, rows = fold(s_hi, h, h, bq - h)
+        acc_scr[rows, :] = acc_scr[rows, :] * corr[:, :1] + jax.lax.dot_general(
+            p_hi, v[h:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if diag_split:
+        # exactly-aligned diagonal: kv base == q base (+ traced offset)
+        diag = (kv_idx * bk) == (q_blk * bq + lens_ref[1, batch])
+
+        @pl.when(live & interior)
+        def _step_plain():
+            _step(False)
+
+        @pl.when(live & jnp.logical_not(interior) & diag)
+        def _step_diag_():
+            _step_diag()
+
+        @pl.when(live & jnp.logical_not(interior) & jnp.logical_not(diag))
+        def _step_masked():
+            _step(True)
+    else:
+        @pl.when(live & interior)
+        def _step_plain():
+            _step(False)
+
+        @pl.when(live & jnp.logical_not(interior))
+        def _step_masked():
+            _step(True)
 
     @pl.when(kv_idx == n_k_steps - 1)
     def _finish():

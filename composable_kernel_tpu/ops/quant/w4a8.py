@@ -112,7 +112,15 @@ def _w4a8_heuristic(m: int, n: int, k: int) -> GemmConfig:
                           vmem_limit_mb=64)
     from composable_kernel_tpu.ops.quant.api import _heuristic_config
 
-    return _heuristic_config(m, n, k)
+    cfg = _heuristic_config(m, n, k)
+    # the fused-quant path keeps BOTH the bf16 A block and the int8
+    # act-quant scratch resident at full K, so mid-M shapes sit over the
+    # shared heuristic's scoped limits: the chunk-wave e_n=2 bucket
+    # (m=1024, K=14336) measured 64.08M vs the 64 MB raise, and the
+    # m=1024 prepared-lm_head forward (n=129k) needs 19.4M vs the 16 MB
+    # default. The raise is a cap, not an allocation — 80 MB is the same
+    # ceiling the decode path already runs at.
+    return cfg.replace(vmem_limit_mb=max(cfg.vmem_limit_mb or 0, 80))
 
 
 def _kernel_w4a8(

@@ -105,6 +105,16 @@ class ServingEngine:
         # max_new_tokens<=1) — surfaced in the next step()'s finished list
         # so callers collecting completions from step() never miss them
         self._prefill_finished: list[Request] = []
+        # path-fired accounting: parity tests and the serving bench assert
+        # the fast path actually executed (the round-4 admission bug class:
+        # a parity test that silently compares a path against itself)
+        self.prefill_stats = {"packed_waves": 0, "chunk_waves": 0,
+                              "per_request": 0, "wave_entries": 0}
+        # last prefill logits per request uid (device arrays) — the
+        # serving bench / parity harnesses compare these against the
+        # monolithic forward (profile_gemm_impl.hpp:140-195 discipline:
+        # verify the exact path you are about to time)
+        self.last_prefill_logits = {}
         if paged:
             # paged KV: the cache is a global page pool, sized by expected
             # concurrent tokens rather than slots x max_seq. A request is
@@ -142,6 +152,27 @@ class ServingEngine:
                 return ids, c
 
             self._decode = jax.jit(_slot_step, donate_argnums=(1,))
+
+    def reset(self):
+        """Clear all request/slot state, keeping compiled functions and
+        allocated caches (stale KV rows are dead: positions mask them).
+        Lets a benchmark or a server drain-and-restart without paying the
+        per-engine jit retrace."""
+        self.positions[:] = 0
+        self.slot_req = [None] * self.b
+        self.next_token[:] = 0
+        self.queue = []
+        self.temperature[:] = 0.0
+        self.top_k[:] = 0
+        self.top_p[:] = 1.0
+        self._step_i = 0
+        self._prefill_finished = []
+        self.prefill_stats = {"packed_waves": 0, "chunk_waves": 0,
+                              "per_request": 0, "wave_entries": 0}
+        self.last_prefill_logits = {}
+        if self.paged:
+            for slot in range(self.b):
+                self._free_slot_pages(slot)
 
     # ------------------------------------------------------------ admission
     def add(self, req: Request):
@@ -186,13 +217,18 @@ class ServingEngine:
             if not pairs:
                 return
             if self.packed_prefill and len(pairs) >= 2:
+                self.prefill_stats["packed_waves"] += 1
+                self.prefill_stats["wave_entries"] += len(pairs)
                 self._prefill_packed(pairs)
             elif (self.prefill_chunk and len(pairs) >= 2 and not self.paged
                   and max(len(r.prompt) for _, r in pairs)
                   > self.prefill_chunk):
+                self.prefill_stats["chunk_waves"] += 1
+                self.prefill_stats["wave_entries"] += len(pairs)
                 self._chunked_prefill_wave(pairs)
             else:
                 for slot, req in pairs:
+                    self.prefill_stats["per_request"] += 1
                     self._prefill_into(slot, req)
             # requests that finished AT prefill freed their slots: loop and
             # admit into them (mirrors the old per-slot retry)
@@ -228,9 +264,14 @@ class ServingEngine:
             )
         self._finish_prefill(slot, req, logits[0, -1])
 
-    def _finish_prefill(self, slot: int, req: Request, last_logits):
+    def _finish_prefill(self, slot: int, req: Request, last_logits,
+                        greedy_tok=None):
         """Sample/argmax the prefill-produced token and wire the slot (or
-        retire the request if that token already finishes it)."""
+        retire the request if that token already finishes it).
+        ``greedy_tok``: precomputed argmax (wave paths batch all slots'
+        argmaxes into one readback instead of one ~50 ms tunnel round trip
+        per request)."""
+        self.last_prefill_logits[req.uid] = last_logits
         if req.temperature > 0.0:
             self._step_i += 1
             key = jax.random.fold_in(self._key, self._step_i)
@@ -240,6 +281,8 @@ class ServingEngine:
                 top_k=jnp.asarray([req.top_k], jnp.int32),
                 top_p=jnp.asarray([req.top_p], jnp.float32),
             )[0])
+        elif greedy_tok is not None:
+            nxt = int(greedy_tok)
         else:
             nxt = int(jnp.argmax(last_logits))
         req.output.append(nxt)
@@ -346,6 +389,33 @@ class ServingEngine:
                 )
             self._finish_prefill(slot, req, logits[i])
 
+    def _scatter_wave_cache(self, tmp, slots):
+        """Scatter wave-slot cache rows into engine cache slots in ONE
+        jitted, cache-donating call. The loop of per-(layer, leaf, slot)
+        eager ``dynamic_update_slice`` ops it replaces dispatched hundreds
+        of full-cache functional copies through the tunnel (each eager op
+        copies the whole [B, H, S, D] leaf): measured 1.4-1.9 s of the
+        mixed-wave TTFT at 8B — more than the wave's compute."""
+        n = len(slots)
+        if not hasattr(self, "_scatter_jit"):
+            self._scatter_jit = {}
+        fn = self._scatter_jit.get(n)
+        if fn is None:
+            def _scat(cache, tmp_, slot_arr):
+                out = []
+                for eng, t in zip(cache, tmp_):
+                    e = dict(eng)
+                    for key in ("k", "v", "ks", "vs"):
+                        if key in e:
+                            e[key] = e[key].at[slot_arr].set(
+                                t[key][: slot_arr.shape[0]]
+                            )
+                    out.append(e)
+                return out
+            fn = jax.jit(_scat, donate_argnums=(0,))
+            self._scatter_jit[n] = fn
+        self.cache = fn(self.cache, tmp, jnp.asarray(slots, jnp.int32))
+
     def _chunked_prefill(self, slot: int, prompt):
         """Stream the prompt through chunk steps on a temp 1-slot cache,
         then scatter the rows (and scales) into the engine cache slot."""
@@ -364,20 +434,7 @@ class ServingEngine:
                 calibrate_scales=(pos == 0),
             )
             pos += chunk.shape[1]
-        new_cache = []
-        for eng, t in zip(self.cache, tmp):
-            e = dict(eng)
-            e["k"] = jax.lax.dynamic_update_slice(
-                eng["k"], t["k"][:, :, :], (slot, 0, 0, 0)
-            )
-            e["v"] = jax.lax.dynamic_update_slice(
-                eng["v"], t["v"][:, :, :], (slot, 0, 0, 0)
-            )
-            if "ks" in eng:
-                e["ks"] = jax.lax.dynamic_update_slice(eng["ks"], t["ks"], (slot, 0))
-                e["vs"] = jax.lax.dynamic_update_slice(eng["vs"], t["vs"], (slot, 0))
-            new_cache.append(e)
-        self.cache = new_cache
+        self._scatter_wave_cache(tmp, [slot])
         return logits
 
     def _chunked_prefill_wave(self, pairs):
@@ -500,28 +557,19 @@ class ServingEngine:
                     if (l - 1) // c == j:
                         last_logits[i] = logits[i, (l - 1) % c]
 
-        # scatter each wave slot's rows + scales into the engine cache slot
-        new_cache = []
-        for eng, t in zip(self.cache, tmp):
-            e = dict(eng)
-            for i, (slot, _) in enumerate(pairs):
-                e["k"] = jax.lax.dynamic_update_slice(
-                    e["k"], t["k"][i : i + 1], (slot, 0, 0, 0)
-                )
-                e["v"] = jax.lax.dynamic_update_slice(
-                    e["v"], t["v"][i : i + 1], (slot, 0, 0, 0)
-                )
-                if "ks" in eng:
-                    e["ks"] = jax.lax.dynamic_update_slice(
-                        e["ks"], t["ks"][i : i + 1], (slot, 0)
-                    )
-                    e["vs"] = jax.lax.dynamic_update_slice(
-                        e["vs"], t["vs"][i : i + 1], (slot, 0)
-                    )
-            new_cache.append(e)
-        self.cache = new_cache
+        # scatter every wave slot's rows + scales into the engine cache
+        # slots in one jitted donation (see _scatter_wave_cache)
+        self._scatter_wave_cache(tmp, [slot for slot, _ in pairs])
+        toks = None
+        if all(req.temperature == 0.0 for _, req in pairs):
+            # one batched argmax readback for the whole wave
+            toks = np.asarray(jnp.stack(
+                [jnp.argmax(l) for l in last_logits]))
         for i, (slot, req) in enumerate(pairs):
-            self._finish_prefill(slot, req, last_logits[i])
+            self._finish_prefill(
+                slot, req, last_logits[i],
+                greedy_tok=None if toks is None else toks[i],
+            )
 
     # --------------------------------------------------------------- decode
     def pending(self) -> int:

@@ -11,6 +11,7 @@ complete matrix (VERDICT r2 weak #7's ask) on `tinylm_small.npz`
   - W8A16 per-channel RTN
 
 Usage: python scripts/run_accuracy_gate.py [--windows 128]
+       [--size small|medium] [--round 5]
 """
 
 from __future__ import annotations
@@ -28,6 +29,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--windows", type=int, default=128)
+    ap.add_argument("--size", choices=("small", "medium"), default="small")
+    ap.add_argument("--round", type=int, default=5)
     args = ap.parse_args()
 
     import jax
@@ -42,16 +45,19 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     ckdir = Path(__file__).resolve().parent.parent / "checkpoints"
-    arch = json.loads((ckdir / "tinylm_small_meta.json").read_text())
+    stem = f"tinylm_{args.size}"
+    arch = json.loads((ckdir / f"{stem}_meta.json").read_text())
     base = dict(**arch, vocab_size=512, max_seq_len=512, dtype="float32")
-    params = load_quantized(ckdir / "tinylm_small.npz")
-    toks = np.load(ckdir / "tinylm_small_eval_tokens.npy")
-    calib = np.load(ckdir / "tinylm_small_calib_tokens.npy")
+    params = load_quantized(ckdir / f"{stem}.npz")
+    toks = np.load(ckdir / f"{stem}_eval_tokens.npy")
+    calib = np.load(ckdir / f"{stem}_calib_tokens.npy")
+    n_params_m = round(sum(
+        np.asarray(x).size for x in jax.tree.leaves(params)) / 1e6, 1)
     kw = dict(seq_len=256, batch_size=16, kernels=on_tpu,
               max_windows=args.windows)
 
     out_path = (Path(__file__).resolve().parent.parent / "docs" / "perf"
-                / "accuracy_gate_r4.jsonl")
+                / f"accuracy_gate_r{args.round}.jsonl")
 
     def record(name, quant, p, delta):
         # append incrementally: the tunnel can stall for tens of minutes,
@@ -59,7 +65,8 @@ def main():
         with open(out_path, "a") as f:
             f.write(json.dumps(dict(
                 name=name, quant=quant, ppl=round(p, 4),
-                delta=round(delta, 4), n_params_m=83.4,
+                delta=round(delta, 4), n_params_m=n_params_m,
+                size=args.size,
                 windows=args.windows, kernels=on_tpu)) + "\n")
 
     cfg_full = llama.tiny_config(**base, quant="bf16", group_size=128)

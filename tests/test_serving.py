@@ -181,6 +181,9 @@ def test_chunked_prefill_wave_matches_sequential():
         eng.add(r)
     while eng.pending():
         eng.step()
+    # path-fired gate: the 3-request admission must have taken the
+    # batched chunk-wave, not three per-request prefills
+    assert eng.prefill_stats["chunk_waves"] == 1, eng.prefill_stats
     for i, (r, p) in enumerate(zip(reqs, prompts)):
         eng1 = ServingEngine(PARAMS, CFG, batch_slots=1, kernels=False,
                              prefill_chunk=8)
@@ -188,6 +191,7 @@ def test_chunked_prefill_wave_matches_sequential():
         eng1.add(r1)
         while eng1.pending():
             eng1.step()
+        assert eng1.prefill_stats["per_request"] == 1, eng1.prefill_stats
         assert r.output == r1.output, (i, r.output, r1.output)
 
 
@@ -584,6 +588,15 @@ class TestPackedPrefill:
             eng.step()
             steps += 1
             assert steps < 60
+        # path-fired gate (VERDICT r4 #7 / the round-4 admission bug
+        # class): the packed run must actually have taken the wave path,
+        # the reference run must not have — otherwise this parity test
+        # silently compares a path against itself.
+        if packed:
+            assert eng.prefill_stats["packed_waves"] >= 1, eng.prefill_stats
+        else:
+            assert eng.prefill_stats["packed_waves"] == 0, eng.prefill_stats
+            assert eng.prefill_stats["per_request"] == len(reqs)
         return [r.output for r in reqs]
 
     @pytest.mark.parametrize("paged", [False, True])
@@ -625,6 +638,10 @@ class TestSpeculativePackedPrefill:
             eng.step()
             steps += 1
             assert steps < 60
+        if packed:
+            assert eng.prefill_stats["packed_waves"] >= 1, eng.prefill_stats
+        else:
+            assert eng.prefill_stats["packed_waves"] == 0, eng.prefill_stats
         return [r.output for r in reqs], dict(eng.stats)
 
     @pytest.mark.parametrize("paged", [False, True])
@@ -656,6 +673,8 @@ class TestPackedChunkWave:
             eng.step()
             steps += 1
             assert steps < 40
+        # path-fired gate: the packed ragged chunk rounds must have run
+        assert eng.prefill_stats["chunk_waves"] == 1, eng.prefill_stats
         for i, (r, p) in enumerate(zip(reqs, prompts)):
             want = _isolated_greedy(p, 3)
             assert r.output == want, (i, r.output, want)
