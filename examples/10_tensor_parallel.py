@@ -14,10 +14,18 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
 from _common import setup
 
 jnp, on_tpu = setup()
+import sys
+
 import jax
 
-if len(jax.devices()) < 8:
-    jax.config.update("jax_platforms", "cpu")
+if len(jax.devices()) < 8 and os.environ.get("CKT_TP_REEXEC") != "1":
+    # a single attached chip cannot host the 4x2 mesh; re-exec onto the
+    # 8-virtual-device CPU backend (jax_platforms cannot change after the
+    # backend initialized — updating the config here is silently inert)
+    os.environ["CKT_TP_REEXEC"] = "1"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["CKT_EXAMPLES_CPU"] = "1"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 from composable_kernel_tpu.models import llama
 from composable_kernel_tpu.parallel import make_mesh, shard_params, tp_forward

@@ -44,7 +44,7 @@ flops = 2 * cfg.n_layers * per_tok  # B=2
 
 out = time_and_report(
     "mixtral_moe_decode_step",
-    lambda p, c, t, q: step(p, c, t, q)[0], params, cache, nxt, pos,
+    lambda t, p, c, q: step(p, c, t, q)[0], nxt, params, cache, pos,
     flops=float(flops), on_tpu=on_tpu,
 )
 assert out.shape == (2, 1, cfg.vocab_size)

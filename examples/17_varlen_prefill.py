@@ -57,10 +57,10 @@ print("verified vs per-sequence reference")
 causal_flops = sum(2.0 * hq * L * L * (d + d) / 2.0 for L in lens)
 time_and_report(
     "varlen packed prefill",
-    lambda: flash_attention_varlen(qp, kp, vp, q_starts, q_lens, kv_starts,
-                                   kv_lens, causal=True, block_q=bq,
-                                   block_k=bk),
-    flops=causal_flops, on_tpu=on_tpu,
+    lambda qp_: flash_attention_varlen(qp_, kp, vp, q_starts, q_lens,
+                                       kv_starts, kv_lens, causal=True,
+                                       block_q=bq, block_k=bk),
+    qp, flops=causal_flops, on_tpu=on_tpu,
 )
 smax = max(lens)
 qpad = jnp.stack([jnp.pad(q.transpose(1, 0, 2),
@@ -75,8 +75,9 @@ vpad = jnp.stack([jnp.pad(v.transpose(1, 0, 2),
 lens_j = jnp.asarray(lens, jnp.int32)
 time_and_report(
     "padded-batch prefill (same work)",
-    lambda: flash_attention(qpad, kpad, vpad, causal=True, kv_seq_len=lens_j),
-    flops=causal_flops, on_tpu=on_tpu,
+    lambda qpad_: flash_attention(qpad_, kpad, vpad, causal=True,
+                                  kv_seq_len=lens_j),
+    qpad, flops=causal_flops, on_tpu=on_tpu,
 )
 
 # ---- load-time weight prep for decode serving --------------------------

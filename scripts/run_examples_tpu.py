@@ -65,7 +65,10 @@ def main() -> int:
             )
         dt = time.time() - t0
         perf_lines = re.findall(r"Perf: [^\n]*", tail)
-        verified = ("verification: OK" in tail or "OK" in tail) and rc == 0
+        # examples exit nonzero on verification failure (the CK example
+        # contract, run_gemm_example.inc:155-163), so rc==0 IS the verify
+        # gate; the FAILED guard catches prints that don't raise
+        verified = rc == 0 and "FAILED" not in tail
         row = {
             "example": ex.name,
             "rc": rc,
@@ -80,9 +83,18 @@ def main() -> int:
         print(json.dumps({k: row[k] for k in ("example", "rc", "verified",
                                               "seconds")}), flush=True)
 
+    merged = {}
+    if out_path.exists():
+        # --only reruns update their rows without dropping the rest
+        for line in out_path.read_text().splitlines():
+            if line.strip():
+                r = json.loads(line)
+                merged[r["example"]] = r
+    for row in rows:
+        merged[row["example"]] = row
     with open(out_path, "w") as f:
-        for row in rows:
-            f.write(json.dumps(row) + "\n")
+        for name in sorted(merged):
+            f.write(json.dumps(merged[name]) + "\n")
     print(f"{len(rows) - n_fail}/{len(rows)} examples passed -> {out_path}")
     return 1 if n_fail else 0
 
