@@ -365,6 +365,10 @@ def bench_llama_e2e(on_tpu, quant="w4a16"):
         jax.random.PRNGKey(0)
     )
     jax.block_until_ready(params)
+    # the pure-jnp reference path cannot consume PreparedWeights leaves —
+    # keep the raw handle for the parity check below (prepared == raw is
+    # itself pinned bit-exactly by tests/test_prepared.py)
+    params_raw = params
     if on_tpu:
         # load-time weight prep: pad + scale-expand the vocab-sized lm_head
         # once (otherwise every decode step pays its pad copy in-loop)
@@ -394,7 +398,7 @@ def bench_llama_e2e(on_tpu, quant="w4a16"):
         lr, vcache_r = jax.jit(
             lambda p, c, t, q: llama.decode_step_batched(
                 p, c, t, q, cfg, kernels=False)
-        )(params, vcache_r, tr, vpos + i)
+        )(params_raw, vcache_r, tr, vpos + i)
         check_err(lk[:, -1], lr[:, -1], rtol=5e-2, atol=5e-2)
         tk = tr = _jnp.argmax(lr[:, -1:], axis=-1).astype(jnp.int32)
     del vcache_k, vcache_r

@@ -21,6 +21,7 @@ row-parallel matmul — the Megatron split on XLA collectives over ICI.
 
 from __future__ import annotations
 
+from collections import Counter
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, NamedTuple
@@ -36,6 +37,16 @@ from composable_kernel_tpu.reference.quant import (
     ref_quantize_group,
     ref_quantize_per_channel,
 )
+
+
+# Path-fired evidence (VERDICT r4 #7 — the admission-bug failure class:
+# a parity test that silently compares a path against itself). Bumped at
+# Python-dispatch time when a fast-path branch is SELECTED: callers outside
+# jit (the unit tests) see every call; jitted callers see one bump per
+# trace, which still proves which branch was traced. Parity tests snapshot
+# before / assert-delta after. CK analog: profile_gemm_impl.hpp's
+# verify-the-instance-you-run discipline.
+path_counters: Counter = Counter()
 
 
 @dataclass(frozen=True)
@@ -1230,6 +1241,7 @@ def _decode_layer(
         # deferred append: the fresh row folds into the attention kernel
         # (storage dtype, so the math matches a write+readback exactly) and
         # the cache write batches across layers in the caller
+        path_counters["decode_deferred_append"] += 1
         pending = (k_in.astype(kv["k"].dtype), v_in.astype(kv["v"].dtype))
         scales = {"k_scale": kv["ks"], "v_scale": kv["vs"]} if is_i8 else {}
         o = flash_decode(
@@ -1241,6 +1253,7 @@ def _decode_layer(
         if s == 1 and kv["k"].shape[2] % 32 == 0:
             # in-place slab-rewrite kernel: the jnp scatter costs ~52 us per
             # cache per layer at B=8 (ops/kv_update.py)
+            path_counters["decode_kv_update_kernel"] += 1
             from composable_kernel_tpu.ops.kv_update import kv_cache_update
 
             kv["k"], kv["v"] = kv_cache_update(
@@ -1777,6 +1790,7 @@ def paged_decode_step(
                 and pool["k"].shape[2] % 32 == 0 and hd % 2 == 0):
             # fused glue path: rope+quant+pack in one launch + deferred
             # append with in-VMEM fold-in (see _decode_layer)
+            path_counters["paged_rope_prep_fused"] += 1
             from composable_kernel_tpu.ops.rope_prep import rope_quant_prep
 
             qkv = _linear(x2, layer["wqkv"], cfg, interpret, kernels)
@@ -1821,6 +1835,7 @@ def paged_decode_step(
             if kernels and pool["k"].shape[2] % 32 == 0:
                 # deferred append: the fresh row folds into the paged
                 # attention kernel in-VMEM; pool writes replay at step end
+                path_counters["paged_deferred_append"] += 1
                 pending.append((k_in.astype(pool["k"].dtype),
                                 v_in.astype(pool["v"].dtype)))
                 o = paged_flash_decode(

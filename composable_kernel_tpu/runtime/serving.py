@@ -110,6 +110,10 @@ class ServingEngine:
         # a parity test that silently compares a path against itself)
         self.prefill_stats = {"packed_waves": 0, "chunk_waves": 0,
                               "per_request": 0, "wave_entries": 0}
+        # decode-side twin of prefill_stats: which decode path ran, and
+        # whether the paged engine really allocated pool pages
+        self.decode_stats = {"paged_steps": 0, "dense_steps": 0,
+                             "pages_allocated": 0}
         # last prefill logits per request uid (device arrays) — the
         # serving bench / parity harnesses compare these against the
         # monolithic forward (profile_gemm_impl.hpp:140-195 discipline:
@@ -169,6 +173,8 @@ class ServingEngine:
         self._prefill_finished = []
         self.prefill_stats = {"packed_waves": 0, "chunk_waves": 0,
                               "per_request": 0, "wave_entries": 0}
+        self.decode_stats = {"paged_steps": 0, "dense_steps": 0,
+                             "pages_allocated": 0}
         self.last_prefill_logits = {}
         if self.paged:
             for slot in range(self.b):
@@ -242,6 +248,7 @@ class ServingEngine:
             # checked availability) so decode never stalls mid-flight
             need = self._pages_needed(req)
             pages = [self.free_pages.pop() for _ in range(need)]
+            self.decode_stats["pages_allocated"] += len(pages)
             self.slot_pages[slot] = pages
             self.table[slot, : len(pages)] = pages
             logits, seeds = llama.forward(
@@ -377,6 +384,7 @@ class ServingEngine:
             if self.paged:
                 need = self._pages_needed(req)
                 pages = [self.free_pages.pop() for _ in range(need)]
+                self.decode_stats["pages_allocated"] += len(pages)
                 self.slot_pages[slot] = pages
                 self.table[slot, : len(pages)] = pages
                 self.pools = llama.seed_paged_cache(
@@ -593,12 +601,14 @@ class ServingEngine:
         samp = (jnp.asarray(self.temperature), jnp.asarray(self.top_k),
                 jnp.asarray(self.top_p), key)
         if self.paged:
+            self.decode_stats["paged_steps"] += 1
             ids, self.pools = self._decode(
                 self.params, self.pools, jnp.asarray(self.table),
                 jnp.asarray(self.next_token), jnp.asarray(self.positions),
                 *samp,
             )
         else:
+            self.decode_stats["dense_steps"] += 1
             ids, self.cache = self._decode(
                 self.params, self.cache,
                 jnp.asarray(self.next_token), jnp.asarray(self.positions),

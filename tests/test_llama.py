@@ -129,8 +129,14 @@ class TestW4A8:
         seeded = llama.seed_kv_cache(llama.init_kv_cache(self.CFG, 2), seeds, self.CFG)
         nxt = TOKENS[:, 16:17]
         pos = jnp.asarray([16, 16], jnp.int32)
+        before = llama.path_counters["decode_deferred_append"]
         got, _ = llama.decode_step_batched(qp, seeded, nxt, pos, self.CFG,
                                            kernels=True)
+        # path-fired (VERDICT r4 #7): the kernel side must have selected the
+        # deferred-append fast path in every layer, not silently degraded to
+        # the same write-then-attend path as the reference side below
+        assert (llama.path_counters["decode_deferred_append"]
+                >= before + self.CFG.n_layers)
         want, _ = llama.decode_step_batched(qp, seeded, nxt, pos, self.CFG,
                                             kernels=False)
         g = np.asarray(got, np.float32)
@@ -188,8 +194,14 @@ class TestW8A8:
         seeded = llama.seed_kv_cache(llama.init_kv_cache(self.CFG, 2), seeds, self.CFG)
         nxt = TOKENS[:, 16:17]
         pos = jnp.asarray([16, 16], jnp.int32)
+        before = llama.path_counters["decode_deferred_append"]
         got, _ = llama.decode_step_batched(qp, seeded, nxt, pos, self.CFG,
                                            kernels=True)
+        # path-fired (VERDICT r4 #7): the kernel side must have selected the
+        # deferred-append fast path in every layer, not silently degraded to
+        # the same write-then-attend path as the reference side below
+        assert (llama.path_counters["decode_deferred_append"]
+                >= before + self.CFG.n_layers)
         want, _ = llama.decode_step_batched(qp, seeded, nxt, pos, self.CFG,
                                             kernels=False)
         g = np.asarray(got, np.float32)

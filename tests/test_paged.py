@@ -314,3 +314,48 @@ class TestDenseCausalChunk:
                                window=96)
         want = _ref_causal_chunk(q, ks, vs, lens, sq=4, window=96)
         check_err(got, want, **TOL)
+
+
+class TestPagedDecodeStepModel:
+    """Model-level paged_decode_step: kernel path vs reference path, with
+    path-fired evidence (VERDICT r4 #7 — a parity test must prove the fast
+    path it claims to test actually executed)."""
+
+    @pytest.mark.parametrize("fuse", [True, False])
+    def test_kernel_path_matches_reference_and_fires(self, fuse):
+        from composable_kernel_tpu.models import llama
+
+        cfg = llama.tiny_config(quant="w4a8", dtype="float32",
+                                fuse_qkv=fuse)
+        qp = llama.quantize_weights(
+            llama.init_weights(cfg, jax.random.PRNGKey(5)), cfg
+        )
+        page = 128  # paged kernel requires lane-multiple pages
+        per = cfg.max_seq_len // page
+        n_pages = 1 + per
+        prompt_len = 16
+        toks = jax.random.randint(
+            jax.random.PRNGKey(1), (1, prompt_len), 0, cfg.vocab_size
+        )
+        _, seeds = llama.forward(qp, toks, cfg, return_cache=True,
+                                 kernels=False)
+        pages = list(range(1, per + 1))
+        table = np.zeros((1, per), np.int32)
+        table[0] = pages
+        pools = llama.init_paged_cache(cfg, n_pages, page, batch_slots=1)
+        pools = llama.seed_paged_cache(pools, seeds, jnp.asarray(table), cfg,
+                                       page=page, slot_pages=pages, slot=0)
+        pos = jnp.asarray([prompt_len], jnp.int32)
+        nxt = toks[:, :1]
+        fired_key = "paged_rope_prep_fused" if fuse else "paged_deferred_append"
+        before = llama.path_counters[fired_key]
+        got, _ = llama.paged_decode_step(qp, pools, jnp.asarray(table), nxt,
+                                         pos, cfg, page=page, kernels=True)
+        assert (llama.path_counters[fired_key]
+                >= before + cfg.n_layers), dict(llama.path_counters)
+        want, _ = llama.paged_decode_step(qp, pools, jnp.asarray(table), nxt,
+                                          pos, cfg, page=page, kernels=False)
+        g = np.asarray(got, np.float32)
+        w = np.asarray(want, np.float32)
+        rel = np.linalg.norm(g - w) / np.linalg.norm(w)
+        assert rel < 0.05, rel

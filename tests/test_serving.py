@@ -257,6 +257,16 @@ def test_paged_int8_kv_matches_contiguous_int8():
         eng.add(req)
         while eng.pending():
             eng.step()
+        # path-fired: the two sides must have taken DIFFERENT decode paths
+        # (VERDICT r4 #7 — the admission-bug class where a parity test
+        # silently compares a path against itself)
+        if paged:
+            assert eng.decode_stats["paged_steps"] > 0, eng.decode_stats
+            assert eng.decode_stats["dense_steps"] == 0
+            assert eng.decode_stats["pages_allocated"] > 0, eng.decode_stats
+        else:
+            assert eng.decode_stats["dense_steps"] > 0, eng.decode_stats
+            assert eng.decode_stats["paged_steps"] == 0
         return req.output
 
     assert run(True) == run(False)
